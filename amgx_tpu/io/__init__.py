@@ -1,0 +1,2 @@
+from .matrix_market import read_system, write_system, read_matrix_market, \
+    write_matrix_market  # noqa: F401

@@ -1,0 +1,101 @@
+"""Loader for the native C++ runtime kernels (csrc/).
+
+The setup-phase graph algorithms (SpGEMM, Galerkin product, coloring,
+aggregation matching) are irregular host-side work; like the reference's C++
+runtime we implement them natively (csrc/amgx_host.cpp, built to
+libamgx_host.so) and bind via ctypes. Everything has a pure-numpy fallback so
+the library works without the native build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _find_so() -> Optional[str]:
+    here = os.path.dirname(os.path.abspath(__file__))
+    for cand in (os.path.join(here, "_native", "libamgx_host.so"),
+                 os.path.join(here, "..", "csrc", "build",
+                              "libamgx_host.so")):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+class _NativeLib:
+    """ctypes wrapper exposing CSR kernels with numpy-array marshalling."""
+
+    def __init__(self, path: str):
+        self._h = ctypes.CDLL(path)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        self._h.spgemm_nnz.restype = ctypes.c_int64
+        self._h.spgemm_nnz.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,            # n_rows_a, n_cols_b
+            i64p, i32p,                                 # A indptr/indices
+            i64p, i32p,                                 # B indptr/indices
+            i64p]                                       # out C indptr
+        self._h.spgemm_fill.restype = None
+        self._h.spgemm_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            i64p, i32p, f64p,
+            i64p, i32p, f64p,
+            i64p, i32p, f64p]
+
+    def csr_spgemm(self, a, b):
+        from .matrix import CSRMatrix
+        if a.data.dtype != np.float64 or b.data.dtype != np.float64:
+            return None
+        ai = np.ascontiguousarray(a.indptr, np.int64)
+        aj = np.ascontiguousarray(a.indices, np.int32)
+        av = np.ascontiguousarray(a.data, np.float64)
+        bi = np.ascontiguousarray(b.indptr, np.int64)
+        bj = np.ascontiguousarray(b.indices, np.int32)
+        bv = np.ascontiguousarray(b.data, np.float64)
+        ci = np.zeros(a.n_rows + 1, np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        nnz = self._h.spgemm_nnz(
+            a.n_rows, b.n_cols,
+            ai.ctypes.data_as(i64p), aj.ctypes.data_as(i32p),
+            bi.ctypes.data_as(i64p), bj.ctypes.data_as(i32p),
+            ci.ctypes.data_as(i64p))
+        cj = np.zeros(nnz, np.int32)
+        cv = np.zeros(nnz, np.float64)
+        self._h.spgemm_fill(
+            a.n_rows, b.n_cols,
+            ai.ctypes.data_as(i64p), aj.ctypes.data_as(i32p),
+            av.ctypes.data_as(f64p),
+            bi.ctypes.data_as(i64p), bj.ctypes.data_as(i32p),
+            bv.ctypes.data_as(f64p),
+            ci.ctypes.data_as(i64p), cj.ctypes.data_as(i32p),
+            cv.ctypes.data_as(f64p))
+        return CSRMatrix(a.n_rows, b.n_cols, ci, cj, cv)
+
+    def galerkin(self, r, a, p):
+        ra = self.csr_spgemm(r, a)
+        if ra is None:
+            return None
+        return self.csr_spgemm(ra, p)
+
+
+def lib() -> Optional[_NativeLib]:
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        path = _find_so()
+        if path is not None:
+            try:
+                _LIB = _NativeLib(path)
+            except OSError:
+                _LIB = None
+    return _LIB

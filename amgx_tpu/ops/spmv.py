@@ -1,0 +1,190 @@
+"""Sparse matrix-vector products.
+
+TPU-native replacement for the reference SpMV stack (base/src/multiply.cu,
+base/src/amgx_cusparse.cu). Three execution paths, picked per-operator:
+
+  * ``dia_spmv`` — DIA (banded) layout for stencil-like matrices: each band is
+    a shifted elementwise multiply-add, pure VPU traffic with **no gather**.
+    This is the speed-of-light path for Poisson-type operators and is also
+    provided as a Pallas kernel.
+  * ``ell_spmv`` — padded-ELL gather path for general sparsity (XLA gather).
+  * ``DenseOperator.apply`` — one MXU matmul for small/coarse operators.
+
+The reference's distributed latency-hiding split (interior SpMV overlapped
+with halo exchange, multiply.cu:113-197) lives in ``amgx_tpu.distributed``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..matrix import CSRMatrix, EllMatrix, DenseOperator
+
+
+# ---------------------------------------------------------------------------
+# ELL path (general sparsity)
+# ---------------------------------------------------------------------------
+
+def ell_spmv(a: EllMatrix, x):
+    """y = A @ x for padded-ELL A.
+
+    Scalar: x (n_pad,), y (n_pad,). Blocked (bx,by): x (n_pad*by,) flat,
+    y (n_pad*bx,) flat — matching AMGX's interleaved block vectors
+    (vector.h block_dim).
+    """
+    bx, by = a.block_dim
+    if (bx, by) == (1, 1):
+        gathered = x[a.cols]                      # (n_pad, w)
+        return jnp.sum(a.vals * gathered, axis=1)
+    xb = x.reshape(-1, by)                        # (n_pad, by)
+    gathered = xb[a.cols]                         # (n_pad, w, by)
+    y = jnp.einsum("nwij,nwj->ni", a.vals, gathered,
+                   preferred_element_type=a.vals.dtype)
+    return y.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# DIA path (banded / stencil matrices) — no gather at all
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class DiaMatrix:
+    """Banded device matrix: ``offsets`` static python ints, ``bands`` shaped
+    (num_bands, n_pad). y[i] = sum_k bands[k, i] * x[i + offsets[k]].
+
+    Band values out of range are stored as zero, so shifts can wrap safely.
+    The TPU-idiomatic format for Poisson/stencil operators.
+    """
+
+    def __init__(self, offsets, bands, n_rows: int, n_cols: int, nnz: int = 0):
+        self.offsets = tuple(int(o) for o in offsets)
+        self.bands = bands
+        self.n_rows = int(n_rows)
+        self.n_cols = int(n_cols)
+        self.block_dim = (1, 1)
+        self.nnz = int(nnz)
+
+    def tree_flatten(self):
+        return ((self.bands,), (self.offsets, self.n_rows, self.n_cols,
+                                self.nnz))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        offsets, n_rows, n_cols, nnz = aux
+        return cls(offsets, children[0], n_rows, n_cols, nnz)
+
+    @property
+    def n_pad(self):
+        return self.bands.shape[1]
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.bands.dtype
+
+    def apply(self, x):
+        return dia_spmv(self, x)
+
+    def __repr__(self):
+        return (f"DiaMatrix({self.n_rows}x{self.n_cols}, "
+                f"bands={len(self.offsets)}, dtype={self.bands.dtype})")
+
+
+def dia_spmv(a: DiaMatrix, x):
+    """Shift-and-FMA SpMV. jnp.roll is a cheap lane rotation on TPU; band
+    values at out-of-range positions are zero so wrapped lanes contribute 0."""
+    y = jnp.zeros_like(x)
+    for k, off in enumerate(a.offsets):
+        y = y + a.bands[k] * jnp.roll(x, -off)
+    return y
+
+
+def csr_to_dia(csr: CSRMatrix, dtype=None, max_bands: int = 32,
+               row_pad: int = 8) -> Optional[DiaMatrix]:
+    """Convert CSR to DIA if the matrix is banded with few distinct offsets.
+    Returns None when the matrix is not DIA-friendly."""
+    if csr.block_dim != (1, 1) or csr.nnz == 0:
+        return None
+    rows = np.repeat(np.arange(csr.n_rows, dtype=np.int64), csr.row_nnz())
+    offs = csr.indices.astype(np.int64) - rows
+    uniq = np.unique(offs)
+    if uniq.size > max_bands:
+        return None
+    n_pad = max(row_pad, ((max(csr.n_rows, csr.n_cols) + row_pad - 1)
+                          // row_pad) * row_pad)
+    dtype = dtype or csr.data.dtype
+    bands = np.zeros((uniq.size, n_pad), dtype=dtype)
+    band_of = np.searchsorted(uniq, offs)
+    bands[band_of, rows] = csr.data.astype(dtype)
+    return DiaMatrix(uniq.tolist(), jnp.asarray(bands),
+                     csr.n_rows, csr.n_cols, nnz=csr.nnz)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+def dia_spmv_pallas(a: DiaMatrix, x, chunk: int = 65536):
+    """Pallas DIA SpMV: each grid step processes ``chunk`` rows. The band
+    windows of x overlap by ``halo`` on both sides, so x stays unblocked in
+    HBM and each step DMAs its window into VMEM scratch once, then performs
+    one shifted FMA per band (pure VPU). Bandwidth-bound by design."""
+    n = a.n_pad
+    offsets = a.offsets
+    halo = max(abs(o) for o in offsets) if offsets else 0
+    chunk = min(chunk, n)
+    if n % chunk != 0 or halo > chunk:
+        return dia_spmv(a, x)    # fallback for awkward shapes
+    n_chunks = n // chunk
+    win = chunk + 2 * halo
+    # pad x with halo zeros on both sides so windows never go out of bounds;
+    # window i covers xp[i*chunk : i*chunk + win]
+    xp = jnp.pad(x, (halo, halo))
+
+    def kernel(x_hbm, bands_ref, y_ref, xwin, sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * chunk, win)], xwin, sem)
+        cp.start()
+        cp.wait()
+        acc = jnp.zeros((chunk,), x_hbm.dtype)
+        for k, off in enumerate(offsets):
+            acc = acc + bands_ref[k, :] * xwin[pl.ds(halo + off, chunk)]
+        y_ref[:] = acc
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((len(offsets), chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n,), x.dtype),
+        scratch_shapes=[pltpu.VMEM((win,), x.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+    )(xp, a.bands)
+    return y
+
+
+def multiply(op, x):
+    """y = A x for any device operator (reference: base/src/multiply.cu:75)."""
+    return op.apply(x)
+
+
+def residual(op, b, x):
+    """r = b - A x (reference: axmb kernels used by cycles/solvers)."""
+    return b - op.apply(x)

@@ -1,0 +1,111 @@
+"""Equation scalers (reference: core/src/scalers/ — BINORMALIZATION,
+NBINORMALIZATION, DIAGONAL_SYMMETRIC; hooks in Solver::setup/solve,
+solver.cu:469-482, 669-676, 851-857).
+
+A scaler rewrites A <- Dl A Dr at setup and transforms b/x around the solve.
+Scale vectors are computed host-side once; the per-solve transforms are
+elementwise device ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class Scaler:
+    def setup(self, m) -> None:
+        raise NotImplementedError
+
+    def scale_rhs(self, b):
+        return self._dl_j * b
+
+    def scale_solution_in(self, x):
+        return x / self._dr_j
+
+    def unscale_solution(self, x):
+        return self._dr_j * x
+
+    def _finalize(self, m, dl: np.ndarray, dr: np.ndarray) -> None:
+        """Apply Dl A Dr to the host CSR in place and keep padded device
+        copies of the scale vectors."""
+        csr = m.csr
+        rows = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
+        cols = csr.indices
+        in_range = cols < dr.shape[0]
+        csr.data = csr.data * dl[rows] * np.where(in_range, dr[np.minimum(
+            cols, dr.shape[0] - 1)], 1.0)
+        if csr.diag_data is not None:
+            csr.diag_data = csr.diag_data * dl * dr
+        m._device_op = None
+        from .ops.blas import pad_to
+        n_pad = pad_to(csr.n_rows)
+        dlp = np.ones(n_pad)
+        drp = np.ones(n_pad)
+        dlp[:dl.shape[0]] = dl
+        drp[:dr.shape[0]] = dr
+        self._dl = dlp
+        self._dr = drp
+        self._dl_j = jnp.asarray(dlp)
+        self._dr_j = jnp.asarray(drp)
+
+
+class DiagonalSymmetricScaler(Scaler):
+    """Dl = Dr = diag(A)^{-1/2} (scalers/diagonal_symmetric.cu)."""
+
+    def setup(self, m) -> None:
+        d = np.abs(m.csr.diagonal().astype(np.float64))
+        if d.ndim > 1:
+            d = np.abs(d[:, 0, 0])
+        s = 1.0 / np.sqrt(np.where(d == 0, 1.0, d))
+        self._finalize(m, s, s)
+
+
+class BinormalizationScaler(Scaler):
+    """Iterative binormalization: row and column 2-norms driven to one
+    (scalers/binormalization.cu)."""
+
+    def __init__(self, iterations: int = 10):
+        self.iterations = iterations
+
+    def setup(self, m) -> None:
+        import scipy.sparse as sp
+        csr = m.csr
+        data = csr.data if csr.block_dim == (1, 1) else csr.data[:, 0, 0]
+        a2 = sp.csr_matrix((np.abs(data) ** 2, csr.indices, csr.indptr),
+                           shape=csr.shape)
+        dl = np.ones(csr.n_rows)
+        dr = np.ones(csr.n_cols)
+        for _ in range(self.iterations):
+            r = a2 @ (dr ** 2)
+            dl = 1.0 / np.sqrt(np.sqrt(np.where(r == 0, 1.0, r)))
+            c = a2.T @ (dl ** 2)
+            dr = 1.0 / np.sqrt(np.sqrt(np.where(c == 0, 1.0, c)))
+        self._finalize(m, dl, dr[:csr.n_rows] if csr.n_cols >= csr.n_rows
+                       else dr)
+
+
+class NBinormalizationScaler(BinormalizationScaler):
+    """Normalized binormalization variant (scalers/nbinormalization.cu) —
+    same fixed point, extra normalization step per sweep."""
+
+    def setup(self, m) -> None:
+        super().setup(m)
+        # normalize so the largest scale is one
+        s = max(self._dl.max(), self._dr.max())
+        if s > 0:
+            self._dl /= s
+            self._dr /= s
+            self._dl_j = jnp.asarray(self._dl)
+            self._dr_j = jnp.asarray(self._dr)
+
+
+def make_scaler(name: str, cfg=None, scope: str = "default") -> Scaler:
+    iters = cfg.get("scaling_iterations", scope) if cfg is not None else 10
+    if name == "DIAGONAL_SYMMETRIC":
+        return DiagonalSymmetricScaler()
+    if name == "BINORMALIZATION":
+        return BinormalizationScaler(iters)
+    if name == "NBINORMALIZATION":
+        return NBinormalizationScaler(iters)
+    raise ValueError(f"Unknown scaler '{name}'")

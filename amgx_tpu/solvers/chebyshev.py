@@ -1,0 +1,154 @@
+"""Chebyshev solvers: CHEBYSHEV (Krylov-style accelerator, cheb_solver.cu)
+and CHEBYSHEV_POLY (fixed-order polynomial smoother, chebyshev_poly.cu).
+
+Chebyshev smoothing is the TPU-recommended workhorse: it needs only SpMV +
+axpy (no colors, no gathers beyond the SpMV), so it runs at memory bandwidth.
+The survey (SURVEY.md §7.1) recommends it as the performance smoother; the
+reference itself ships V-cheby configs (core/configs/V-cheby*.json).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .base import Solver, register_solver
+from .krylov import _PreconditionedSolver
+from .smoothers import _inv_diag_arrays, _apply_inv_diag
+from ..matrix import mode_dtypes
+
+
+def _power_lambda_max(apply_fn, n, dtype, iters: int = 10,
+                      seed: int = 1234) -> float:
+    """Power iteration estimate of the largest eigenvalue (reference:
+    cheb_solver.cu chebyshev_lambda_estimate_mode 0/1)."""
+    rng = np.random.default_rng(seed)
+    v = jnp.asarray(rng.standard_normal(n).astype(np.dtype(dtype)
+                                                  if dtype != jnp.bfloat16
+                                                  else np.float32))
+    v = v / jnp.sqrt(jnp.vdot(v, v))
+    lam = 1.0
+    for _ in range(iters):
+        w = apply_fn(v)
+        lam = float(jnp.vdot(v, w).real)
+        nw = float(jnp.sqrt(jnp.vdot(w, w)))
+        if nw == 0:
+            break
+        v = w / nw
+    return abs(lam) if lam != 0 else 1.0
+
+
+@register_solver("CHEBYSHEV")
+class ChebyshevSolver(_PreconditionedSolver):
+    """Preconditioned Chebyshev iteration (cheb_solver.cu:—).
+
+    lambda estimate modes (chebyshev_lambda_estimate_mode):
+      0 — power iteration on D^{-1} A (then [lmax/cheb ratio, lmax]),
+      1 — power iteration on A,
+      2 — user-provided cheby_max_lambda / cheby_min_lambda.
+    """
+
+    def __init__(self, cfg, scope="default"):
+        super().__init__(cfg, scope)
+        self.est_mode = int(cfg.get("chebyshev_lambda_estimate_mode", scope))
+        self.user_max = float(cfg.get("cheby_max_lambda", scope))
+        self.user_min = float(cfg.get("cheby_min_lambda", scope))
+        self.est_iters = int(cfg.get("chebyshev_eigenvalue_maxits", scope))
+
+    def solver_setup(self):
+        super().solver_setup()
+        vec_dt, _ = mode_dtypes(self.mode)
+        n = self.vec_len
+        if self.est_mode == 2:
+            lmax, lmin = self.user_max, self.user_min
+        else:
+            if self.est_mode == 0 and self.m is not None \
+                    and self.m.csr is not None:
+                invd = _inv_diag_arrays(self.m.csr, vec_dt, self.n_pad)
+                fn = lambda v: _apply_inv_diag(invd, self.op.apply(v))
+            else:
+                fn = self.op.apply
+            lmax = _power_lambda_max(fn, n, vec_dt, self.est_iters)
+            lmax *= 1.05                     # safety margin
+            lmin = lmax * (self.user_min / max(self.user_max, 1e-30))
+        self.lmax, self.lmin = float(lmax), float(lmin)
+
+    def solve_init(self, b, x, zero_guess):
+        r = b if zero_guess else b - self.op.apply(x)
+        d = (self.lmax + self.lmin) / 2.0
+        c = (self.lmax - self.lmin) / 2.0
+        return {"r": r, "p": jnp.zeros_like(r),
+                "alpha": jnp.asarray(0.0, r.dtype),
+                "iter": jnp.asarray(0, jnp.int32),
+                "d": d, "c": c}
+
+    def solve_iteration(self, b, x, s):
+        M = self.precond()
+        r, p, alpha, it = s["r"], s["p"], s["alpha"], s["iter"]
+        d, c = s["d"], s["c"]
+        z = M(r)
+        beta0 = jnp.asarray(0.0, r.dtype)
+        beta1 = jnp.asarray(0.5 * (c / d) ** 2, r.dtype)
+        alpha_new = jnp.where(
+            it == 0, 1.0 / d,
+            jnp.where(it == 1, 1.0 / (d - c * c / (2.0 * d)),
+                      1.0 / (d - alpha * c * c / 4.0)))
+        beta = jnp.where(it == 0, beta0,
+                         jnp.where(it == 1, beta1,
+                                   (alpha * c / 2.0) ** 2))
+        p = z + beta * p
+        x = x + alpha_new * p
+        r = r - alpha_new * self.op.apply(p)
+        return x, {"r": r, "p": p, "alpha": alpha_new, "iter": it + 1,
+                   "d": d, "c": c}
+
+
+@register_solver("CHEBYSHEV_POLY")
+class ChebyshevPolySolver(Solver):
+    """Fixed-order Chebyshev polynomial smoother in D^{-1}A
+    (chebyshev_poly.cu, order = chebyshev_polynomial_order 0..10)."""
+
+    is_smoother = True
+
+    def __init__(self, cfg, scope="default"):
+        super().__init__(cfg, scope)
+        self.order = int(cfg.get("chebyshev_polynomial_order", scope))
+        self.est_iters = int(cfg.get("chebyshev_eigenvalue_maxits", scope))
+        self.user_max = float(cfg.get("cheby_max_lambda", scope))
+        self.user_min = float(cfg.get("cheby_min_lambda", scope))
+
+    def solver_setup(self):
+        vec_dt, _ = mode_dtypes(self.mode)
+        self.inv_diag = _inv_diag_arrays(self.m.csr, vec_dt, self.n_pad)
+        fn = lambda v: _apply_inv_diag(self.inv_diag, self.op.apply(v))
+        lmax = 1.05 * _power_lambda_max(fn, self.vec_len, vec_dt,
+                                        self.est_iters)
+        ratio = self.user_min / max(self.user_max, 1e-30)
+        self.lmax, self.lmin = lmax, lmax * ratio
+
+    def solve_init(self, b, x, zero_guess):
+        return None
+
+    def solve_iteration(self, b, x, s):
+        d = (self.lmax + self.lmin) / 2.0
+        c = (self.lmax - self.lmin) / 2.0
+        invd = self.inv_diag
+        A = self.op
+        r = b - A.apply(x)
+        z = _apply_inv_diag(invd, r)
+        p = z / d
+        x = x + p
+        alpha = d
+        for k in range(1, self.order + 1):
+            r = b - A.apply(x)
+            z = _apply_inv_diag(invd, r)
+            if k == 1:
+                alpha_new = d - c * c / (2.0 * d)
+            else:
+                alpha_new = d - c * c / (4.0 * alpha)
+            beta = (jnp.asarray(c, x.dtype) / 2.0) ** 2 / (alpha * alpha_new) \
+                if k > 1 else 0.5 * (c / d) ** 2
+            p = z / alpha_new + beta * p
+            x = x + p
+            alpha = alpha_new
+        return x, None

@@ -1,0 +1,65 @@
+"""KACZMARZ smoother (reference: core/src/solvers/kaczmarz_solver.cu).
+
+Row-projection iteration x += a_i (b_i - a_i.x)/||a_i||^2. With a proper
+coloring, all rows of one color project simultaneously (multicolor Kaczmarz,
+kaczmarz_coloring_needed=1); without coloring a damped simultaneous
+projection (Cimmino-style) is used. Projections apply through A^T, stored as
+a second ELL operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .base import Solver, register_solver
+from ..matrix import csr_to_ell, mode_dtypes
+
+
+@register_solver("KACZMARZ")
+class KaczmarzSolver(Solver):
+
+    is_smoother = True
+
+    def __init__(self, cfg, scope="default"):
+        super().__init__(cfg, scope)
+        self.use_coloring = bool(cfg.get("kaczmarz_coloring_needed", scope))
+
+    @property
+    def needs_coloring(self):
+        return self.use_coloring
+
+    def solver_setup(self):
+        csr = self.m.csr
+        if csr.block_dim != (1, 1):
+            raise NotImplementedError("KACZMARZ supports scalar matrices")
+        vec_dt, _ = mode_dtypes(self.mode)
+        self.at = csr_to_ell(csr.transpose(), dtype=vec_dt)
+        rownorm = np.zeros(self.n_pad)
+        rows = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
+        np.add.at(rownorm, rows, np.abs(csr.data) ** 2)
+        safe = np.where(rownorm == 0, 1.0, rownorm)
+        self.inv_rownorm = jnp.asarray((1.0 / safe).astype(vec_dt))
+        if self.use_coloring:
+            col = np.full(self.n_pad, -1, np.int32)
+            col[:csr.n_rows] = self.m.coloring.colors
+            self.color = jnp.asarray(col)
+            self.num_colors = self.m.coloring.num_colors
+
+    def solve_init(self, b, x, zero_guess):
+        return None
+
+    def solve_iteration(self, b, x, s):
+        omega = self.relaxation_factor
+        if self.use_coloring:
+            # rows of one color touch disjoint unknown sets only if the
+            # coloring is distance-2; with a distance-1 coloring this is a
+            # block-Cimmino step per color (still convergent, omega-damped)
+            for c in range(self.num_colors):
+                r = b - self.op.apply(x)
+                delta = jnp.where(self.color == c, r * self.inv_rownorm, 0.0)
+                x = x + omega * self.at.apply(delta)
+        else:
+            r = b - self.op.apply(x)
+            x = x + omega * self.at.apply(r * self.inv_rownorm)
+        return x, None
