@@ -136,7 +136,8 @@ class AMG:
             coarsest.smoother.setup(coarsest.m)
         self.setup_time = time.perf_counter() - t0
         if self.print_grid_stats:
-            print(self.grid_stats_string())
+            from ..logging_util import amgx_output
+            amgx_output(self.grid_stats_string() + "\n")
 
     def resetup(self, m: Matrix) -> None:
         """Structure reuse (reference: amg.cu:260-290 structure_reuse_levels;

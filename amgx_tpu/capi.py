@@ -43,9 +43,6 @@ SOLVE_FAILED = 1
 SOLVE_DIVERGED = 2
 SOLVE_NOT_CONVERGED = 3
 
-_print_callback = print
-
-
 def AMGX_initialize():
     _initialize()
     return RC_OK
@@ -70,8 +67,8 @@ def AMGX_get_api_version():
 
 
 def AMGX_register_print_callback(fn):
-    global _print_callback
-    _print_callback = fn
+    from .logging_util import register_print_callback
+    register_print_callback(fn)
     return RC_OK
 
 

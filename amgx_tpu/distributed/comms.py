@@ -1,0 +1,62 @@
+"""Halo exchange and distributed reductions over the device mesh.
+
+Maps the reference's DistributedComms MPI halo exchange
+(base/src/distributed/comms_mpi_hostbuffer_stream.cu:354-761) onto XLA
+collectives over ICI:
+
+  * pack (gather with the B2L table) -> all_gather over the mesh axis ->
+    unpack (gather from the exchanged table). No host bounce — ICI is
+    device-to-device.
+  * distributed dots/norms = local reduction + psum
+    (reference: distributed-aware blas, base/src/blas.cu, norm.cu).
+
+These functions run inside shard_map: array arguments are the per-shard
+blocks (leading device axis of size 1 removed by the caller).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def halo_exchange(x_local, pack_idx, halo_from, axis: str = "x"):
+    """Return the halo values this shard needs.
+
+    x_local   (L,)    — owned vector slots
+    pack_idx  (Bmax,) — our B2L map: slots we contribute
+    halo_from (Hmax,) — flat indices into the (D*Bmax) exchanged table
+    """
+    buf = x_local[pack_idx]                       # pack     (Bmax,)
+    table = jax.lax.all_gather(buf, axis)         # exchange (D, Bmax)
+    return table.reshape(-1)[halo_from]           # unpack   (Hmax,)
+
+
+def extended_vector(x_local, pack_idx, halo_from, axis: str = "x"):
+    """[owned | halo] concatenation the local ELL columns index into."""
+    halo = halo_exchange(x_local, pack_idx, halo_from, axis)
+    return jnp.concatenate([x_local, halo])
+
+
+def dist_spmv(cols, vals, pack_idx, halo_from, x_local, axis: str = "x"):
+    """One shard of y = A x with halo exchange (reference: multiply.cu:
+    113-197; the interior/boundary overlap is left to XLA's latency-hiding
+    scheduler — rows are already sorted interior-first)."""
+    xe = extended_vector(x_local, pack_idx, halo_from, axis)
+    return jnp.sum(vals * xe[cols], axis=1)
+
+
+def dist_dot(a, b, axis: str = "x"):
+    return jax.lax.psum(jnp.vdot(a, b), axis)
+
+
+def dist_nrm2(a, axis: str = "x"):
+    return jnp.sqrt(jax.lax.psum(jnp.vdot(a, a), axis))
+
+
+def dist_nrm1(a, axis: str = "x"):
+    return jax.lax.psum(jnp.sum(jnp.abs(a)), axis)
+
+
+def dist_nrmmax(a, axis: str = "x"):
+    return jax.lax.pmax(jnp.max(jnp.abs(a)), axis)

@@ -1,0 +1,311 @@
+"""Row partitioning and halo-map construction.
+
+TPU re-design of the reference's DistributedManager / DistributedArranger
+(base/src/distributed/distributed_manager.cu:1359-1731,
+distributed_arranger.cu): a global CSR is row-partitioned over a 1-D device
+mesh; each shard's columns are renumbered owned-local-first with halo slots
+appended (renumberMatrixOneRing analog), rows are sorted interior->boundary
+(ViewType row classes, vector.h:41-52), and per-neighbor boundary->local
+send maps (B2L) become a packed gather table.
+
+Because SPMD programs must be identical on every device, all per-device
+quantities (local rows, halo count, boundary count, ELL width) are padded to
+the max over devices and stacked on a leading device axis, sharded over the
+mesh.
+
+The exchange itself (comms.py) maps AMGX's MPI halo exchange onto XLA
+collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..matrix import CSRMatrix
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(m, ((x + m - 1) // m) * m)
+
+
+@dataclass
+class RowPartition:
+    """Contiguous row ranges per device (reference: part_offsets /
+    partition-vector upload paths, distributed_manager.cu:1144/1280)."""
+
+    offsets: np.ndarray          # (n_dev + 1,)
+
+    @classmethod
+    def equal(cls, n_rows: int, n_dev: int) -> "RowPartition":
+        base = n_rows // n_dev
+        rem = n_rows % n_dev
+        sizes = np.full(n_dev, base, np.int64)
+        sizes[:rem] += 1
+        return cls(np.concatenate([[0], np.cumsum(sizes)]))
+
+    @classmethod
+    def from_partition_vector(cls, pv: np.ndarray, n_dev: int
+                              ) -> Tuple["RowPartition", np.ndarray]:
+        """Non-contiguous partition vector -> permutation to contiguous +
+        offsets (reference: loadDistributedMatrix partition-vector path)."""
+        pv = np.asarray(pv)
+        order = np.argsort(pv, kind="stable")
+        sizes = np.bincount(pv, minlength=n_dev)
+        return cls(np.concatenate([[0], np.cumsum(sizes)])), order
+
+    @property
+    def n_dev(self) -> int:
+        return len(self.offsets) - 1
+
+    def size(self, d: int) -> int:
+        return int(self.offsets[d + 1] - self.offsets[d])
+
+    def owner_of(self, global_rows: np.ndarray) -> np.ndarray:
+        return np.searchsorted(self.offsets, global_rows, side="right") - 1
+
+
+class DistEllMatrix:
+    """Device-sharded rectangular ELL operator with halo gather maps.
+
+    Data layout (leading axis = device, sharded over the mesh):
+      cols     (D, Lr, W) int32 — local column ids; < Lc means owned column
+               slot, >= Lc means halo slot (Lc + h)
+      vals     (D, Lr, W)
+      pack_idx (D, Bmax) int32 — owned-column slots this shard contributes
+               to the exchange table (the B2L map, padded by repeating 0)
+      halo_from (D, Hmax) int32 — flat index into the all-gathered
+               (D*Bmax) table for each halo slot
+      interior_rows (D,) int32 — rows [0, interior) reference no halo slot
+               (ViewType INTERIOR), enabling comm/compute overlap
+    """
+
+    def __init__(self, cols, vals, pack_idx, halo_from, interior_rows,
+                 n_rows: int, n_cols: int, row_part: RowPartition,
+                 col_part: RowPartition, lr: int, lc: int, nnz: int,
+                 row_perm: Optional[np.ndarray] = None,
+                 col_perm: Optional[np.ndarray] = None):
+        self.cols = cols
+        self.vals = vals
+        self.pack_idx = pack_idx
+        self.halo_from = halo_from
+        self.interior_rows = interior_rows
+        self.n_rows = n_rows
+        self.n_cols = n_cols
+        self.row_part = row_part
+        self.col_part = col_part
+        self.lr = lr                  # padded local rows
+        self.lc = lc                  # padded local (owned) cols
+        self.nnz = nnz
+        self.row_perm = row_perm      # global row id per (dev, local slot)
+        self.col_perm = col_perm      # same for the column space (square
+                                      # reordered operators share row_perm)
+
+    @property
+    def n_dev(self) -> int:
+        return self.row_part.n_dev
+
+    @property
+    def bmax(self) -> int:
+        return self.pack_idx.shape[1]
+
+    @property
+    def hmax(self) -> int:
+        return self.halo_from.shape[1]
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_global(cls, csr: CSRMatrix, n_dev: int,
+                    row_part: Optional[RowPartition] = None,
+                    col_part: Optional[RowPartition] = None,
+                    dtype=None, mesh: Optional[Mesh] = None,
+                    axis: str = "x", sort_interior_first: bool = True
+                    ) -> "DistEllMatrix":
+        dtype = dtype or csr.data.dtype
+        if row_part is None:
+            row_part = RowPartition.equal(csr.n_rows, n_dev)
+        if col_part is None:
+            col_part = (row_part if csr.n_cols == csr.n_rows
+                        else RowPartition.equal(csr.n_cols, n_dev))
+        rn = csr.row_nnz()
+        g_rows = np.repeat(np.arange(csr.n_rows, dtype=np.int64), rn)
+        g_cols = csr.indices.astype(np.int64)
+
+        lr = _round_up(int(np.max(np.diff(row_part.offsets))), 8)
+        lc = _round_up(int(np.max(np.diff(col_part.offsets))), 8)
+
+        per_dev = []
+        for d in range(n_dev):
+            r0, r1 = row_part.offsets[d], row_part.offsets[d + 1]
+            sel = slice(csr.indptr[r0], csr.indptr[r1])
+            rows_l = g_rows[sel] - r0
+            cols_g = g_cols[sel]
+            vals = csr.data[sel]
+            owner = col_part.owner_of(cols_g)
+            owned = owner == d
+            c0 = col_part.offsets[d]
+            # halo columns: unique sorted remote (owner, global col)
+            halo_g = np.unique(cols_g[~owned])
+            halo_slot = {g: i for i, g in enumerate(halo_g)}
+            cols_l = np.where(owned, cols_g - c0, 0)
+            if halo_g.size:
+                remote_slots = np.array([halo_slot[g]
+                                         for g in cols_g[~owned]])
+                cols_l[~owned] = lc + remote_slots
+            # row classes: interior rows touch no halo column
+            n_loc = r1 - r0
+            has_halo = np.zeros(n_loc, bool)
+            np.logical_or.at(has_halo, rows_l, ~owned)
+            per_dev.append(dict(rows_l=rows_l, cols_l=cols_l, vals=vals,
+                                halo_g=halo_g, has_halo=has_halo,
+                                n_loc=n_loc))
+
+        # interior-first permutation per device (renumberMatrixOneRing).
+        # The permutation relabels the row space; when the column space IS
+        # the row space (square operator, same partition), owned column ids
+        # and the pack (B2L) table must be relabeled identically so x-vector
+        # slots stay consistent. For rectangular operators (P/R) the column
+        # space belongs to another level, so rows keep natural order.
+        same_space = col_part is row_part or (
+            np.array_equal(col_part.offsets, row_part.offsets)
+            and csr.n_rows == csr.n_cols)
+        reorder = sort_interior_first and same_space
+        row_perm = np.zeros((n_dev, lr), np.int64)
+        ranks = []
+        for d, info in enumerate(per_dev):
+            n_loc = info["n_loc"]
+            if reorder:
+                order = np.argsort(info["has_halo"], kind="stable")
+            else:
+                order = np.arange(n_loc)
+            rank = np.empty(n_loc, np.int64)
+            rank[order] = np.arange(n_loc)
+            ranks.append(rank)
+            info["rows_l"] = rank[info["rows_l"]]
+            info["interior"] = int((~info["has_halo"]).sum()) \
+                if reorder else 0
+            row_perm[d, :n_loc] = row_part.offsets[d] + order
+            row_perm[d, n_loc:] = -1
+            info["order"] = order
+        if reorder:
+            for d, info in enumerate(per_dev):
+                owned_mask = info["cols_l"] < lc
+                info["cols_l"][owned_mask] = \
+                    ranks[d][info["cols_l"][owned_mask]]
+
+        # boundary (B2L) tables: what each device must send
+        # halo_g of device d lives on owner o at local slot (g - c0_o); the
+        # owner packs those slots; we need consistent pack lists per owner
+        need_from: List[List[int]] = [[] for _ in range(n_dev)]
+        for d, info in enumerate(per_dev):
+            for g in info["halo_g"]:
+                o = int(col_part.owner_of(np.array([g]))[0])
+                need_from[o].append(int(g))
+        pack_lists = []
+        pack_pos: List[dict] = []
+        for o in range(n_dev):
+            uniq = sorted(set(need_from[o]))
+            pack_lists.append(uniq)
+            pack_pos.append({g: i for i, g in enumerate(uniq)})
+        bmax = _round_up(max(1, max(len(p) for p in pack_lists)), 8)
+        hmax = _round_up(max(1, max(len(i["halo_g"]) for i in per_dev)), 8)
+
+        # NOTE: pack_idx indexes the *column-space* local vector of the owner
+        # (through the owner's interior-first relabeling when active)
+        pack_idx = np.zeros((n_dev, bmax), np.int32)
+        for o in range(n_dev):
+            c0 = col_part.offsets[o]
+            for i, g in enumerate(pack_lists[o]):
+                slot = g - c0
+                if reorder:
+                    slot = ranks[o][slot]
+                pack_idx[o, i] = slot
+        halo_from = np.zeros((n_dev, hmax), np.int32)
+        for d, info in enumerate(per_dev):
+            for h, g in enumerate(info["halo_g"]):
+                o = int(col_part.owner_of(np.array([g]))[0])
+                halo_from[d, h] = o * bmax + pack_pos[o][g]
+
+        # ELL assembly with the halo slot base rewritten to lc (already) and
+        # halo slots offset into the concatenated [x_local | halo] vector
+        w = 1
+        for info in per_dev:
+            if info["rows_l"].size:
+                w = max(w, int(np.bincount(info["rows_l"]).max()))
+        cols = np.zeros((n_dev, lr, w), np.int32)
+        vals = np.zeros((n_dev, lr, w), dtype)
+        interior = np.zeros(n_dev, np.int32)
+        total_nnz = 0
+        for d, info in enumerate(per_dev):
+            rl, cl, vl = info["rows_l"], info["cols_l"], info["vals"]
+            order = np.argsort(rl, kind="stable")
+            rl, cl, vl = rl[order], cl[order], vl[order]
+            if rl.size:
+                starts = np.searchsorted(rl, np.arange(info["n_loc"]))
+                slot = np.arange(rl.size) - starts[rl]
+                cols[d, rl, slot] = cl
+                vals[d, rl, slot] = vl.astype(dtype)
+            interior[d] = info["interior"]
+            total_nnz += vl.size
+
+        dm = cls(jnp.asarray(cols), jnp.asarray(vals),
+                 jnp.asarray(pack_idx), jnp.asarray(halo_from),
+                 jnp.asarray(interior), csr.n_rows, csr.n_cols,
+                 row_part, col_part, lr, lc, total_nnz, row_perm,
+                 col_perm=row_perm if reorder else None)
+        if mesh is not None:
+            dm.shard(mesh, axis)
+        return dm
+
+    def shard(self, mesh: Mesh, axis: str = "x") -> None:
+        s = NamedSharding(mesh, P(axis))
+        self.cols = jax.device_put(self.cols, s)
+        self.vals = jax.device_put(self.vals, s)
+        self.pack_idx = jax.device_put(self.pack_idx, s)
+        self.halo_from = jax.device_put(self.halo_from, s)
+        self.interior_rows = jax.device_put(self.interior_rows, s)
+
+    # -- vector scatter/gather -------------------------------------------------
+
+    def scatter_vector(self, v: np.ndarray, space: str = "rows",
+                       mesh: Optional[Mesh] = None, axis: str = "x"):
+        """Global host vector -> (D, Lpad) device-sharded array following
+        the row (or column) partition and the interior-first permutation."""
+        part = self.row_part if space == "rows" else self.col_part
+        lpad = self.lr if space == "rows" else self.lc
+        perm = self.row_perm if space == "rows" else self.col_perm
+        n_dev = self.n_dev
+        out = np.zeros((n_dev, lpad), np.asarray(v).dtype)
+        if perm is not None:
+            ok = perm >= 0
+            out[ok] = np.asarray(v)[perm[ok]]
+        else:
+            for d in range(n_dev):
+                c0, c1 = part.offsets[d], part.offsets[d + 1]
+                out[d, :c1 - c0] = np.asarray(v)[c0:c1]
+        arr = jnp.asarray(out)
+        if mesh is not None:
+            arr = jax.device_put(arr, NamedSharding(mesh, P(axis)))
+        return arr
+
+    def gather_vector(self, arr, space: str = "rows") -> np.ndarray:
+        part = self.row_part if space == "rows" else self.col_part
+        perm = self.row_perm if space == "rows" else self.col_perm
+        a = np.asarray(arr)
+        n = self.n_rows if space == "rows" else self.n_cols
+        out = np.zeros(n, a.dtype)
+        if perm is not None:
+            ok = perm >= 0
+            out[perm[ok]] = a[ok]
+        else:
+            for d in range(self.n_dev):
+                c0, c1 = part.offsets[d], part.offsets[d + 1]
+                out[c0:c1] = a[d, :c1 - c0]
+        return out

@@ -1,0 +1,366 @@
+"""Distributed solve: row-partitioned Krylov + AMG over a jax mesh.
+
+The TPU-native analog of the reference's distributed solve path
+(AMG_Solver::solve with MPI halo exchange). The full solver step — Krylov
+update, AMG V-cycle, halo exchanges, reductions — is one shard_map-ped,
+jitted XLA program per iteration; the convergence loop stays on host like
+the reference's.
+
+Coarse-grid consolidation (reference: glue.h, amg.cu:328-391) maps to
+replicating the coarsest problem: once a level is small, its solve runs
+identically on every shard from an all-gathered residual — the "consolidate
+to 1 rank" strategy with zero idle ranks.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import AMGConfig
+from ..matrix import CSRMatrix, Matrix, mode_dtypes
+from . import comms
+from .partition import DistEllMatrix, RowPartition
+
+
+def make_mesh(n_dev: Optional[int] = None, axis: str = "x") -> Mesh:
+    devs = jax.devices()
+    n = n_dev or len(devs)
+    return jax.make_mesh((n,), (axis,), devices=devs[:n])
+
+
+class DistLevel:
+    """One distributed AMG level: sharded A, P, R + smoother data."""
+
+    def __init__(self, a: DistEllMatrix, inv_diag=None):
+        self.a = a
+        self.p: Optional[DistEllMatrix] = None
+        self.r: Optional[DistEllMatrix] = None
+        self.inv_diag = inv_diag          # (D, Lr) sharded
+        self.coarse_dense = None          # replicated dense coarse solve
+
+
+class DistributedSolver:
+    """Distributed PCG/CG/(Chebyshev-smoothed) AMG solver.
+
+    Setup is host-orchestrated on the global matrix (like the reference's
+    CPU-driven hierarchy loop); every per-level operator is then sharded
+    over the mesh and the solve step compiles to a single SPMD program.
+    """
+
+    def __init__(self, cfg: AMGConfig, mesh: Optional[Mesh] = None,
+                 axis: str = "x", scope: str = "default"):
+        self.cfg = cfg
+        self.scope = scope
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = axis
+        g = lambda k: cfg.get(k, scope)
+        name, child = cfg.get_pair("solver", scope)
+        self.solver_name = name
+        if child != "default":
+            self.scope = child
+            g = lambda k: cfg.get(k, self.scope)
+        self.max_iters = g("max_iters")
+        self.tolerance = g("tolerance")
+        self.convergence = g("convergence")
+        self.monitor = bool(g("monitor_residual"))
+        self.mode = g("mode")
+        self.use_amg = False
+        pre, _ = cfg.get_pair("preconditioner", self.scope)
+        self.precond_name = pre
+        self.levels: List[DistLevel] = []
+        self.setup_time = 0.0
+        self.solve_time = 0.0
+        self.last_iters = 0
+        self.res_history: List[float] = []
+
+    # -- setup -------------------------------------------------------------
+
+    def setup(self, csr: CSRMatrix,
+              row_part: Optional[RowPartition] = None) -> None:
+        t0 = time.perf_counter()
+        vec_dt, mat_dt = mode_dtypes(self.mode)
+        n_dev = self.mesh.devices.size
+        self._vec_dt = vec_dt
+        amg_scope = None
+        if self.precond_name == "AMG":
+            _, amg_scope = self.cfg.get_pair("preconditioner", self.scope)
+            self.use_amg = True
+
+        # level 0
+        a0 = DistEllMatrix.from_global(csr, n_dev, row_part, dtype=mat_dt,
+                                       mesh=self.mesh, axis=self.axis,
+                                       sort_interior_first=not self.use_amg)
+        self.levels = [DistLevel(a0, self._inv_diag(csr, a0, vec_dt))]
+        self._global_csrs = [csr]
+
+        if self.use_amg:
+            g = lambda k: self.cfg.get(k, amg_scope)
+            algorithm = g("algorithm")
+            selector = g("selector")
+            max_levels = g("max_levels")
+            min_rows = max(g("min_coarse_rows"),
+                           2 * n_dev)     # keep >= 2 rows per shard
+            self.presweeps = max(1, g("presweeps"))
+            self.postsweeps = max(1, g("postsweeps"))
+            self.smooth_damp = g("relaxation_factor")
+            work = csr
+            while len(self.levels) < max_levels and work.n_rows > min_rows:
+                if algorithm == "AGGREGATION":
+                    from ..amg.aggregation import select_aggregates, build_p_r
+                    agg, nc = select_aggregates(work, selector, self.cfg,
+                                                amg_scope)
+                    if nc == 0 or nc >= work.n_rows:
+                        break
+                    p_csr, r_csr = build_p_r(agg, nc)
+                    from ..ops.spgemm import aggregation_galerkin
+                    ac = aggregation_galerkin(work, agg, nc)
+                else:
+                    from ..amg import classical as cls_mod
+                    strong = cls_mod.strong_connections(
+                        work, g("strength"), g("strength_threshold"))
+                    cf = cls_mod.select_cf(work, strong, selector, self.cfg,
+                                           amg_scope)
+                    nc = int(cf.max()) + 1 if (cf >= 0).any() else 0
+                    if nc == 0 or nc >= work.n_rows:
+                        break
+                    p_csr = cls_mod.direct_interpolation(work, strong, cf)
+                    r_csr = p_csr.transpose()
+                    from ..ops.spgemm import galerkin_product
+                    ac = galerkin_product(r_csr, work, p_csr)
+                fine_part = self.levels[-1].a.row_part
+                coarse_part = RowPartition.equal(nc, n_dev)
+                lvl = self.levels[-1]
+                lvl.p = DistEllMatrix.from_global(
+                    p_csr, n_dev, fine_part, coarse_part, dtype=mat_dt,
+                    mesh=self.mesh, axis=self.axis,
+                    sort_interior_first=False)
+                lvl.r = DistEllMatrix.from_global(
+                    r_csr, n_dev, coarse_part, fine_part, dtype=mat_dt,
+                    mesh=self.mesh, axis=self.axis,
+                    sort_interior_first=False)
+                ad = DistEllMatrix.from_global(
+                    ac, n_dev, coarse_part, coarse_part, dtype=mat_dt,
+                    mesh=self.mesh, axis=self.axis,
+                    sort_interior_first=False)
+                self.levels.append(DistLevel(ad, self._inv_diag(ac, ad,
+                                                                vec_dt)))
+                self._global_csrs.append(ac)
+                work = ac
+            # replicated coarse solve (consolidation analog)
+            coarsest = self._global_csrs[-1]
+            dense = coarsest.to_dense().astype(np.float64)
+            n = dense.shape[0]
+            lvl = self.levels[-1]
+            lr = lvl.a.lr
+            n_pad = lr * n_dev
+            full = np.eye(n_pad)
+            # rows live blocked per device: global slot = d * lr + local
+            gmap = np.full(n_pad, -1, np.int64)
+            for d in range(n_dev):
+                r0, r1 = lvl.a.row_part.offsets[d], \
+                    lvl.a.row_part.offsets[d + 1]
+                gmap[d * lr:(d * lr) + (r1 - r0)] = np.arange(r0, r1)
+            ok = gmap >= 0
+            sub = np.ix_(ok, ok)
+            full[sub] = dense[np.ix_(gmap[ok], gmap[ok])]
+            import scipy.linalg as sla
+            lu, piv = sla.lu_factor(full)
+            lvl.coarse_dense = (jnp.asarray(lu.astype(vec_dt)),
+                                jnp.asarray(piv.astype(np.int32)))
+
+        self._build_step()
+        self.setup_time = time.perf_counter() - t0
+
+    @staticmethod
+    def _inv_diag(csr: CSRMatrix, dm: DistEllMatrix, dtype):
+        d = csr.diagonal().astype(np.float64)
+        safe = np.where(d == 0, 1.0, d)
+        inv_g = (1.0 / safe).astype(dtype)
+        return dm.scatter_vector(inv_g, "rows")
+
+    # -- SPMD building blocks -------------------------------------------------
+
+    def _op(self, dm: DistEllMatrix):
+        ax = self.axis
+
+        def apply(cols, vals, pack, halo, x):
+            return comms.dist_spmv(cols, vals, pack, halo, x, ax)
+        return apply, (dm.cols, dm.vals, dm.pack_idx, dm.halo_from)
+
+    def _vcycle(self, idx, b, x, lvl_args):
+        """One V-cycle, fully inside the SPMD program. lvl_args[i] =
+        (a_args, p_args, r_args, inv_diag, coarse_dense)."""
+        ax = self.axis
+        a_args, p_args, r_args, inv_diag, coarse = lvl_args[idx]
+
+        def spmv(args, v):
+            cols, vals, pack, halo = args
+            return comms.dist_spmv(cols, vals, pack, halo, v, ax)
+
+        if idx == len(lvl_args) - 1:
+            if coarse is not None:
+                lu, piv = coarse
+                rg = jax.lax.all_gather(b, ax).reshape(-1)
+                sol = jax.scipy.linalg.lu_solve((lu, piv), rg)
+                i = jax.lax.axis_index(ax)
+                lr = b.shape[0]
+                return jax.lax.dynamic_slice(sol, (i * lr,), (lr,))
+            # fallback: damped Jacobi sweeps
+            for _ in range(4):
+                x = x + 0.8 * inv_diag * (b - spmv(a_args, x))
+            return x
+        for _ in range(self.presweeps):
+            x = x + self.smooth_damp * inv_diag * (b - spmv(a_args, x))
+        r = b - spmv(a_args, x)
+        rc = spmv(r_args, r)
+        xc = jnp.zeros_like(rc)
+        xc = self._vcycle(idx + 1, rc, xc, lvl_args)
+        x = x + spmv(p_args, xc)
+        for _ in range(self.postsweeps):
+            x = x + self.smooth_damp * inv_diag * (b - spmv(a_args, x))
+        return x
+
+    def _level_args(self):
+        out = []
+        for lvl in self.levels:
+            a_args = (lvl.a.cols, lvl.a.vals, lvl.a.pack_idx,
+                      lvl.a.halo_from)
+            p_args = None if lvl.p is None else \
+                (lvl.p.cols, lvl.p.vals, lvl.p.pack_idx, lvl.p.halo_from)
+            r_args = None if lvl.r is None else \
+                (lvl.r.cols, lvl.r.vals, lvl.r.pack_idx, lvl.r.halo_from)
+            out.append((a_args, p_args, r_args, lvl.inv_diag,
+                        lvl.coarse_dense))
+        return out
+
+    def _build_step(self):
+        """Build the jitted SPMD iteration (PCG or CG step)."""
+        mesh, ax = self.mesh, self.axis
+        lvl_args = self._level_args()
+        n_lvls = len(lvl_args)
+
+        def precond(r, args):
+            if self.use_amg:
+                z = jnp.zeros_like(r)
+                return self._vcycle(0, r, z, args)
+            if self.precond_name == "BLOCK_JACOBI":
+                return args[0][3] * r
+            return r
+
+        def step(cols, vals, pack, halo, flat_args, x, p, r, rho):
+            args = _unflatten(flat_args)
+            q = comms.dist_spmv(cols, vals, pack, halo, p, ax)
+            alpha = rho / comms.dist_dot(p, q, ax)
+            x = x + alpha * p
+            r = r - alpha * q
+            z = precond(r, args)
+            rho_new = comms.dist_dot(r, z, ax)
+            beta = rho_new / rho
+            p = z + beta * p
+            nrm = comms.dist_nrm2(r, ax)
+            return x, p, r, rho_new, nrm
+
+        def init(cols, vals, pack, halo, flat_args, b, x):
+            args = _unflatten(flat_args)
+            r = b - comms.dist_spmv(cols, vals, pack, halo, x, ax)
+            z = precond(r, args)
+            rho = comms.dist_dot(r, z, ax)
+            return r, z, rho, comms.dist_nrm2(r, ax)
+
+        def _flatten(args):
+            flat = []
+            for (a_args, p_args, r_args, inv_diag, coarse) in args:
+                flat.append((a_args, p_args or (), r_args or (),
+                             inv_diag, coarse or ()))
+            return tuple(flat)
+
+        def _unflatten(flat):
+            out = []
+            for (a_args, p_args, r_args, inv_diag, coarse) in flat:
+                out.append((a_args, p_args or None, r_args or None,
+                            inv_diag, coarse or None))
+            return out
+
+        self._flat_args = _flatten(lvl_args)
+        spec_rep = P()
+        shard = P(ax)
+        mat_specs = (shard, shard, shard, shard)
+        # every stacked level tensor leads with the device axis (sharded);
+        # the replicated coarse LU factors are the exception
+        arg_specs = tuple(
+            (tuple(shard for _ in range(4)),
+             tuple(shard for _ in range(4)) if lvl.p is not None else (),
+             tuple(shard for _ in range(4)) if lvl.r is not None else (),
+             shard,
+             (spec_rep, spec_rep) if lvl.coarse_dense is not None else ())
+            for lvl in self.levels)
+
+        def wrap(fn, extra_in, extra_out):
+            return jax.jit(jax.shard_map(
+                fn, mesh=mesh,
+                in_specs=mat_specs + (arg_specs,) + extra_in,
+                out_specs=extra_out,
+                check_vma=False))
+
+        def strip(fn):
+            # shard_map passes blocks with the device axis of size 1 intact
+            def inner(cols, vals, pack, halo, flat_args, *vecs):
+                cols, vals, pack, halo = (cols[0], vals[0], pack[0],
+                                          halo[0])
+                flat_args = jax.tree.map(
+                    lambda x: x[0] if x.ndim >= 1 and x.shape[0] == 1
+                    else x, flat_args)
+                # sharded vectors arrive as (1, L); replicated scalars stay
+                vecs = tuple(v[0] if getattr(v, "ndim", 0) >= 1 and
+                             v.shape[0] == 1 else v for v in vecs)
+                out = fn(cols, vals, pack, halo, flat_args, *vecs)
+                return jax.tree.map(
+                    lambda o: o[None] if getattr(o, "ndim", 0) >= 1
+                    else o, out)
+            return inner
+
+        # NOTE on specs: vectors are (D, L) sharded on axis 0; scalars
+        # (rho, nrm) come back replicated.
+        self._jit_step = wrap(strip(step),
+                              (shard, shard, shard, P()),
+                              (shard, shard, shard, P(), P()))
+        self._jit_init = wrap(strip(init),
+                              (shard, shard),
+                              (shard, shard, P(), P()))
+
+    # -- solve ------------------------------------------------------------------
+
+    def solve(self, b: np.ndarray, x0: Optional[np.ndarray] = None):
+        t0 = time.perf_counter()
+        a0 = self.levels[0].a
+        b_d = a0.scatter_vector(np.asarray(b, self._vec_dt), "rows",
+                                self.mesh, self.axis)
+        x_d = a0.scatter_vector(
+            np.zeros_like(np.asarray(b, self._vec_dt)) if x0 is None
+            else np.asarray(x0, self._vec_dt), "rows", self.mesh, self.axis)
+        m = (a0.cols, a0.vals, a0.pack_idx, a0.halo_from)
+        r, p, rho, nrm = self._jit_init(*m, self._flat_args, b_d, x_d)
+        ini = float(nrm)
+        self.res_history = [ini]
+        it = 0
+        target = self.tolerance * (ini if "RELATIVE" in self.convergence
+                                   else 1.0)
+        while it < self.max_iters:
+            x_d, p, r, rho, nrm = self._jit_step(*m, self._flat_args,
+                                                 x_d, p, r, rho)
+            it += 1
+            val = float(nrm)
+            self.res_history.append(val)
+            if val <= target:
+                break
+        self.last_iters = it
+        out = a0.gather_vector(x_d, "rows")
+        self.solve_time = time.perf_counter() - t0
+        return out, (0 if self.res_history[-1] <= target else 3)

@@ -122,11 +122,15 @@ class EigenSolver:
 
     def _veclen(self) -> int:
         op = self.op
+        # unwrap composed operators (Shifted/Solver/Pagerank) to the concrete
+        # device matrix that knows its padded size
+        while not hasattr(op, "n_pad") and not hasattr(op, "a"):
+            op = getattr(op, "op", None) or getattr(op, "op_t")
         n_pad = getattr(op, "n_pad", None)
         if n_pad is None:
             n_pad = op.a.shape[0]
         bx = getattr(op, "block_dim", (1, 1))[0]
-        return n_pad * bx if getattr(op, "block_dim", None) else n_pad
+        return n_pad * bx
 
     def _logical_len(self) -> int:
         bx = getattr(self.op, "block_dim", (1, 1))[0]

@@ -68,7 +68,7 @@ class BinormalizationScaler(Scaler):
     def __init__(self, iterations: int = 10):
         self.iterations = iterations
 
-    def setup(self, m) -> None:
+    def _compute(self, m):
         import scipy.sparse as sp
         csr = m.csr
         data = csr.data if csr.block_dim == (1, 1) else csr.data[:, 0, 0]
@@ -81,23 +81,25 @@ class BinormalizationScaler(Scaler):
             dl = 1.0 / np.sqrt(np.sqrt(np.where(r == 0, 1.0, r)))
             c = a2.T @ (dl ** 2)
             dr = 1.0 / np.sqrt(np.sqrt(np.where(c == 0, 1.0, c)))
-        self._finalize(m, dl, dr[:csr.n_rows] if csr.n_cols >= csr.n_rows
-                       else dr)
+        return dl, (dr[:csr.n_rows] if csr.n_cols >= csr.n_rows else dr)
+
+    def setup(self, m) -> None:
+        dl, dr = self._compute(m)
+        self._finalize(m, dl, dr)
 
 
 class NBinormalizationScaler(BinormalizationScaler):
-    """Normalized binormalization variant (scalers/nbinormalization.cu) —
-    same fixed point, extra normalization step per sweep."""
+    """Normalized binormalization (scalers/nbinormalization.cu): the same
+    fixed point with the scale vectors normalized so their largest entry is
+    one — applied before the matrix is rewritten so system and transforms
+    stay consistent."""
 
     def setup(self, m) -> None:
-        super().setup(m)
-        # normalize so the largest scale is one
-        s = max(self._dl.max(), self._dr.max())
+        dl, dr = self._compute(m)
+        s = max(dl.max(), dr.max())
         if s > 0:
-            self._dl /= s
-            self._dr /= s
-            self._dl_j = jnp.asarray(self._dl)
-            self._dr_j = jnp.asarray(self._dr)
+            dl, dr = dl / s, dr / s
+        self._finalize(m, dl, dr)
 
 
 def make_scaler(name: str, cfg=None, scope: str = "default") -> Scaler:

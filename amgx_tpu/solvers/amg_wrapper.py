@@ -32,6 +32,8 @@ class AMGSolver(Solver):
                                              self.scope))
         self.amg.resetup(self.m)
         self._jit_iteration = None
+        self._jit_first = None
+        self._jit_fused = None
 
     def solve_init(self, b, x, zero_guess):
         return None

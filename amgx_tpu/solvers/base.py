@@ -30,6 +30,11 @@ from ..config import AMGConfig
 from ..convergence import make_convergence
 from ..matrix import Matrix, mode_dtypes
 from ..ops import blas
+from ..logging_util import amgx_output
+
+
+def _out(msg: str) -> None:
+    amgx_output(msg + "\n")
 
 
 class SolveStatus:
@@ -81,6 +86,7 @@ class Solver:
         self.last_iters = 0
         self._jit_iteration = None
         self._jit_first = None
+        self._jit_fused = None
         self.scaler = None
 
     # -- setup ----------------------------------------------------------------
@@ -111,6 +117,7 @@ class Solver:
         self.solver_setup()
         self._jit_iteration = None
         self._jit_first = None
+        self._jit_fused = None
         self.setup_time = time.perf_counter() - t0
 
     def resetup(self, m=None) -> None:
@@ -162,6 +169,94 @@ class Solver:
         n = self.op.n_rows * self.block_dim[0]
         return np.asarray(v)[:n]
 
+    # -- fused on-device solve loop -------------------------------------------
+
+    def _can_fuse(self) -> bool:
+        """The whole iterate/convergence loop can run as one jitted
+        lax.while_loop when nothing needs the host per iteration. This is
+        the TPU-critical path: per-iteration host dispatch costs ~ms of
+        launch latency (worse through remote tunnels), so fusing turns N
+        dispatches into 1."""
+        if not bool(self.cfg.get("fused_solve", self.scope)):
+            return False
+        if self.print_solve_stats:
+            return False
+        conv = self.cfg.get("convergence", self.scope)
+        return conv in ("ABSOLUTE", "RELATIVE_INI", "RELATIVE_INI_CORE",
+                        "COMBINED_REL_INI_ABS")
+
+    def _fused_norm(self, b, x, state):
+        if (isinstance(state, dict) and "nrm" in state
+                and self.norm == "L2"
+                and (self.use_scalar_norm or self.block_dim[0] == 1)):
+            return state["nrm"]
+        r = state.get("r") if isinstance(state, dict) else None
+        if r is None:
+            r = b - self.op.apply(x)
+        bd = self.block_dim[0]
+        return blas.get_norm(r, self.norm, bd,
+                             self.use_scalar_norm or bd == 1)
+
+    def _fused_converged(self, nrm, ini):
+        conv = self.cfg.get("convergence", self.scope)
+        tol = self.tolerance
+        if conv == "ABSOLUTE":
+            ok = nrm <= tol
+        elif conv in ("RELATIVE_INI", "RELATIVE_INI_CORE"):
+            ok = nrm <= tol * ini
+        else:  # COMBINED_REL_INI_ABS
+            rel = self.cfg.get("alt_rel_tolerance", self.scope)
+            ok = (nrm <= tol) | (nrm <= rel * ini)
+        return jnp.all(ok)
+
+    def _fused_solve_fn(self, zg: bool):
+        max_iters, min_iters = self.max_iters, self.min_iters
+        monitor = self.monitor_residual
+
+        def fused(b, x):
+            state0 = self.solve_init(b, x, zg)
+            x1, st = self.first_iteration(b, x, state0, zg)
+            if not monitor:
+                def body_fixed(_, c):
+                    xx, ss = c
+                    return self.solve_iteration(b, xx, ss)
+                x1, st = jax.lax.fori_loop(0, max_iters - 1, body_fixed,
+                                           (x1, st))
+                return x1, jnp.asarray(max_iters, jnp.int32), \
+                    jnp.zeros((1,), x.dtype)
+            r0 = b if zg else b - self.op.apply(x)
+            bd = self.block_dim[0]
+            ini = blas.get_norm(r0, self.norm, bd,
+                                self.use_scalar_norm or bd == 1)
+            hist_len = max_iters + 1
+            nrm1 = self._fused_norm(b, x1, st)
+            hist = jnp.zeros((hist_len,), jnp.result_type(nrm1))
+            hist = hist.at[0].set(jnp.max(jnp.atleast_1d(ini)))
+            hist = hist.at[1].set(jnp.max(jnp.atleast_1d(nrm1)))
+            done1 = (self._fused_converged(nrm1, ini) &
+                     (1 >= min_iters)) | \
+                ~jnp.all(jnp.isfinite(jnp.atleast_1d(nrm1)))
+
+            def cond(c):
+                _, _, it, _, done = c
+                return jnp.logical_and(~done, it < max_iters)
+
+            def body(c):
+                xx, ss, it, hh, _ = c
+                xx, ss = self.solve_iteration(b, xx, ss)
+                nrm = self._fused_norm(b, xx, ss)
+                hh = hh.at[it + 1].set(jnp.max(jnp.atleast_1d(nrm)))
+                conv_ok = self._fused_converged(nrm, ini) & \
+                    (it + 1 >= min_iters)
+                bad = ~jnp.all(jnp.isfinite(jnp.atleast_1d(nrm)))
+                return (xx, ss, it + 1, hh, conv_ok | bad)
+
+            x_f, _, it, hist, _ = jax.lax.while_loop(
+                cond, body, (x1, st, jnp.asarray(1, jnp.int32), hist,
+                             done1))
+            return x_f, it, hist
+        return fused
+
     # -- the outer solve loop -----------------------------------------------------
 
     def solve(self, b, x=None, zero_initial_guess: bool = False):
@@ -177,6 +272,10 @@ class Solver:
         if self.scaler is not None:
             b = self.scaler.scale_rhs(b)
             x = self.scaler.scale_solution_in(x)
+
+        zg_f = bool(zero_initial_guess)
+        if self._can_fuse():
+            return self._solve_fused(b, x, zg_f, t0)
 
         bd = self.block_dim[0]
         norm_of = lambda r: blas.get_norm(
@@ -245,6 +344,35 @@ class Solver:
             self._print_footer(status, it)
         return x, status
 
+    def _solve_fused(self, b, x, zg: bool, t0: float):
+        if getattr(self, "_jit_fused", None) is None:
+            self._jit_fused = {}
+        fn = self._jit_fused.get(zg)
+        if fn is None:
+            fn = jax.jit(self._fused_solve_fn(zg))
+            self._jit_fused[zg] = fn
+        x_f, it_dev, hist = fn(b, x)
+        x_f.block_until_ready()
+        it = int(it_dev)
+        status = SolveStatus.SUCCESS
+        if self.monitor_residual:
+            h = np.asarray(hist)[:it + 1]
+            self.res_history = [v for v in h]
+            self.convergence.init(h[0])
+            if not np.all(np.isfinite(h)):
+                status = SolveStatus.DIVERGED
+            else:
+                ok = False
+                for v in h[1:]:
+                    ok = self.convergence.converged(v)
+                status = SolveStatus.SUCCESS if ok \
+                    else SolveStatus.NOT_CONVERGED
+        self.last_iters = it
+        if self.scaler is not None:
+            x_f = self.scaler.unscale_solution(x_f)
+        self.solve_time = time.perf_counter() - t0
+        return x_f, status
+
     # -- preconditioner protocol ----------------------------------------------------
 
     def as_preconditioner(self) -> Callable:
@@ -262,9 +390,9 @@ class Solver:
     # -- printing (reference: Solver::print_* solver.cu:722-832) ----------------------
 
     def _print_header(self):
-        print(f"{'iter':>10s} {'Mem Usage (GB)':>15s} {'residual':>15s} "
-              f"{'rate':>10s}")
-        print("-" * 56)
+        _out(f"{'iter':>10s} {'Mem Usage (GB)':>15s} {'residual':>15s} "
+             f"{'rate':>10s}")
+        _out("-" * 56)
 
     def _print_iter(self, it, nrm):
         nrm = np.atleast_1d(nrm)
@@ -275,25 +403,25 @@ class Solver:
                 rate = " ".join(f"{r:10.4f}" for r in
                                 np.atleast_1d(nrm / prev))
         body = " ".join(f"{v:15.6e}" for v in nrm)
-        print(f"{str(it):>10s} {_mem_gb():15.2f} {body} {rate}")
+        _out(f"{str(it):>10s} {_mem_gb():15.2f} {body} {rate}")
 
     def _print_footer(self, status, iters):
-        print("-" * 56)
-        print(f"Total Iterations: {iters}")
+        _out("-" * 56)
+        _out(f"Total Iterations: {iters}")
         if self.res_history:
             final = np.atleast_1d(self.res_history[-1])
-            print("Avg Convergence Rate: ",
-                  " ".join(f"{v:,.4f}" for v in np.atleast_1d(
-                      (final / np.atleast_1d(self.res_history[0])) **
-                      (1.0 / max(1, iters)))))
-            print(f"Final Residual: "
-                  f"{' '.join(f'{v:.6e}' for v in final)}")
+            _out("Avg Convergence Rate:  " +
+                 " ".join(f"{v:,.4f}" for v in np.atleast_1d(
+                     (final / np.atleast_1d(self.res_history[0])) **
+                     (1.0 / max(1, iters)))))
+            _out(f"Final Residual: "
+                 f"{' '.join(f'{v:.6e}' for v in final)}")
         if self.obtain_timings:
-            print(f"Total Time: {self.setup_time + self.solve_time:10.4f}")
-            print(f"    setup: {self.setup_time:10.4f} s")
-            print(f"    solve: {self.solve_time:10.4f} s")
+            _out(f"Total Time: {self.setup_time + self.solve_time:10.4f}")
+            _out(f"    setup: {self.setup_time:10.4f} s")
+            _out(f"    solve: {self.solve_time:10.4f} s")
             per_it = self.solve_time / max(1, iters)
-            print(f"    solve(per iteration): {per_it:10.4f} s")
+            _out(f"    solve(per iteration): {per_it:10.4f} s")
 
 
 def _mem_gb() -> float:

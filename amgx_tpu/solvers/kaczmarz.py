@@ -25,9 +25,8 @@ class KaczmarzSolver(Solver):
         super().__init__(cfg, scope)
         self.use_coloring = bool(cfg.get("kaczmarz_coloring_needed", scope))
 
-    @property
-    def needs_coloring(self):
-        return self.use_coloring
+    # builds its own distance-2 coloring in solver_setup
+    needs_coloring = False
 
     def solver_setup(self):
         csr = self.m.csr
@@ -40,11 +39,21 @@ class KaczmarzSolver(Solver):
         np.add.at(rownorm, rows, np.abs(csr.data) ** 2)
         safe = np.where(rownorm == 0, 1.0, rownorm)
         self.inv_rownorm = jnp.asarray((1.0 / safe).astype(vec_dt))
+        # Kaczmarz projections of one color are exactly simultaneous only if
+        # same-color rows touch disjoint columns -> distance-2 coloring
+        # (reference kaczmarz_solver.cu colors A A^T)
+        self.damping = 1.0
         if self.use_coloring:
+            from ..coloring import color_matrix
+            coloring = color_matrix(csr, "MIN_MAX_2RING")
             col = np.full(self.n_pad, -1, np.int32)
-            col[:csr.n_rows] = self.m.coloring.colors
+            col[:csr.n_rows] = coloring.colors
             self.color = jnp.asarray(col)
-            self.num_colors = self.m.coloring.num_colors
+            self.num_colors = coloring.num_colors
+        else:
+            # Cimmino-style simultaneous projections need damping by the
+            # maximum column overlap to stay contractive
+            self.damping = 1.0 / max(1, int(csr.row_nnz().max()))
 
     def solve_init(self, b, x, zero_guess):
         return None
@@ -52,14 +61,12 @@ class KaczmarzSolver(Solver):
     def solve_iteration(self, b, x, s):
         omega = self.relaxation_factor
         if self.use_coloring:
-            # rows of one color touch disjoint unknown sets only if the
-            # coloring is distance-2; with a distance-1 coloring this is a
-            # block-Cimmino step per color (still convergent, omega-damped)
             for c in range(self.num_colors):
                 r = b - self.op.apply(x)
                 delta = jnp.where(self.color == c, r * self.inv_rownorm, 0.0)
                 x = x + omega * self.at.apply(delta)
         else:
             r = b - self.op.apply(x)
-            x = x + omega * self.at.apply(r * self.inv_rownorm)
+            x = x + omega * self.damping * self.at.apply(
+                r * self.inv_rownorm)
         return x, None

@@ -85,13 +85,18 @@ class KPZPolynomialSolver(Solver):
     def solve_init(self, b, x, zero_guess):
         return None
 
+    def solver_damping(self):
+        # contraction bound for the normal-equations iteration: damp by the
+        # maximum row fanout so ||I - w A^T R^{-1} A|| < 1
+        return 1.0 / max(1, int(self.m.csr.row_nnz().max()))
+
     def solve_iteration(self, b, x, s):
-        omega = self.relaxation_factor
+        omega = self.relaxation_factor * self.solver_damping()
         z = jnp.zeros_like(x)
         r = b - self.op.apply(x)
         term = r
         for _ in range(self.order):
-            z = z + self.at.apply(term * self.inv_rownorm)
+            z = z + omega * self.at.apply(term * self.inv_rownorm)
             term = r - self.op.apply(z)
-        x = x + omega * z
+        x = x + z
         return x, None

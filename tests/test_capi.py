@@ -1,0 +1,88 @@
+"""C-API facade tests (mirrors examples/amgx_capi.c and
+base/tests/capi_graceful_failure.cu)."""
+
+import numpy as np
+import pytest
+
+import amgx_tpu as amgx
+from amgx_tpu import capi
+
+
+def test_full_capi_flow(tmp_path, rng):
+    assert capi.AMGX_initialize() == capi.RC_OK
+    rc, cfg = capi.AMGX_config_create(
+        "solver=PCG, preconditioner=BLOCK_JACOBI, max_iters=200, "
+        "tolerance=1e-9, convergence=RELATIVE_INI, monitor_residual=1")
+    rc, rsrc = capi.AMGX_resources_create_simple(cfg)
+    rc, M = capi.AMGX_matrix_create(rsrc, "dDDI")
+    a = amgx.gallery.poisson5pt(12, 12)
+    capi.AMGX_matrix_upload_all(M, a.n_rows, a.nnz, 1, 1, a.indptr,
+                                a.indices, a.data)
+    rc, n, bx, by = capi.AMGX_matrix_get_size(M)
+    assert (n, bx, by) == (144, 1, 1)
+    rc, b = capi.AMGX_vector_create(rsrc)
+    rc, x = capi.AMGX_vector_create(rsrc)
+    capi.AMGX_vector_upload(b, n, 1, rng.standard_normal(n))
+    capi.AMGX_vector_set_zero(x, n, 1)
+    rc, S = capi.AMGX_solver_create(rsrc, "dDDI", cfg)
+    capi.AMGX_solver_setup(S, M)
+    capi.AMGX_solver_solve_with_0_initial_guess(S, b, x)
+    rc, status = capi.AMGX_solver_get_status(S)
+    assert status == capi.SOLVE_SUCCESS
+    rc, iters = capi.AMGX_solver_get_iterations_number(S)
+    assert iters > 0
+    rc, res = capi.AMGX_solver_get_iteration_residual(S, iters)
+    assert res < 1e-7
+    rc, sol = capi.AMGX_vector_download(x)
+    rel = np.linalg.norm(b.data - a.to_scipy() @ sol) / \
+        np.linalg.norm(b.data)
+    assert rel < 1e-7
+    # IO round trip
+    p = str(tmp_path / "sys.mtx")
+    capi.AMGX_write_system(M, b, x, p)
+    rc, M2 = capi.AMGX_matrix_create(rsrc, "dDDI")
+    rc, b2 = capi.AMGX_vector_create(rsrc)
+    rc, x2 = capi.AMGX_vector_create(rsrc)
+    capi.AMGX_read_system(M2, b2, x2, p)
+    assert np.allclose(M2.csr.to_dense(), a.to_dense())
+    assert np.allclose(b2.data, b.data)
+    capi.AMGX_solver_destroy(S)
+    capi.AMGX_matrix_destroy(M)
+    capi.AMGX_finalize()
+
+
+def test_capi_poisson_generator():
+    rc, cfg = capi.AMGX_config_create("solver=CG, max_iters=10")
+    rc, rsrc = capi.AMGX_resources_create_simple(cfg)
+    rc, M = capi.AMGX_matrix_create(rsrc, "dDDI")
+    rc, b = capi.AMGX_vector_create(rsrc)
+    rc, x = capi.AMGX_vector_create(rsrc)
+    capi.AMGX_generate_distributed_poisson_7pt(M, b, x, 6, 6, 6)
+    assert M.csr.n_rows == 216
+    assert M.csr.nnz == 216 * 7 - 2 * (36 * 3)
+
+
+def test_capi_graceful_failure():
+    """capi_graceful_failure.cu analog: bad inputs raise clean errors, not
+    crashes."""
+    with pytest.raises(amgx.AMGXConfigError):
+        capi.AMGX_config_create("solver=NO_SUCH_SOLVER_XYZ, bogus=1")
+    rc, cfg = capi.AMGX_config_create("solver=PCG")
+    rc, rsrc = capi.AMGX_resources_create_simple(cfg)
+    rc, S = capi.AMGX_solver_create(rsrc, "dDDI", cfg)
+    with pytest.raises(Exception):
+        capi.AMGX_solver_setup(S, None)      # no matrix uploaded
+
+
+def test_get_api_version():
+    rc, (major, minor) = capi.AMGX_get_api_version()
+    assert rc == capi.RC_OK
+    assert major == 2
+
+
+def test_parameters_description_dump(tmp_path):
+    p = str(tmp_path / "params.json")
+    capi.AMGX_write_parameters_description(p)
+    import json
+    d = json.loads(open(p).read())
+    assert "solver" in d

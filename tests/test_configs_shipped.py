@@ -1,0 +1,50 @@
+"""Every shipped config preset must parse and allocate its solver tree
+(mirrors core/tests/factories.cu + nested_solvers.cu); a representative
+sample must actually solve."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+import amgx_tpu as amgx
+
+CFG_DIR = os.path.join(os.path.dirname(amgx.__file__), "configs")
+ALL = sorted(glob.glob(os.path.join(CFG_DIR, "*.json")))
+
+
+def test_configs_exist():
+    assert len(ALL) >= 60
+
+
+@pytest.mark.parametrize("path", ALL, ids=[os.path.basename(p)
+                                           for p in ALL])
+def test_config_parses_and_allocates(path):
+    cfg = amgx.AMGConfig(open(path).read())
+    s = amgx.SolverFactory.allocate(cfg)
+    assert s is not None
+
+
+SOLVE_SAMPLE = ["FGMRES_AGGREGATION.json", "AMG_CLASSICAL_PMIS.json",
+                "PCG_V.json", "PBICGSTAB.json", "CHEB_SOLVER_NOPREC.json",
+                "JACOBI.json", "V-cheby-smoother.json"]
+
+
+@pytest.mark.parametrize("name", SOLVE_SAMPLE)
+def test_config_solves_poisson(name):
+    cfg = amgx.AMGConfig(open(os.path.join(CFG_DIR, name)).read())
+    cfg.set("print_solve_stats", 0)
+    cfg.set("obtain_timings", 0)
+    a = amgx.gallery.poisson5pt(12, 12)
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a))
+    b = np.ones(a.n_rows)
+    x, status = s.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ s.extract_vector(x)) / \
+        np.linalg.norm(b)
+    if name in ("JACOBI.json", "CHEB_SOLVER_NOPREC.json"):
+        assert rel < 0.5          # plain relaxation: progress only
+    else:
+        assert status == amgx.SolveStatus.SUCCESS and rel < 1e-6

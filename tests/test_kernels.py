@@ -1,0 +1,127 @@
+"""Kernel golden tests vs scipy (mirrors base/tests/csr_multiply.cu,
+matrix_vector_multiply_tests.cu, norm_tests.cu, truncate_count_test.cu)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import amgx_tpu as amgx
+from amgx_tpu.matrix import CSRMatrix, csr_to_ell
+from amgx_tpu.ops import blas
+from amgx_tpu.ops.spgemm import (csr_spgemm, galerkin_product, csr_add,
+                                 aggregation_galerkin, sparsity_ilu1)
+
+
+def _rand_csr(rng, n, m=None, density=0.15):
+    m = m or n
+    dense = rng.standard_normal((n, m)) * (rng.random((n, m)) < density)
+    return CSRMatrix.from_dense(dense), dense
+
+
+def test_spgemm_vs_scipy(rng):
+    a, da = _rand_csr(rng, 40, 30)
+    b, db = _rand_csr(rng, 30, 50)
+    c = csr_spgemm(a, b)
+    assert np.allclose(c.to_dense(), da @ db)
+
+
+def test_spgemm_empty():
+    a = CSRMatrix.from_coo(3, 3, [], [], np.zeros(0))
+    b = CSRMatrix.from_coo(3, 3, [0], [0], [1.0])
+    c = csr_spgemm(a, b)
+    assert c.nnz == 0
+
+
+def test_galerkin_product(rng):
+    a, da = _rand_csr(rng, 20)
+    p, dp = _rand_csr(rng, 20, 8, density=0.3)
+    r = p.transpose()
+    rap = galerkin_product(r, a, p)
+    assert np.allclose(rap.to_dense(), dp.T @ da @ dp)
+
+
+def test_aggregation_galerkin(rng):
+    a, da = _rand_csr(rng, 12)
+    agg = np.array([0, 0, 1, 1, 2, 2, 0, 1, 2, 3, 3, 3])
+    ac = aggregation_galerkin(a, agg, 4)
+    # reference: Ac[I,J] = sum over members
+    q = np.zeros((12, 4))
+    q[np.arange(12), agg] = 1.0
+    assert np.allclose(ac.to_dense(), q.T @ da @ q)
+
+
+def test_csr_add(rng):
+    a, da = _rand_csr(rng, 15)
+    b, db = _rand_csr(rng, 15)
+    assert np.allclose(csr_add(a, b).to_dense(), da + db)
+
+
+def test_sparsity_ilu1():
+    a = amgx.gallery.poisson5pt(5, 5)
+    ext = sparsity_ilu1(a)
+    # ILU(1) pattern includes A's pattern with original values
+    assert ext.nnz >= a.nnz
+    sub = ext.to_dense()
+    assert np.allclose(sub[np.abs(a.to_dense()) > 0],
+                       a.to_dense()[np.abs(a.to_dense()) > 0])
+
+
+def test_norms():
+    x = jnp.asarray(np.array([3.0, -4.0, 0.0, 0.0]))
+    assert np.isclose(float(blas.nrm2(x)), 5.0)
+    assert np.isclose(float(blas.nrm1(x)), 7.0)
+    assert np.isclose(float(blas.nrmmax(x)), 4.0)
+    assert np.isclose(float(blas.get_norm(x, "L2")), 5.0)
+
+
+def test_block_norms():
+    x = jnp.asarray(np.array([1.0, 2.0, 3.0, 4.0]))
+    n = blas.get_norm(x, "L2", block_dim=2, use_scalar=False)
+    assert np.allclose(np.asarray(n), [np.sqrt(10.0), np.sqrt(20.0)])
+
+
+def test_block_spmv(rng):
+    data = rng.standard_normal((4, 3, 3))
+    m = CSRMatrix.from_coo(3, 3, [0, 0, 1, 2], [0, 2, 1, 2], data,
+                           block_dim=(3, 3))
+    ell = csr_to_ell(m)
+    x = np.zeros(ell.n_pad * 3)
+    x[:9] = rng.standard_normal(9)
+    y = np.asarray(ell.apply(jnp.asarray(x)))
+    assert np.allclose(y[:9], m.to_dense() @ x[:9])
+
+
+def test_spmv_large_random(rng):
+    a, da = _rand_csr(rng, 200, density=0.05)
+    ell = csr_to_ell(a)
+    x = np.zeros(ell.n_pad)
+    x[:200] = rng.standard_normal(200)
+    y = np.asarray(ell.apply(jnp.asarray(x)))
+    assert np.allclose(y[:200], da @ x[:200])
+
+
+def test_truncate_interpolation():
+    from amgx_tpu.amg.classical import truncate_interpolation
+    p = CSRMatrix.from_coo(2, 3, [0, 0, 0, 1], [0, 1, 2, 0],
+                           [1.0, 0.01, 0.5, 1.0])
+    t = truncate_interpolation(p, factor=0.1)
+    assert t.nnz == 3
+    # row sums preserved
+    assert np.allclose(t.to_dense().sum(axis=1), p.to_dense().sum(axis=1))
+    t2 = truncate_interpolation(p, max_elements=1)
+    assert np.all(t2.row_nnz() <= 1)
+    assert np.allclose(t2.to_dense().sum(axis=1), p.to_dense().sum(axis=1))
+
+
+def test_gaussian_elimination_small():
+    """Tiny dense solve path (reference: base/src/gaussian_elimination.cu
+    used by Cycle_Base::solveExactly)."""
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((6, 6)) + 6 * np.eye(6)
+    csr = CSRMatrix.from_dense(a)
+    cfg = amgx.AMGConfig("solver=DENSE_LU_SOLVER, max_iters=1")
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(csr))
+    b = rng.standard_normal(6)
+    x, st = s.solve(b)
+    assert np.allclose(a @ s.extract_vector(x), b, atol=1e-10)

@@ -1,0 +1,116 @@
+"""Krylov convergence tests on generated Poisson (mirrors
+core/tests/fgmres_convergence_poisson.cu, IDR_Convergence_Poisson.cu)."""
+
+import numpy as np
+import pytest
+
+import amgx_tpu as amgx
+
+
+def _solve(cfg_str, a, b, **json_cfg):
+    cfg = amgx.AMGConfig(cfg_str or json_cfg)
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a))
+    x, status = s.solve(b)
+    r = np.linalg.norm(b - a.to_scipy() @ s.extract_vector(x))
+    return s, status, r / np.linalg.norm(b)
+
+
+A2D = amgx.gallery.poisson5pt(16, 16)
+B2D = np.ones(A2D.n_rows)
+
+
+@pytest.mark.parametrize("solver", ["CG", "PCG", "PCGF", "BICGSTAB",
+                                    "PBICGSTAB", "GMRES", "FGMRES", "IDR",
+                                    "IDRMSYNC"])
+def test_krylov_converges(solver):
+    s, status, rel = _solve(
+        f"solver={solver}, max_iters=300, tolerance=1e-8, "
+        "convergence=RELATIVE_INI, monitor_residual=1", A2D, B2D)
+    assert status == amgx.SolveStatus.SUCCESS
+    assert rel < 1e-6
+
+
+def test_cg_iteration_count_scales():
+    # CG iteration count ~ O(n) for 1D-ish conditioning; sanity bound
+    s, status, rel = _solve(
+        "solver=CG, max_iters=200, tolerance=1e-10, "
+        "convergence=RELATIVE_INI, monitor_residual=1", A2D, B2D)
+    assert status == amgx.SolveStatus.SUCCESS
+    assert 10 <= s.last_iters <= 120
+
+
+def test_preconditioned_faster_than_plain():
+    s0, _, _ = _solve("solver=CG, max_iters=500, tolerance=1e-8, "
+                      "convergence=RELATIVE_INI, monitor_residual=1",
+                      A2D, B2D)
+    cfg = amgx.AMGConfig({
+        "config_version": 2,
+        "solver": {"solver": "PCG", "max_iters": 500, "tolerance": 1e-8,
+                   "convergence": "RELATIVE_INI", "monitor_residual": 1,
+                   "scope": "main",
+                   "preconditioner": {"solver": "AMG", "scope": "amg",
+                                      "algorithm": "AGGREGATION",
+                                      "selector": "SIZE_2",
+                                      "smoother": "JACOBI_L1",
+                                      "max_iters": 1, "cycle": "V",
+                                      "presweeps": 1, "postsweeps": 1,
+                                      "min_coarse_rows": 16}}})
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(A2D))
+    x, status = s.solve(B2D)
+    assert status == amgx.SolveStatus.SUCCESS
+    assert s.last_iters < s0.last_iters
+
+
+def test_gmres_restart():
+    s, status, rel = _solve(
+        "solver=GMRES, max_iters=300, gmres_n_restart=30, tolerance=1e-8, "
+        "convergence=RELATIVE_INI, monitor_residual=1", A2D, B2D)
+    assert status == amgx.SolveStatus.SUCCESS and rel < 1e-6
+    # short restarts stagnate on unpreconditioned Poisson (expected GMRES(m)
+    # behavior) but must still decrease monotonically
+    s5, st5, _ = _solve(
+        "solver=GMRES, max_iters=50, gmres_n_restart=5, tolerance=1e-8, "
+        "convergence=RELATIVE_INI, monitor_residual=1", A2D, B2D)
+    h = [float(np.atleast_1d(v)[0]) for v in s5.res_history]
+    assert all(b <= a * (1 + 1e-12) for a, b in zip(h, h[1:]))
+
+
+def test_chebyshev_solver():
+    s, status, rel = _solve(
+        "solver=CHEBYSHEV, chebyshev_lambda_estimate_mode=1, "
+        "chebyshev_eigenvalue_maxits=20, max_iters=600, tolerance=1e-6, "
+        "convergence=RELATIVE_INI, monitor_residual=1", A2D, B2D)
+    assert status == amgx.SolveStatus.SUCCESS
+
+
+def test_convergence_criteria_absolute():
+    s, status, _ = _solve(
+        "solver=CG, max_iters=300, tolerance=1e-6, convergence=ABSOLUTE, "
+        "monitor_residual=1", A2D, B2D)
+    assert status == amgx.SolveStatus.SUCCESS
+    assert np.atleast_1d(s.res_history[-1])[0] <= 1e-6
+
+
+def test_residual_history_monotone_cg():
+    s, status, _ = _solve(
+        "solver=CG, max_iters=300, tolerance=1e-8, "
+        "convergence=RELATIVE_INI, monitor_residual=1, "
+        "store_res_history=1", A2D, B2D)
+    h = [float(np.atleast_1d(v)[0]) for v in s.res_history]
+    assert h[-1] < h[0] * 1e-6
+
+
+def test_min_iters_respected():
+    s, status, _ = _solve(
+        "solver=CG, max_iters=50, min_iters=10, tolerance=1e-1, "
+        "convergence=RELATIVE_INI, monitor_residual=1", A2D, B2D)
+    assert s.last_iters >= 10
+
+
+def test_not_converged_status():
+    s, status, _ = _solve(
+        "solver=CG, max_iters=2, tolerance=1e-14, "
+        "convergence=RELATIVE_INI, monitor_residual=1", A2D, B2D)
+    assert status == amgx.SolveStatus.NOT_CONVERGED

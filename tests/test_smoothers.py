@@ -1,0 +1,137 @@
+"""Smoother tests (mirrors core/tests/scalar_smoother_poisson.cu,
+smoother_block_poisson.cu, ilu_dilu_equivalence.cu)."""
+
+import numpy as np
+import pytest
+
+import amgx_tpu as amgx
+
+A = amgx.gallery.poisson5pt(12, 12)
+B = np.ones(A.n_rows)
+
+SMOOTHERS = ["BLOCK_JACOBI", "JACOBI_L1", "GS", "MULTICOLOR_GS",
+             "FIXCOLOR_GS", "MULTICOLOR_DILU", "MULTICOLOR_ILU",
+             "KACZMARZ", "CHEBYSHEV_POLY", "POLYNOMIAL", "KPZ_POLYNOMIAL",
+             "CF_JACOBI"]
+
+
+def _smoother_error_reduction(name, sweeps=30, extra=""):
+    cfg = amgx.AMGConfig(
+        f"solver={name}, max_iters={sweeps}, relaxation_factor=0.8, "
+        f"monitor_residual=1, convergence=RELATIVE_INI, tolerance=1e-30"
+        + (", " + extra if extra else ""))
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(A))
+    x, _ = s.solve(B)
+    r = np.linalg.norm(B - A.to_scipy() @ s.extract_vector(x))
+    return r / np.linalg.norm(B)
+
+
+@pytest.mark.parametrize("name", SMOOTHERS)
+def test_smoother_reduces_residual(name):
+    rel = _smoother_error_reduction(name)
+    assert np.isfinite(rel)
+    # Kaczmarz iterates on the normal equations -> cond^2-limited rate;
+    # everyone else must make clear progress in 30 sweeps
+    bound = 0.999 if name in ("KACZMARZ", "KPZ_POLYNOMIAL") else 0.9
+    assert rel < bound
+
+
+@pytest.mark.parametrize("name", ["MULTICOLOR_DILU", "MULTICOLOR_ILU",
+                                  "MULTICOLOR_GS"])
+def test_multicolor_strong_smoothers(name):
+    # the workhorse smoothers converge standalone at the GS-like rate
+    # (~0.93/sweep on this 144-dof Poisson)
+    rel = _smoother_error_reduction(name, sweeps=100)
+    assert rel < 5e-2
+
+
+def test_ilu_dilu_similar_strength():
+    """ilu_dilu_equivalence analog: ILU(0) and DILU give comparable
+    convergence on Poisson (identical on tridiagonal structure)."""
+    r_ilu = _smoother_error_reduction("MULTICOLOR_ILU", sweeps=20)
+    r_dilu = _smoother_error_reduction("MULTICOLOR_DILU", sweeps=20)
+    assert abs(np.log10(r_ilu) - np.log10(r_dilu)) < 3
+
+
+def test_block_jacobi_on_block_matrix(rng):
+    n = 16
+    data = rng.standard_normal((3 * n - 2, 2, 2))
+    rows = np.concatenate([np.arange(n), np.arange(n - 1),
+                           np.arange(1, n)])
+    cols = np.concatenate([np.arange(n), np.arange(1, n),
+                           np.arange(n - 1)])
+    from amgx_tpu.matrix import CSRMatrix
+    for k in range(n):      # make block-diagonally dominant
+        data[k] = data[k] + 8 * np.eye(2)
+    m = CSRMatrix.from_coo(n, n, rows, cols, data, block_dim=(2, 2))
+    cfg = amgx.AMGConfig("solver=BLOCK_JACOBI, max_iters=200, "
+                         "relaxation_factor=0.9, monitor_residual=1, "
+                         "convergence=RELATIVE_INI, tolerance=1e-8")
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(m))
+    b = rng.standard_normal(2 * n)
+    x, status = s.solve(b)
+    r = np.linalg.norm(b - m.to_dense() @ s.extract_vector(x))
+    assert r / np.linalg.norm(b) < 1e-6
+
+
+def test_zero_initial_guess_optimization():
+    cfg = amgx.AMGConfig("solver=BLOCK_JACOBI, max_iters=1, "
+                         "smooth_with_0_initial_guess=1, "
+                         "relaxation_factor=1.0")
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(A))
+    x, _ = s.solve(B, zero_initial_guess=True)
+    # one damped-Jacobi sweep from zero: x = D^{-1} b
+    d = A.diagonal()
+    assert np.allclose(s.extract_vector(x), B / d)
+
+
+def test_cf_jacobi_uses_cf_map():
+    csr = amgx.gallery.poisson5pt(8, 8)
+    cf = np.full(csr.n_rows, -1)
+    c = np.arange(0, csr.n_rows, 2)
+    cf[c] = np.arange(c.size)
+    csr.aux["cf_map"] = cf
+    cfg = amgx.AMGConfig("solver=CF_JACOBI, max_iters=40, "
+                         "cf_smoothing_mode=2, relaxation_factor=0.9, "
+                         "monitor_residual=1, convergence=RELATIVE_INI, "
+                         "tolerance=1e-30")
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(csr))
+    b = np.ones(csr.n_rows)
+    x, _ = s.solve(b)
+    rel = np.linalg.norm(b - csr.to_scipy() @ s.extract_vector(x)) / \
+        np.linalg.norm(b)
+    assert rel < 0.5
+
+
+def test_gs_symmetric_variant():
+    rel_f = _smoother_error_reduction("MULTICOLOR_GS", sweeps=10)
+    rel_s = _smoother_error_reduction("MULTICOLOR_GS", sweeps=10,
+                                      extra="symmetric_GS=1")
+    assert rel_s <= rel_f * 1.5    # symmetric sweeps at least comparable
+
+
+def test_scalers():
+    for scaling in ("DIAGONAL_SYMMETRIC", "BINORMALIZATION",
+                    "NBINORMALIZATION"):
+        a = amgx.gallery.poisson5pt(8, 8)
+        # unbalance the system
+        d = np.repeat(np.logspace(0, 3, a.n_rows), a.row_nnz())
+        a.data = a.data * d
+        # row scaling breaks symmetry -> BiCGStab, not CG
+        cfg = amgx.AMGConfig(
+            f"solver=BICGSTAB, scaling={scaling}, max_iters=500, "
+            "tolerance=1e-9, convergence=RELATIVE_INI, monitor_residual=1")
+        s = amgx.SolverFactory.allocate(cfg)
+        m = amgx.Matrix(a)
+        import copy
+        orig = a.to_scipy().copy()
+        b = np.ones(a.n_rows)
+        s.setup(m)
+        x, status = s.solve(b)
+        r = np.linalg.norm(b - orig @ s.extract_vector(x))
+        assert status == amgx.SolveStatus.SUCCESS
+        assert r / np.linalg.norm(b) < 1e-5, scaling
