@@ -51,17 +51,18 @@ class AMGLevel:
         return self.m.csr.nnz
 
 
-def _transfer_to_device(csr: CSRMatrix, block_dim, dtype):
+def _transfer_to_device(csr: CSRMatrix, block_dim, dtype, row_pad: int = 8):
     """Build a device ELL op for P/R; for block systems the scalar transfer
     entries become identity-scaled blocks so block vectors move per
-    component."""
+    component. ``row_pad`` makes the output padding match the destination
+    level's operator padding so cycle vectors keep one consistent length."""
     bx = block_dim[0]
     if bx == 1:
-        return csr_to_ell(csr, dtype=dtype)
+        return csr_to_ell(csr, dtype=dtype, row_pad=row_pad)
     vals = np.einsum("k,ij->kij", csr.data.astype(np.float64), np.eye(bx))
     bcsr = CSRMatrix(csr.n_rows, csr.n_cols, csr.indptr, csr.indices, vals,
                      block_dim=(bx, bx))
-    return csr_to_ell(bcsr, dtype=dtype)
+    return csr_to_ell(bcsr, dtype=dtype, row_pad=row_pad)
 
 
 class AMG:
@@ -235,16 +236,19 @@ class AMG:
             raise ValueError(f"Unknown AMG algorithm '{self.algorithm}'")
 
         level.p_csr, level.r_csr = p_csr, r_csr
-        level.P = _transfer_to_device(p_csr, csr.block_dim, mat_dt)
-        level.R = _transfer_to_device(r_csr, csr.block_dim, mat_dt)
         cm = Matrix(ac, mode=mode)
         if level.cf_map is not None:
             cm.csr.aux["cf_map"] = level.cf_map
         coarse = AMGLevel(cm, level.index + 1)
-        # coarse operators small enough for the MXU go dense
-        dense_thr = max(self.cfg.get("dense_threshold_rows", scope),
-                        0)
-        cm.device_op(dense_threshold=dense_thr)
+        # coarse operators small enough for the MXU go dense; build first so
+        # the transfer operators can match both levels' row paddings
+        dense_thr = max(self.cfg.get("dense_threshold_rows", scope), 0)
+        coarse_op = cm.device_op(dense_threshold=dense_thr)
+        fine_pad = level.m.device_op(dense_threshold=dense_thr).n_pad
+        level.P = _transfer_to_device(p_csr, csr.block_dim, mat_dt,
+                                      row_pad=fine_pad)
+        level.R = _transfer_to_device(r_csr, csr.block_dim, mat_dt,
+                                      row_pad=coarse_op.n_pad)
         return coarse
 
     # -- stats (reference: amg.cu getGridStatisticsString) ----------------------

@@ -318,3 +318,124 @@ def AMGX_reset_signal_handler():
 
 def AMGX_abort(rsrc=None, err: int = 1):
     raise SystemExit(err)
+
+
+# ---------------------------------------------------------------------------
+# Distributed entry points (reference: amgx_c.h:233-235, :464-499, :598)
+# ---------------------------------------------------------------------------
+
+class _Distribution:
+    """AMGX_distribution handle: how a global matrix is split across the
+    mesh (reference: AMGX_distribution_create, amgx_c.cu:1780)."""
+
+    def __init__(self, cfg=None):
+        self.partition_offsets = None
+        self.partition_vector = None
+        self.num_import_rings = 1
+
+    def set_partition_data(self, kind: str, data):
+        if kind in ("AMGX_DIST_PARTITION_OFFSETS", "offsets"):
+            self.partition_offsets = np.asarray(data, np.int64)
+        elif kind in ("AMGX_DIST_PARTITION_VECTOR", "vector"):
+            self.partition_vector = np.asarray(data, np.int64)
+        else:
+            raise ValueError(f"unknown partition kind {kind}")
+        return RC_OK
+
+
+def AMGX_distribution_create(cfg=None):
+    return RC_OK, _Distribution(cfg)
+
+
+def AMGX_distribution_set_partition_data(dist: _Distribution, kind, data):
+    return dist.set_partition_data(kind, data)
+
+
+def AMGX_distribution_set_32bit_colindices(dist, on):
+    return RC_OK
+
+
+def AMGX_distribution_destroy(dist):
+    return RC_OK
+
+
+def AMGX_matrix_upload_distributed(m: Matrix, n_global: int, n_local: int,
+                                   nnz: int, block_dimx: int,
+                                   block_dimy: int, row_ptrs, col_indices,
+                                   data, diag_data=None,
+                                   dist: Optional[_Distribution] = None):
+    """Build the mesh-partitioned operator from global-index CSR data
+    (reference: AMGX_matrix_upload_distributed, amgx_c.cu:1715 -> the
+    DistributedManager/Arranger pipeline). On TPU all shards are visible to
+    one process, so this accepts the *global* system plus a distribution
+    handle and attaches a DistEllMatrix manager."""
+    import jax as _jax
+    from .distributed.partition import DistEllMatrix, RowPartition
+    from .matrix import CSRMatrix as _CSR
+
+    data = np.asarray(data)
+    if (block_dimx, block_dimy) != (1, 1):
+        data = data.reshape(-1, block_dimx, block_dimy)
+    csr = _CSR(n_global, n_global, np.asarray(row_ptrs),
+               np.asarray(col_indices), data,
+               block_dim=(block_dimx, block_dimy),
+               diag_data=None if diag_data is None else np.asarray(diag_data))
+    n_dev = len(_jax.devices())
+    row_part = None
+    if dist is not None and dist.partition_offsets is not None:
+        row_part = RowPartition(dist.partition_offsets)
+        n_dev = row_part.n_dev
+    elif dist is not None and dist.partition_vector is not None:
+        n_dev = int(dist.partition_vector.max()) + 1
+        row_part, order = RowPartition.from_partition_vector(
+            dist.partition_vector, n_dev)
+        # permute rows to the contiguous ordering the partition implies
+        import scipy.sparse as sp
+        s = csr.to_scipy()[order][:, order] if (block_dimx, block_dimy) == \
+            (1, 1) else None
+        if s is not None:
+            csr = _CSR.from_scipy(s)
+    m.csr = csr
+    m.initialized = True
+    m._device_op = None
+    m.manager = DistEllMatrix.from_global(
+        csr, n_dev, row_part,
+        dtype=None if (block_dimx, block_dimy) != (1, 1) else csr.data.dtype)
+    return RC_OK
+
+
+def AMGX_matrix_upload_all_global(m: Matrix, n_global: int, n: int, nnz: int,
+                                  block_dimx: int, block_dimy: int,
+                                  row_ptrs, col_indices, data, diag_data,
+                                  allocated_halo_depth=1, num_import_rings=1,
+                                  partition_vector=None):
+    """reference: AMGX_matrix_upload_all_global (amgx_c.cu:1780-1830) —
+    thin wrapper creating a distribution handle first."""
+    rc, dist = AMGX_distribution_create()
+    if partition_vector is not None:
+        dist.set_partition_data("vector", partition_vector)
+    return AMGX_matrix_upload_distributed(
+        m, n_global, n, nnz, block_dimx, block_dimy, row_ptrs, col_indices,
+        data, diag_data, dist)
+
+
+def AMGX_read_system_distributed(m: Matrix, rhs: _Vector, sol: _Vector,
+                                 path: str, allocated_halo_depth=1,
+                                 num_partitions=None, partition_sizes=None,
+                                 partition_vector=None):
+    """reference: AMGX_read_system_distributed — rank-0 read + scatter;
+    here: read globally and attach the mesh partition manager."""
+    import jax as _jax
+    csr, b, x = _read_system(path)
+    n = csr.n_rows
+    rc, dist = AMGX_distribution_create()
+    if partition_vector is not None:
+        dist.set_partition_data("vector", partition_vector)
+    return AMGX_matrix_upload_distributed(
+        m, n, n, csr.nnz, *csr.block_dim, csr.indptr, csr.indices,
+        csr.data, csr.diag_data, dist) if b is None else (
+        AMGX_matrix_upload_distributed(
+            m, n, n, csr.nnz, *csr.block_dim, csr.indptr, csr.indices,
+            csr.data, csr.diag_data, dist),
+        rhs.upload(n, csr.block_dim[0], b),
+        None if x is None else sol.upload(n, csr.block_dim[0], x))[0]

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 # Precision modes
 # ---------------------------------------------------------------------------
 
-_PRECISION = {"D": np.float64, "F": np.float32, "B": jnp.bfloat16}
+_PRECISION = {"D": np.float64, "F": np.float32, "B": jnp.bfloat16,
+              "Z": np.complex128, "C": np.complex64}
 
 
 def mode_dtypes(mode: str) -> Tuple[Any, Any]:
@@ -306,6 +307,10 @@ class DenseOperator:
     def dtype(self):
         return self.a.dtype
 
+    @property
+    def n_pad(self) -> int:
+        return self.a.shape[0] // self.block_dim[0]
+
     def apply(self, x):
         flat = x.reshape(-1)
         y = self.a @ flat
@@ -418,12 +423,22 @@ class Matrix:
 
     # -- device form ----------------------------------------------------------
 
-    def device_op(self, dense_threshold: int = 0):
+    def device_op(self, dense_threshold: int = 0, spmv_impl: str = "AUTO"):
+        """Build/cache the device operator, choosing the fastest layout:
+        dense (MXU) below the threshold, DIA (banded shift-FMA / Pallas) for
+        stencil-structured matrices, padded-ELL gather otherwise
+        (reference: the cuSPARSE-vs-custom kernel dispatch in multiply.cu)."""
         if self._device_op is None:
             _, mat_dt = mode_dtypes(self.mode)
             bx, _ = self.csr.block_dim
             if dense_threshold and self.csr.n_rows * bx <= dense_threshold:
                 self._device_op = csr_to_dense_op(self.csr, dtype=mat_dt)
+            elif spmv_impl in ("AUTO", "PALLAS") and (bx, bx) == (1, 1):
+                from .ops.spmv import csr_to_dia
+                dia = csr_to_dia(self.csr, dtype=mat_dt) \
+                    if spmv_impl != "XLA" else None
+                self._device_op = dia if dia is not None else \
+                    csr_to_ell(self.csr, dtype=mat_dt)
             else:
                 self._device_op = csr_to_ell(self.csr, dtype=mat_dt)
         return self._device_op

@@ -243,6 +243,7 @@ def register_all_parameters() -> None:
     # -- precision / mode ----------------------------------------------------------
     P("mode", str, "dDDI", "precision mode (memspace, vecPrec, matPrec, indPrec)",
       allowed_values=["hDDI", "hDFI", "hFFI", "dDDI", "dDFI", "dFFI",
+                      "hZZI", "hZCI", "hCCI", "dZZI", "dZCI", "dCCI",
                       "dFBI16", "dBBI16"])
     P("block_format", str, "ROW_MAJOR", "block value layout",
       allowed_values=["ROW_MAJOR", "COL_MAJOR"])

@@ -17,14 +17,24 @@ class Scaler:
     def setup(self, m) -> None:
         raise NotImplementedError
 
+    def _fit(self, arr, n: int):
+        """Pad a scale vector with ones to the caller's (operator-defined)
+        padded length."""
+        if arr.shape[0] == n:
+            return arr
+        if arr.shape[0] > n:
+            return arr[:n]
+        return jnp.concatenate([arr, jnp.ones(n - arr.shape[0],
+                                              arr.dtype)])
+
     def scale_rhs(self, b):
-        return self._dl_j * b
+        return self._fit(self._dl_j, b.shape[0]) * b
 
     def scale_solution_in(self, x):
-        return x / self._dr_j
+        return x / self._fit(self._dr_j, x.shape[0])
 
     def unscale_solution(self, x):
-        return self._dr_j * x
+        return self._fit(self._dr_j, x.shape[0]) * x
 
     def _finalize(self, m, dl: np.ndarray, dr: np.ndarray) -> None:
         """Apply Dl A Dr to the host CSR in place and keep padded device

@@ -382,8 +382,14 @@ class Solver:
             z = jnp.zeros_like(r)
             state = self.solve_init(r, z, True)
             z, state = self.first_iteration(r, z, state, True)
-            for _ in range(self.max_iters - 1):
-                z, state = self.solve_iteration(r, z, state)
+            if self.max_iters > 1:
+                # keep the traced graph small: the remaining sweeps run as a
+                # device loop, not an unrolled chain
+                def body(_, c):
+                    zz, ss = c
+                    return self.solve_iteration(r, zz, ss)
+                z, state = jax.lax.fori_loop(0, self.max_iters - 1, body,
+                                             (z, state))
             return z
         return apply
 

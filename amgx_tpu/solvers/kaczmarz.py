@@ -33,7 +33,8 @@ class KaczmarzSolver(Solver):
         if csr.block_dim != (1, 1):
             raise NotImplementedError("KACZMARZ supports scalar matrices")
         vec_dt, _ = mode_dtypes(self.mode)
-        self.at = csr_to_ell(csr.transpose(), dtype=vec_dt)
+        self.at = csr_to_ell(csr.transpose(), dtype=vec_dt,
+                             row_pad=self.n_pad)
         rownorm = np.zeros(self.n_pad)
         rows = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
         np.add.at(rownorm, rows, np.abs(csr.data) ** 2)

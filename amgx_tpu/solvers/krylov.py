@@ -153,7 +153,8 @@ class _GMRESBase(_PreconditionedSolver):
         m = self.restart
         A = self.op
         r = b - A.apply(x)
-        beta = jnp.sqrt(jnp.vdot(r, r))
+        beta = jnp.sqrt(jnp.vdot(r, r).real).astype(
+            jnp.real(r).dtype if jnp.iscomplexobj(r) else r.dtype)
         n = r.shape[0]
         V = jnp.zeros((m + 1, n), r.dtype).at[0].set(
             jnp.where(beta > 0, r / jnp.where(beta == 0, 1.0, beta), r))
@@ -180,34 +181,37 @@ class _GMRESBase(_PreconditionedSolver):
         # classical Gram-Schmidt with one re-orthogonalization, masked to
         # the filled basis rows (j <= i)
         mask = (jnp.arange(m + 1) <= i).astype(w.dtype)
-        h = (V @ w) * mask
+        # conjugating projections (complex-safe; V real -> plain dots)
+        h = (jnp.conj(V) @ w) * mask
         w = w - h @ V
-        h2 = (V @ w) * mask
+        h2 = (jnp.conj(V) @ w) * mask
         w = w - h2 @ V
         h = h + h2
-        h_next = jnp.sqrt(jnp.vdot(w, w))
+        h_next = jnp.sqrt(jnp.vdot(w, w).real).astype(h.dtype)
         V = V.at[i + 1].set(w / jnp.where(h_next == 0, 1.0, h_next))
         Z = Z.at[i].set(z)
-        # apply previous Givens rotations to the new column
+        # apply previous Givens rotations: unitary form
+        #   x' =  cs x + sn y,  y' = -conj(sn) x + conj(cs) y
+        # which reduces to the classical real rotation for real dtypes
         def apply_rot(j, hcol):
             hj, hj1 = hcol[j], hcol[j + 1]
             c, sj = cs[j], sn[j]
             hcol = hcol.at[j].set(c * hj + sj * hj1)
-            hcol = hcol.at[j + 1].set(-sj * hj + c * hj1)
+            hcol = hcol.at[j + 1].set(-jnp.conj(sj) * hj +
+                                      jnp.conj(c) * hj1)
             return hcol
         hcol = jax.lax.fori_loop(0, i, apply_rot, h)
         hcol = hcol.at[i + 1].set(h_next)
         hi, hn = hcol[i], hcol[i + 1]
-        denom = jnp.sqrt(hi * hi + hn * hn)
-        c_new = jnp.where(denom == 0, 1.0, hi / jnp.where(denom == 0, 1.0,
-                                                          denom))
-        s_new = jnp.where(denom == 0, 0.0, hn / jnp.where(denom == 0, 1.0,
-                                                          denom))
-        hcol = hcol.at[i].set(denom).at[i + 1].set(0.0)
+        denom = jnp.sqrt((jnp.conj(hi) * hi + jnp.conj(hn) * hn).real)
+        safe = jnp.where(denom == 0, 1.0, denom)
+        c_new = jnp.where(denom == 0, 1.0 + 0.0 * hi, jnp.conj(hi) / safe)
+        s_new = jnp.where(denom == 0, 0.0 * hi, jnp.conj(hn) / safe)
+        hcol = hcol.at[i].set(denom.astype(h.dtype)).at[i + 1].set(0.0)
         cs = cs.at[i].set(c_new)
         sn = sn.at[i].set(s_new)
         gi = g[i]
-        g = g.at[i].set(c_new * gi).at[i + 1].set(-s_new * gi)
+        g = g.at[i].set(c_new * gi).at[i + 1].set(-jnp.conj(s_new) * gi)
         R = R.at[:, i].set(hcol)
         nrm = jnp.abs(g[i + 1])
         # materialize x: solve R[:k,:k] y = g[:k] (k = i+1) by masked
@@ -217,7 +221,7 @@ class _GMRESBase(_PreconditionedSolver):
         def back_sub(jj, y):
             j = m - 1 - jj
             active = j < k
-            rhs = g[j] - jnp.vdot(R[j], y)
+            rhs = g[j] - R[j] @ y        # plain (non-conjugating) dot
             yj = jnp.where(active, rhs / jnp.where(R[j, j] == 0, 1.0,
                                                    R[j, j]), 0.0)
             return y.at[j].set(yj)

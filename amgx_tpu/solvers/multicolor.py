@@ -234,8 +234,8 @@ class MulticolorILUSolver(Solver):
             k = rowmap[i].get(i)
             if k is not None and data[k] != 0:
                 udiag[i] = data[k]
-        self.L = csr_to_ell(lmat, dtype=vec_dt)
-        self.U = csr_to_ell(umat, dtype=vec_dt)
+        self.L = csr_to_ell(lmat, dtype=vec_dt, row_pad=self.n_pad)
+        self.U = csr_to_ell(umat, dtype=vec_dt, row_pad=self.n_pad)
         self.inv_udiag = jnp.asarray((1.0 / udiag).astype(vec_dt))
         color_pad = np.full(self.n_pad, -1, np.int32)
         color_pad[:n] = col

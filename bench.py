@@ -46,10 +46,15 @@ def bench_spmv(n_side: int, inner: int, reps: int, dtype=np.float32):
     nnz = a.nnz
     results = {}
     scale = np.asarray(0.12, dtype)   # keep iterates bounded (|lam|<8.4)
-    for name, op in (("dia", csr_to_dia(a, dtype=dtype)),
-                     ("ell", csr_to_ell(a, dtype=dtype))):
+    # the general ELL gather path is exercised on a smaller system: XLA
+    # gathers scalarize on TPU, this path exists for irregular matrices
+    a_ell = amgx.gallery.poisson7pt(min(n_side, 48), min(n_side, 48),
+                                    min(n_side, 48), dtype=dtype)
+    for name, op, mat in (("dia", csr_to_dia(a, dtype=dtype), a),
+                          ("ell", csr_to_ell(a_ell, dtype=dtype), a_ell)):
         if op is None:
             continue
+        nnz = mat.nnz
         n_pad = op.n_pad
 
         def many(x, op=op):
@@ -71,7 +76,7 @@ def bench_spmv(n_side: int, inner: int, reps: int, dtype=np.float32):
         else:
             bytes_moved = (op.vals.size * itemsize + op.cols.size * 4
                            + 2 * n_pad * itemsize)
-        results[name] = {"time_s": best,
+        results[name] = {"n": mat.n_rows, "nnz": nnz, "time_s": best,
                          "gbps": bytes_moved / best / 1e9,
                          "gnnz_per_s": nnz / best / 1e9}
     return a, results
@@ -122,7 +127,11 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     if on_tpu:
-        spmv_side, inner, reps, amg_side = 96, 100, 5, 48
+        # large enough to amortize the ~300us fixed per-op launch floor of
+        # the tunneled runtime against real HBM traffic (192^3 compiles hang
+        # through the remote-compile tunnel; 128^3 is the verified sweet
+        # spot)
+        spmv_side, inner, reps, amg_side = 128, 50, 4, 48
     else:
         spmv_side, inner, reps, amg_side = 24, 10, 2, 16
     a, spmv = bench_spmv(spmv_side, inner, reps)

@@ -127,4 +127,7 @@ def test_upload_replace_lifecycle():
     m.replace_coefficients(a.data * 3.0)
     op2 = m.device_op()
     assert op2 is not op1
-    assert np.allclose(np.asarray(op2.vals), 3.0 * np.asarray(op1.vals))
+    import jax.numpy as jnp
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(op1.n_pad))
+    assert np.allclose(np.asarray(op2.apply(x)),
+                       3.0 * np.asarray(op1.apply(x)))
