@@ -335,11 +335,82 @@ def multipass_interpolation(csr: CSRMatrix, strong: np.ndarray,
 
 def distance2_interpolation(csr: CSRMatrix, strong: np.ndarray,
                             cf_map: np.ndarray) -> CSRMatrix:
-    """Distance-2 (extended+i style) interpolation (interpolators/
-    distance2.cu). F point i interpolates from C_i plus the C points of its
-    strong F neighbours; implemented as one multipass sweep after direct
-    interpolation, which reproduces the extended stencil."""
-    return multipass_interpolation(csr, strong, cf_map, max_passes=2)
+    """Distance-2 (extended) interpolation (interpolators/distance2.cu).
+
+    Strong-F substitution: each strong F-F coupling a_ik is redistributed
+    onto k's strong C neighbours proportionally to k's couplings,
+        a~_ij = a_ij|_{j in C} + sum_{k in F_i^s} a_ik * d_kj,
+        d_kj = a^_kj / sum_{l in C_k} a^_kl,
+    (one sparse product), then direct-interpolation scaling with sign-split
+    row-sum preservation — the standard vectorized formulation of
+    extended/distance-two interpolation for PMIS coarsening. F points whose
+    strong F neighbours also lack C neighbours fall back to a multipass
+    sweep.
+    """
+    import scipy.sparse as sp
+    n = csr.n_rows
+    nc = int(cf_map.max()) + 1 if (cf_map >= 0).any() else 0
+    data = csr.data if csr.block_dim == (1, 1) else csr.data[:, 0, 0]
+    rows = np.repeat(np.arange(n), csr.row_nnz())
+    cols = csr.indices.astype(np.int64)
+    in_b = cols < n
+    diag = np.zeros(n)
+    dmask = (cols == rows)
+    diag[rows[dmask]] = data[dmask]
+    if csr.diag_data is not None:
+        dd = csr.diag_data if csr.block_dim == (1, 1) else \
+            csr.diag_data[:, 0, 0]
+        diag = diag + dd
+    sign = np.where(diag < 0, -1.0, 1.0)
+    c_mask = cf_map >= 0
+
+    # strong off-diagonal couplings, sign-filtered (a^: opposite the diag)
+    keep = strong & in_b & (sign[rows] * data < 0)
+    s_rows, s_cols, s_vals = rows[keep], cols[keep], data[keep]
+    col_is_c = c_mask[s_cols]
+    # distribution matrix d: F rows -> coarse columns
+    denom = np.zeros(n)
+    np.add.at(denom, s_rows[col_is_c], s_vals[col_is_c])
+    has_c = denom != 0
+    safe_den = np.where(denom == 0, 1.0, denom)
+    d_rows = s_rows[col_is_c]
+    d_vals = s_vals[col_is_c] / safe_den[d_rows]
+    dist = sp.csr_matrix((d_vals, (d_rows, cf_map[s_cols[col_is_c]])),
+                         shape=(n, nc))
+    # strong A split by column class
+    a_sc = sp.csr_matrix((s_vals[col_is_c],
+                          (s_rows[col_is_c], cf_map[s_cols[col_is_c]])),
+                         shape=(n, nc))
+    ff = (~col_is_c) & has_c[s_cols]
+    a_sf = sp.csr_matrix((s_vals[ff], (s_rows[ff], s_cols[ff])),
+                         shape=(n, n))
+    w = (a_sc + a_sf @ dist).tocsr()          # (n, nc) substituted couplings
+
+    # direct-interpolation scaling: preserve the full (negative-part)
+    # off-diagonal row sums through the substituted stencil
+    offd = (cols != rows) & in_b
+    neg = offd & (sign[rows] * data < 0)
+    sum_all = np.zeros(n)
+    np.add.at(sum_all, rows[neg], data[neg])
+    w_sum = np.asarray(w.sum(axis=1)).ravel()
+    alpha = np.where(w_sum != 0, sum_all / np.where(w_sum == 0, 1.0, w_sum),
+                     0.0)
+    safe_diag = np.where(diag == 0, 1.0, diag)
+    scale = sp.diags(-alpha / safe_diag)
+    p = (scale @ w).tocsr()
+    # C rows: identity
+    p = p.tolil()
+    for i in np.nonzero(c_mask)[0]:
+        p.rows[i] = [int(cf_map[i])]
+        p.data[i] = [1.0]
+    p = p.tocsr()
+    p.eliminate_zeros()
+    out = CSRMatrix(n, nc, p.indptr, p.indices, p.data)
+    # fall back to multipass for F rows left empty (no strong path to C)
+    empty_f = (out.row_nnz() == 0) & ~c_mask
+    if empty_f.any():
+        return multipass_interpolation(csr, strong, cf_map, max_passes=3)
+    return out
 
 
 def truncate_interpolation(p: CSRMatrix, factor: float = -1.0,

@@ -131,3 +131,35 @@ def test_upload_replace_lifecycle():
     x = jnp.asarray(np.random.default_rng(0).standard_normal(op1.n_pad))
     assert np.allclose(np.asarray(op2.apply(x)),
                        3.0 * np.asarray(op1.apply(x)))
+
+
+def test_binary_io_roundtrip(tmp_path, rng):
+    from amgx_tpu.io import read_system_binary, write_system_binary
+    m, dense = _rand_csr(rng, n=20)
+    rhs = rng.standard_normal(20)
+    sol = rng.standard_normal(20)
+    p = str(tmp_path / "sys.bin")
+    write_system_binary(p, m, rhs, sol)
+    m2, rhs2, sol2 = read_system_binary(p)
+    assert np.allclose(m2.to_dense(), dense)
+    assert np.allclose(rhs2, rhs) and np.allclose(sol2, sol)
+    # block + external diag
+    data = rng.standard_normal((3, 2, 2))
+    mb = CSRMatrix.from_coo(2, 2, [0, 0, 1], [0, 1, 1], data,
+                            block_dim=(2, 2))
+    mb.diag_data = rng.standard_normal((2, 2, 2))
+    write_system_binary(p, mb)
+    mb2, _, _ = read_system_binary(p)
+    assert np.allclose(mb2.to_dense(), mb.to_dense())
+
+
+def test_matrix_analysis():
+    from amgx_tpu.matrix_analysis import analyze, analysis_string
+    import amgx_tpu as amgx
+    a = amgx.gallery.poisson5pt(8, 8)
+    rep = analyze(a, spectral=True)
+    assert rep["n_rows"] == 64
+    assert rep["symmetric_pattern"]
+    assert rep["zero_diagonal_rows"] == 0
+    assert rep["eig_min"] > 0          # SPD
+    assert "Matrix analysis" in analysis_string(a)
