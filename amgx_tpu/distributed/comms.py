@@ -38,12 +38,27 @@ def extended_vector(x_local, pack_idx, halo_from, axis: str = "x"):
     return jnp.concatenate([x_local, halo])
 
 
-def dist_spmv(cols, vals, pack_idx, halo_from, x_local, axis: str = "x"):
+def dist_spmv(cols, vals, pack_idx, halo_from, x_local, axis: str = "x",
+              interior_split: int = 0):
     """One shard of y = A x with halo exchange (reference: multiply.cu:
-    113-197; the interior/boundary overlap is left to XLA's latency-hiding
-    scheduler — rows are already sorted interior-first)."""
-    xe = extended_vector(x_local, pack_idx, halo_from, axis)
-    return jnp.sum(vals * xe[cols], axis=1)
+    113-197).
+
+    With ``interior_split`` = S > 0 (a static bound: rows [0, S) are
+    interior on *every* shard — rows are sorted interior-first), the
+    interior product depends only on owned values while the exchange is in
+    flight, so XLA's latency-hiding scheduler overlaps the collective with
+    interior compute — the reference's async-halo + interior-SpMV pattern
+    without streams."""
+    if interior_split <= 0:
+        xe = extended_vector(x_local, pack_idx, halo_from, axis)
+        return jnp.sum(vals * xe[cols], axis=1)
+    halo = halo_exchange(x_local, pack_idx, halo_from, axis)
+    y_int = jnp.sum(vals[:interior_split] * x_local[cols[:interior_split]],
+                    axis=1)
+    xe = jnp.concatenate([x_local, halo])
+    y_bnd = jnp.sum(vals[interior_split:] * xe[cols[interior_split:]],
+                    axis=1)
+    return jnp.concatenate([y_int, y_bnd])
 
 
 def dist_dot(a, b, axis: str = "x"):

@@ -97,6 +97,9 @@ class DistributedSolver:
         a0 = DistEllMatrix.from_global(csr, n_dev, row_part, dtype=mat_dt,
                                        mesh=self.mesh, axis=self.axis,
                                        sort_interior_first=not self.use_amg)
+        # static interior bound valid on every shard -> comm/compute overlap
+        self._split0 = int(np.asarray(a0.interior_rows).min()) \
+            if not self.use_amg else 0
         self.levels = [DistLevel(a0, self._inv_diag(csr, a0, vec_dt))]
         self._global_csrs = [csr]
 
@@ -254,9 +257,12 @@ class DistributedSolver:
                 return args[0][3] * r
             return r
 
+        split0 = getattr(self, "_split0", 0)
+
         def step(cols, vals, pack, halo, flat_args, x, p, r, rho):
             args = _unflatten(flat_args)
-            q = comms.dist_spmv(cols, vals, pack, halo, p, ax)
+            q = comms.dist_spmv(cols, vals, pack, halo, p, ax,
+                                interior_split=split0)
             alpha = rho / comms.dist_dot(p, q, ax)
             x = x + alpha * p
             r = r - alpha * q
@@ -269,7 +275,8 @@ class DistributedSolver:
 
         def init(cols, vals, pack, halo, flat_args, b, x):
             args = _unflatten(flat_args)
-            r = b - comms.dist_spmv(cols, vals, pack, halo, x, ax)
+            r = b - comms.dist_spmv(cols, vals, pack, halo, x, ax,
+                                    interior_split=split0)
             z = precond(r, args)
             rho = comms.dist_dot(r, z, ax)
             return r, z, rho, comms.dist_nrm2(r, ax)

@@ -46,8 +46,9 @@ def ell_spmv(a: EllMatrix, x):
         return jnp.sum(a.vals * gathered, axis=1)
     xb = x.reshape(-1, by)                        # (n_pad, by)
     gathered = xb[a.cols]                         # (n_pad, w, by)
+    # mixed-precision modes (dDFI): accumulate in the promoted dtype
     y = jnp.einsum("nwij,nwj->ni", a.vals, gathered,
-                   preferred_element_type=a.vals.dtype)
+                   preferred_element_type=jnp.result_type(a.vals, x))
     return y.reshape(-1)
 
 
@@ -184,7 +185,7 @@ def dia_spmv_pallas(a: DiaMatrix, x, chunk: int = 65536):
     return y
 
 
-def dia_spmv_pallas2d(a: DiaMatrix, x, chunk_rows: int = 512,
+def dia_spmv_pallas2d(a: DiaMatrix, x, chunk_rows: int = 256,
                       interpret: bool = False):
     """2-D tiled Pallas DIA SpMV — the speed-of-light path.
 

@@ -1,20 +1,26 @@
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
-Run on real TPU hardware by the round driver. Measures:
-  * SpMV throughput (DIA/stencil path and general ELL path) on 3-D Poisson —
-    K applications fused into one jitted fori_loop so launch latency (large
-    through remote tunnels) amortizes out and kernel bandwidth is what's
-    measured,
-  * AMG-preconditioned PCG setup + solve wall time (the solve runs as a
-    single fused lax.while_loop program).
-Headline: SpMV effective bandwidth; vs_baseline = fraction of the chip's
-HBM speed-of-light (the reference publishes no numbers — BASELINE.md — so
-the speed-of-light fraction is the honest yardstick).
+Run on real TPU hardware by the round driver. Phases run in isolated
+subprocesses with hard deadlines (remote-TPU compiles can wedge), so the
+JSON line is always emitted.
+
+Measures:
+  * SpMV throughput: the Pallas 2-D tiled DIA kernel (stencil path, near
+    speed-of-light) and the general ELL gather path, timed inside one jitted
+    fori_loop so the tunneled runtime's ~300us per-op launch floor amortizes
+    against real HBM traffic.
+  * AMG-preconditioned PCG setup + solve wall time (one fused lax.while_loop
+    program).
+Headline: SpMV effective bandwidth; vs_baseline = fraction of the chip's HBM
+speed-of-light (the reference publishes no numbers — BASELINE.md).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -26,8 +32,7 @@ _HBM_GBPS = {
 }
 
 
-def _hbm_gbps(device) -> float:
-    kind = getattr(device, "device_kind", "")
+def _hbm_gbps(kind: str) -> float:
     best = None
     for k, v in _HBM_GBPS.items():
         if kind.startswith(k) and (best is None or len(k) > best[0]):
@@ -35,61 +40,86 @@ def _hbm_gbps(device) -> float:
     return best[1] if best else 819.0
 
 
-def bench_spmv(n_side: int, inner: int, reps: int, dtype=np.float32):
+# ---------------------------------------------------------------------------
+# phases (each runs in its own subprocess)
+# ---------------------------------------------------------------------------
+
+def phase_device():
+    import jax
+    d = jax.devices()[0]
+    print(json.dumps({"kind": getattr(d, "device_kind", str(d)),
+                      "platform": d.platform}))
+
+
+def phase_spmv_dia(n_side: int, inner: int, reps: int):
+    import jax
+    import jax.numpy as jnp
+    import amgx_tpu as amgx
+    from amgx_tpu.ops.spmv import csr_to_dia, dia_spmv_pallas2d, dia_spmv
+    dtype = np.float32
+    a = amgx.gallery.poisson7pt(n_side, n_side, n_side, dtype=dtype)
+    dia = csr_to_dia(a, dtype=dtype)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    # chunk 128 is the verified-stable tile height on the tunneled backend
+    f = (lambda v: dia_spmv_pallas2d(dia, v, chunk_rows=128)) if on_tpu \
+        else (lambda v: dia_spmv(dia, v))
+    scale = np.asarray(0.12, dtype)
+
+    def many(v):
+        return jax.lax.fori_loop(0, inner, lambda i, u: f(u) * scale, v)
+
+    g = jax.jit(many)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        dia.n_pad).astype(dtype))
+    g(x).block_until_ready()
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        g(x).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / inner)
+    nbytes = (len(dia.offsets) + 2) * dia.n_pad * 4
+    print(json.dumps({"n": a.n_rows, "nnz": a.nnz, "time_s": best,
+                      "gbps": nbytes / best / 1e9,
+                      "gnnz_per_s": a.nnz / best / 1e9}))
+
+
+def phase_spmv_ell(n_side: int, inner: int, reps: int):
     import jax
     import jax.numpy as jnp
     import amgx_tpu as amgx
     from amgx_tpu.matrix import csr_to_ell
-    from amgx_tpu.ops.spmv import csr_to_dia
-
+    dtype = np.float32
     a = amgx.gallery.poisson7pt(n_side, n_side, n_side, dtype=dtype)
-    nnz = a.nnz
-    results = {}
-    scale = np.asarray(0.12, dtype)   # keep iterates bounded (|lam|<8.4)
-    # the general ELL gather path is exercised on a smaller system: XLA
-    # gathers scalarize on TPU, this path exists for irregular matrices
-    a_ell = amgx.gallery.poisson7pt(min(n_side, 48), min(n_side, 48),
-                                    min(n_side, 48), dtype=dtype)
-    for name, op, mat in (("dia", csr_to_dia(a, dtype=dtype), a),
-                          ("ell", csr_to_ell(a_ell, dtype=dtype), a_ell)):
-        if op is None:
-            continue
-        nnz = mat.nnz
-        n_pad = op.n_pad
+    op = csr_to_ell(a, dtype=dtype)
+    scale = np.asarray(0.12, dtype)
 
-        def many(x, op=op):
-            return jax.lax.fori_loop(
-                0, inner, lambda i, v: op.apply(v) * scale, x)
+    def many(v):
+        return jax.lax.fori_loop(0, inner,
+                                 lambda i, u: op.apply(u) * scale, v)
 
-        f = jax.jit(many)
-        x = jnp.asarray(np.random.default_rng(0).standard_normal(
-            n_pad).astype(dtype))
-        f(x).block_until_ready()              # compile
-        best = np.inf
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            f(x).block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / inner)
-        itemsize = np.dtype(dtype).itemsize
-        if name == "dia":
-            bytes_moved = (len(op.offsets) * n_pad + 2 * n_pad) * itemsize
-        else:
-            bytes_moved = (op.vals.size * itemsize + op.cols.size * 4
-                           + 2 * n_pad * itemsize)
-        results[name] = {"n": mat.n_rows, "nnz": nnz, "time_s": best,
-                         "gbps": bytes_moved / best / 1e9,
-                         "gnnz_per_s": nnz / best / 1e9}
-    return a, results
+    g = jax.jit(many)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        op.n_pad).astype(dtype))
+    g(x).block_until_ready()
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        g(x).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / inner)
+    nbytes = op.vals.size * 4 + op.cols.size * 4 + 2 * op.n_pad * 4
+    print(json.dumps({"n": a.n_rows, "nnz": a.nnz, "time_s": best,
+                      "gbps": nbytes / best / 1e9,
+                      "gnnz_per_s": a.nnz / best / 1e9}))
 
 
-def bench_amg(n_side: int, dtype=np.float32):
+def phase_amg(n_side: int):
     import amgx_tpu as amgx
+    dtype = np.float32
     a = amgx.gallery.poisson7pt(n_side, n_side, n_side, dtype=dtype)
-    mode = "dFFI" if dtype == np.float32 else "dDDI"
     cfg = amgx.AMGConfig({"config_version": 2, "solver": {
         "solver": "PCG", "max_iters": 100, "tolerance": 1e-6,
         "convergence": "RELATIVE_INI", "monitor_residual": 1,
-        "mode": mode, "scope": "main",
+        "mode": "dFFI", "dense_threshold_rows": 4096, "scope": "main",
         "preconditioner": {"solver": "AMG", "scope": "amg",
                            "algorithm": "AGGREGATION",
                            "selector": "SIZE_8",
@@ -100,54 +130,82 @@ def bench_amg(n_side: int, dtype=np.float32):
                            "cycle": "V"}}})
     s = amgx.SolverFactory.allocate(cfg)
     t0 = time.perf_counter()
-    s.setup(amgx.Matrix(a, mode=mode))
+    s.setup(amgx.Matrix(a, mode="dFFI"))
     setup_t = time.perf_counter() - t0
     b = np.ones(a.n_rows, dtype)
-    x, status = s.solve(b)            # includes the fused-loop compile
+    x, status = s.solve(b)           # compile + solve
     t0 = time.perf_counter()
-    x, status = s.solve(b)            # steady-state timing
+    x, status = s.solve(b)           # steady state
     solve_t = time.perf_counter() - t0
-    rel = float(self_rel(s))
-    levels = len(s.preconditioner.amg.levels) \
-        if getattr(s, "preconditioner", None) is not None else 0
-    return {"n": a.n_rows, "nnz": a.nnz, "setup_s": setup_t,
-            "solve_s": solve_t, "iters": s.last_iters, "status": status,
-            "rel_resid": rel, "levels": levels}
-
-
-def self_rel(s):
-    if not s.res_history:
-        return float("nan")
     h = [float(np.atleast_1d(v)[0]) for v in s.res_history]
-    return h[-1] / h[0] if h[0] else float("nan")
+    print(json.dumps({
+        "n": a.n_rows, "nnz": a.nnz, "setup_s": setup_t,
+        "solve_s": solve_t, "iters": s.last_iters, "status": status,
+        "rel_resid": (h[-1] / h[0]) if h and h[0] else None,
+        "levels": len(s.preconditioner.amg.levels)
+        if getattr(s, "preconditioner", None) is not None else 0}))
+
+
+_PHASES = {
+    "device": (phase_device, ()),
+}
+
+
+def _run_phase(name: str, args, deadline_s: int):
+    cmd = [sys.executable, os.path.abspath(__file__), "--phase", name] + \
+        [str(a) for a in args]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=deadline_s)
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        return {"error": f"no output (rc={out.returncode})",
+                "stderr": out.stderr[-400:]}
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {deadline_s}s"}
+    except Exception as e:                      # noqa: BLE001
+        return {"error": str(e)}
 
 
 def main():
-    import jax
-    dev = jax.devices()[0]
-    on_tpu = dev.platform == "tpu"
+    dev = _run_phase("device", (), 240)
+    kind = dev.get("kind", "unknown")
+    on_tpu = dev.get("platform") == "tpu"
     if on_tpu:
-        # large enough to amortize the ~300us fixed per-op launch floor of
-        # the tunneled runtime against real HBM traffic (192^3 compiles hang
-        # through the remote-compile tunnel; 128^3 is the verified sweet
-        # spot)
-        spmv_side, inner, reps, amg_side = 128, 50, 4, 48
+        dia_args, ell_args, amg_args = (128, 50, 4), (96, 30, 3), (48,)
+        deadlines = (900, 700, 900)
     else:
-        spmv_side, inner, reps, amg_side = 24, 10, 2, 16
-    a, spmv = bench_spmv(spmv_side, inner, reps)
-    amg = bench_amg(amg_side)
-    best = max(spmv.values(), key=lambda r: r["gbps"])
-    sol = _hbm_gbps(dev)
+        dia_args, ell_args, amg_args = (24, 10, 2), (24, 10, 2), (16,)
+        deadlines = (300, 300, 420)
+    spmv_dia = _run_phase("spmv_dia", dia_args, deadlines[0])
+    spmv_ell = _run_phase("spmv_ell", ell_args, deadlines[1])
+    amg = _run_phase("amg", amg_args, deadlines[2])
+    candidates = [r for r in (spmv_dia, spmv_ell) if "gbps" in r]
+    sol = _hbm_gbps(kind)
+    if candidates:
+        best = max(candidates, key=lambda r: r["gbps"])
+        value = round(best["gbps"], 2)
+        vsb = round(best["gbps"] / sol, 4)
+    else:
+        value, vsb = 0.0, 0.0
     print(json.dumps({
         "metric": "spmv_gbps",
-        "value": round(best["gbps"], 2),
+        "value": value,
         "unit": "GB/s",
-        "vs_baseline": round(best["gbps"] / sol, 4),
-        "detail": {"device": getattr(dev, "device_kind", str(dev)),
-                   "hbm_sol_gbps": sol, "n": a.n_rows, "nnz": a.nnz,
-                   "spmv": spmv, "amg_pcg": amg},
+        "vs_baseline": vsb,
+        "detail": {"device": kind, "hbm_sol_gbps": sol,
+                   "spmv_dia": spmv_dia, "spmv_ell": spmv_ell,
+                   "amg_pcg": amg},
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--phase":
+        name = sys.argv[2]
+        args = [int(a) for a in sys.argv[3:]]
+        {"device": phase_device, "spmv_dia": phase_spmv_dia,
+         "spmv_ell": phase_spmv_ell, "amg": phase_amg}[name](*args)
+    else:
+        main()

@@ -156,3 +156,63 @@ def test_distributed_matches_single_chip(mesh, rng):
     s8.setup(a)
     x8, _ = s8.solve(b)
     assert np.allclose(s1.extract_vector(x1), x8, atol=1e-6)
+
+
+def test_distributed_power_iteration(mesh):
+    from amgx_tpu.distributed.eigen import DistributedEigenSolver
+    a = amgx.gallery.poisson5pt(16, 16)
+    ref = np.linalg.eigvalsh(a.to_dense()).max()
+    es = DistributedEigenSolver("SINGLE_ITERATION", mesh, max_iters=500,
+                                tolerance=1e-7)
+    es.setup(a)
+    evals, evecs = es.solve()
+    assert abs(evals[0] - ref) / ref < 1e-3
+
+
+def test_distributed_lanczos(mesh):
+    from amgx_tpu.distributed.eigen import DistributedEigenSolver
+    a = amgx.gallery.poisson5pt(16, 16)
+    ref = np.linalg.eigvalsh(a.to_dense()).max()
+    es = DistributedEigenSolver("LANCZOS", mesh, krylov_dim=30)
+    es.setup(a)
+    evals, evecs = es.solve()
+    assert abs(evals[0] - ref) / ref < 1e-6
+    # near-degenerate top eigenvalues limit Ritz-vector accuracy
+    v = evecs[0]
+    r = a.to_scipy() @ v - evals[0] * v
+    assert np.linalg.norm(r) / abs(evals[0]) < 1e-2
+
+
+def test_distributed_pagerank(mesh):
+    from amgx_tpu.distributed.eigen import DistributedEigenSolver
+    from amgx_tpu.matrix import CSRMatrix
+    rows = [0, 0, 1, 2, 3, 3]
+    cols = [1, 2, 2, 0, 2, 0]
+    adj = CSRMatrix.from_coo(4, 4, rows, cols, np.ones(6))
+    es = DistributedEigenSolver("SINGLE_ITERATION", mesh, max_iters=300,
+                                tolerance=1e-10, which="pagerank")
+    es.pagerank_setup(adj)
+    evals, evecs = es.solve()
+    pr = np.abs(evecs[0][:4])
+    pr = pr / pr.sum()
+    assert pr[2] == pr.max()
+
+
+def test_dist_spmv_overlap_split(mesh, rng):
+    """The interior/boundary-split SpMV (comm/compute overlap path) matches
+    the unsplit product (reference: multiply.cu:113-197)."""
+    a = amgx.gallery.poisson7pt(24, 6, 6)
+    dm = DistEllMatrix.from_global(a, N_DEV, mesh=mesh)
+    split = int(np.asarray(dm.interior_rows).min())
+    assert split > 0
+    x = rng.standard_normal(a.n_rows)
+
+    def spmv(cols, vals, pack, halo, xv):
+        return comms.dist_spmv(cols[0], vals[0], pack[0], halo[0],
+                               xv[0], "x", interior_split=split)[None]
+    f = jax.jit(jax.shard_map(spmv, mesh=mesh, in_specs=(P("x"),) * 5,
+                              out_specs=P("x")))
+    xd = dm.scatter_vector(x, "cols", mesh)
+    y = dm.gather_vector(f(dm.cols, dm.vals, dm.pack_idx, dm.halo_from,
+                           xd), "rows")
+    assert np.allclose(y, a.to_scipy() @ x)
