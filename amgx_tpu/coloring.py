@@ -114,28 +114,36 @@ def _jones_plassmann(csr: CSRMatrix, level: int, min_max_only: bool,
 
 
 def _serial_greedy_bfs(csr: CSRMatrix, level: int) -> MatrixColoring:
-    import collections
+    """Greedy coloring in BFS order; the per-node greedy pass runs in the
+    native C++ kernel when built (csrc/amgx_host.cpp greedy_color)."""
+    import scipy.sparse.csgraph as csgraph
     adj = _adjacency(csr, level)
     n = csr.n_rows
-    colors = np.full(n, -1, np.int32)
-    visited = np.zeros(n, bool)
+    # BFS order over all components
+    seen = np.zeros(n, bool)
+    order_parts = []
     for start in range(n):
-        if visited[start]:
+        if seen[start]:
             continue
-        dq = collections.deque([start])
-        visited[start] = True
-        while dq:
-            i = dq.popleft()
-            nb = adj.indices[adj.indptr[i]:adj.indptr[i + 1]]
-            used = set(colors[nb][colors[nb] >= 0].tolist())
-            ci = 0
-            while ci in used:
-                ci += 1
-            colors[i] = ci
-            for j in nb:
-                if not visited[j]:
-                    visited[j] = True
-                    dq.append(j)
+        nodes = csgraph.breadth_first_order(adj, start,
+                                            return_predecessors=False)
+        seen[nodes] = True
+        order_parts.append(nodes)
+    order = np.concatenate(order_parts) if order_parts else \
+        np.arange(n, dtype=np.int64)
+    from . import native
+    lib = native.lib()
+    if lib is not None:
+        colors, num = lib.greedy_color(adj.indptr, adj.indices, order)
+        return MatrixColoring(colors.astype(np.int32), max(1, num))
+    colors = np.full(n, -1, np.int32)
+    for i in order:
+        nb = adj.indices[adj.indptr[i]:adj.indptr[i + 1]]
+        used = set(colors[nb][colors[nb] >= 0].tolist())
+        ci = 0
+        while ci in used:
+            ci += 1
+        colors[i] = ci
     return MatrixColoring(colors, int(colors.max()) + 1 if n else 1)
 
 

@@ -49,6 +49,12 @@ class _NativeLib:
             i64p, i32p, f64p,
             i64p, i32p, f64p,
             i64p, i32p, f64p]
+        self._h.ilu0_factor.restype = None
+        self._h.ilu0_factor.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
+                                        i64p, i64p]
+        self._h.greedy_color.restype = ctypes.c_int32
+        self._h.greedy_color.argtypes = [ctypes.c_int64, i64p, i32p, i64p,
+                                         i32p]
 
     def csr_spgemm(self, a, b):
         from .matrix import CSRMatrix
@@ -86,6 +92,39 @@ class _NativeLib:
         if ra is None:
             return None
         return self.csr_spgemm(ra, p)
+
+    def ilu0(self, indptr, indices, data, rank, order):
+        """In-place ILU(0) in the given ordering; returns the factored
+        values array."""
+        import ctypes
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        indptr = np.ascontiguousarray(indptr, np.int64)
+        indices = np.ascontiguousarray(indices, np.int32)
+        data = np.ascontiguousarray(data, np.float64).copy()
+        rank = np.ascontiguousarray(rank, np.int64)
+        order = np.ascontiguousarray(order, np.int64)
+        self._h.ilu0_factor(
+            len(indptr) - 1, indptr.ctypes.data_as(i64p),
+            indices.ctypes.data_as(i32p), data.ctypes.data_as(f64p),
+            rank.ctypes.data_as(i64p), order.ctypes.data_as(i64p))
+        return data
+
+    def greedy_color(self, indptr, indices, order):
+        import ctypes
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        n = len(indptr) - 1
+        indptr = np.ascontiguousarray(indptr, np.int64)
+        indices = np.ascontiguousarray(indices, np.int32)
+        order = np.ascontiguousarray(order, np.int64)
+        colors = np.zeros(n, np.int32)
+        num = self._h.greedy_color(
+            n, indptr.ctypes.data_as(i64p), indices.ctypes.data_as(i32p),
+            order.ctypes.data_as(i64p),
+            colors.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return colors, int(num)
 
 
 def lib() -> Optional[_NativeLib]:

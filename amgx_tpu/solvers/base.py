@@ -95,6 +95,8 @@ class Solver:
         """Attach the system matrix and build internal state (reference:
         Solver::setup, solver.cu:341)."""
         t0 = time.perf_counter()
+        from ..logging_util import profile_phase
+        self._phase = profile_phase
         if isinstance(m, Matrix):
             self.m = m
             if self.needs_coloring and m.coloring is None \
@@ -114,7 +116,8 @@ class Solver:
         else:
             self.m = None
             self.op = m
-        self.solver_setup()
+        with profile_phase(f"setup:{type(self).__name__}"):
+            self.solver_setup()
         self._jit_iteration = None
         self._jit_first = None
         self._jit_fused = None
@@ -228,13 +231,20 @@ class Solver:
             bd = self.block_dim[0]
             ini = blas.get_norm(r0, self.norm, bd,
                                 self.use_scalar_norm or bd == 1)
+            # already converged at the initial residual (e.g. b = 0): keep
+            # the incoming iterate — the first iteration may be 0/0 = NaN.
+            # converged(ini, ini) is exact for every criterion: ABSOLUTE
+            # tests ini<=tol, relative ones only fire when ini == 0.
+            pre_done = self._fused_converged(ini, ini) & (min_iters == 0)
+            x1 = jnp.where(pre_done, x, x1)
             hist_len = max_iters + 1
             nrm1 = self._fused_norm(b, x1, st)
+            nrm1 = jax.tree.map(lambda v: jnp.where(pre_done, 0.0, v), nrm1)
             hist = jnp.zeros((hist_len,), jnp.result_type(nrm1))
             hist = hist.at[0].set(jnp.max(jnp.atleast_1d(ini)))
             hist = hist.at[1].set(jnp.max(jnp.atleast_1d(nrm1)))
-            done1 = (self._fused_converged(nrm1, ini) &
-                     (1 >= min_iters)) | \
+            done1 = pre_done | (self._fused_converged(nrm1, ini) &
+                                (1 >= min_iters)) | \
                 ~jnp.all(jnp.isfinite(jnp.atleast_1d(nrm1)))
 
             def cond(c):
@@ -262,6 +272,11 @@ class Solver:
     def solve(self, b, x=None, zero_initial_guess: bool = False):
         """Reference: Solver::solve (solver.cu:589-858). Returns
         (x_device, status)."""
+        from ..logging_util import profile_phase
+        with profile_phase(f"solve:{type(self).__name__}"):
+            return self._solve_impl(b, x, zero_initial_guess)
+
+    def _solve_impl(self, b, x=None, zero_initial_guess: bool = False):
         t0 = time.perf_counter()
         b = self.prepare_vector(b)
         if x is None:

@@ -197,30 +197,37 @@ class MulticolorILUSolver(Solver):
         perm = np.argsort(col, kind="stable")      # new ordering -> old row
         rank = np.empty(n, np.int64)
         rank[perm] = np.arange(n)                  # old row -> position
-        # host ILU0 on the (possibly ILU(1)-extended) pattern, IKJ form
-        indptr, indices, data = work.indptr, work.indices, \
-            work.data.astype(np.float64).copy()
-        rowmap = [dict() for _ in range(n)]
-        for i in range(n):
-            for k in range(indptr[i], indptr[i + 1]):
-                rowmap[i][int(indices[k])] = k
-        order = perm.tolist()
-        for i in order:
-            ri = rank[i]
-            # eliminate using rows j with rank[j] < rank[i]
-            ks = sorted(rowmap[i].items(), key=lambda kv: rank[kv[0]])
-            for j, kij in ks:
-                if rank[j] >= ri:
-                    continue
-                dj = rowmap[j].get(j)
-                piv = data[dj] if dj is not None else 0.0
-                if piv == 0.0:
-                    continue
-                lij = data[kij] / piv
-                data[kij] = lij
-                for jj, kjj in rowmap[j].items():
-                    if rank[jj] > rank[j] and jj in rowmap[i]:
-                        data[rowmap[i][jj]] -= lij * data[kjj]
+        # host ILU0 on the (possibly ILU(1)-extended) pattern in the color
+        # ordering; native C++ kernel when built (csrc/amgx_host.cpp),
+        # python IKJ fallback otherwise
+        indptr, indices = work.indptr, work.indices
+        from .. import native
+        lib = native.lib()
+        if lib is not None:
+            data = lib.ilu0(indptr, indices,
+                            work.data.astype(np.float64), rank, perm)
+        else:
+            data = work.data.astype(np.float64).copy()
+            rowmap = [dict() for _ in range(n)]
+            for i in range(n):
+                for k in range(indptr[i], indptr[i + 1]):
+                    rowmap[i][int(indices[k])] = k
+            for i in perm.tolist():
+                ri = rank[i]
+                # eliminate using rows j with rank[j] < rank[i]
+                ks = sorted(rowmap[i].items(), key=lambda kv: rank[kv[0]])
+                for j, kij in ks:
+                    if rank[j] >= ri:
+                        continue
+                    dj = rowmap[j].get(j)
+                    piv = data[dj] if dj is not None else 0.0
+                    if piv == 0.0:
+                        continue
+                    lij = data[kij] / piv
+                    data[kij] = lij
+                    for jj, kjj in rowmap[j].items():
+                        if rank[jj] > rank[j] and jj in rowmap[i]:
+                            data[rowmap[i][jj]] -= lij * data[kjj]
         # split into L (strict, color-lower) and U (incl diag)
         rows = np.repeat(np.arange(n), np.diff(indptr))
         lower = rank[indices] < rank[rows]
@@ -230,10 +237,9 @@ class MulticolorILUSolver(Solver):
         umat = CSRMatrix.from_coo(n, n, rows[upper], indices[upper],
                                   data[upper], sum_duplicates=False)
         udiag = np.ones(self.n_pad)
-        for i in range(n):
-            k = rowmap[i].get(i)
-            if k is not None and data[k] != 0:
-                udiag[i] = data[k]
+        rows_all = np.repeat(np.arange(n), np.diff(indptr))
+        dmask = (indices == rows_all) & (data != 0)
+        udiag[rows_all[dmask]] = data[dmask]
         self.L = csr_to_ell(lmat, dtype=vec_dt, row_pad=self.n_pad)
         self.U = csr_to_ell(umat, dtype=vec_dt, row_pad=self.n_pad)
         self.inv_udiag = jnp.asarray((1.0 / udiag).astype(vec_dt))

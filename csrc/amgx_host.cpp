@@ -11,6 +11,8 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <algorithm>
+#include <utility>
 
 extern "C" {
 
@@ -91,6 +93,79 @@ void spgemm_fill(int64_t n_rows_a, int64_t n_cols_b,
             c_data[q + 1] = cv;
         }
     }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// In-place ILU(0) factorization in a caller-supplied row ordering
+// (rank[i] = position of row i; used for the multicolor ordering).
+// L entries (rank[j] < rank[i]) hold multipliers, U entries keep values.
+// Mirrors the factorization the reference performs per color block
+// (core/src/solvers/multicolor_ilu_solver.cu) in host form.
+void ilu0_factor(int64_t n, const int64_t* indptr, const int32_t* indices,
+                 double* data, const int64_t* rank, const int64_t* order) {
+    // column position lookup per row, rebuilt per elimination row
+    std::vector<int64_t> pos(static_cast<size_t>(n), -1);
+    for (int64_t oi = 0; oi < n; ++oi) {
+        const int64_t i = order[oi];
+        const int64_t ri = rank[i];
+        for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
+            pos[indices[k]] = k;
+        // eliminate with rows j (in increasing rank) below rank ri
+        // iterate row i's entries sorted by rank of their column
+        std::vector<std::pair<int64_t, int64_t>> lower;  // (rank_j, k)
+        for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+            const int32_t j = indices[k];
+            if (rank[j] < ri) lower.emplace_back(rank[j], k);
+        }
+        std::sort(lower.begin(), lower.end());
+        for (const auto& rk : lower) {
+            const int64_t k = rk.second;
+            const int32_t j = indices[k];
+            // pivot = U_jj
+            double piv = 0.0;
+            for (int64_t kk = indptr[j]; kk < indptr[j + 1]; ++kk)
+                if (indices[kk] == j) { piv = data[kk]; break; }
+            if (piv == 0.0) continue;
+            const double lij = data[k] / piv;
+            data[k] = lij;
+            for (int64_t kk = indptr[j]; kk < indptr[j + 1]; ++kk) {
+                const int32_t jj = indices[kk];
+                if (rank[jj] > rank[j]) {
+                    const int64_t p = pos[jj];
+                    if (p >= 0) data[p] -= lij * data[kk];
+                }
+            }
+        }
+        for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
+            pos[indices[k]] = -1;
+    }
+}
+
+// Greedy graph coloring in a caller-supplied order; returns #colors.
+int32_t greedy_color(int64_t n, const int64_t* indptr,
+                     const int32_t* indices, const int64_t* order,
+                     int32_t* colors) {
+    for (int64_t i = 0; i < n; ++i) colors[i] = -1;
+    std::vector<int32_t> used;
+    int32_t num = 0;
+    for (int64_t oi = 0; oi < n; ++oi) {
+        const int64_t i = order[oi];
+        used.assign(static_cast<size_t>(num) + 1, 0);
+        for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+            const int32_t j = indices[k];
+            if (j == i) continue;
+            const int32_t c = colors[j];
+            if (c >= 0 && c <= num) used[c] = 1;
+        }
+        int32_t c = 0;
+        while (c <= num && used[c]) ++c;
+        colors[i] = c;
+        if (c == num) ++num;
+    }
+    return num;
 }
 
 }  // extern "C"
