@@ -32,10 +32,15 @@ def _coarse_solve(amg, b):
 
 def _sweep_counts(amg, idx: int):
     pre, post = amg.presweeps, amg.postsweeps
-    if amg.intensive_smoothing:
+    if idx == 0 and amg.finest_sweeps != -1:
+        # reference: finest_sweeps overrides on the finest level
+        # (fixed_cycle.cu getNumFinestsweeps)
+        pre = 0 if pre == 0 else amg.finest_sweeps
+        post = 0 if post == 0 else amg.finest_sweeps
+    elif amg.intensive_smoothing:
         # reference: coarse levels get more sweeps under intensive_smoothing
-        factor = min(4, 1 << idx)
-        pre, post = pre * factor, post * factor
+        pre = max(pre + idx - 1, 0) if pre else 0
+        post = max(post + idx - 1, 0) if post else 0
     return pre, post
 
 
@@ -71,7 +76,17 @@ def cycle(amg, idx: int, b, x, zero_guess: bool = False,
         xc = _k_cycle(amg, idx + 1, rc, flexible=(ctype == "CGF"))
     else:
         raise ValueError(f"Unknown cycle '{ctype}'")
-    x = x + lvl.P.apply(xc)
+    e = lvl.P.apply(xc)
+    if amg.error_scaling in (2, 3):
+        # scale the coarse-grid correction to minimize ||r - lambda A e||
+        # (reference: error_scaling modes, classical_amg_level correction
+        # scaling)
+        ae = lvl.m.device_op().apply(e)
+        num = jnp.vdot(r, ae)
+        den = jnp.vdot(ae, ae)
+        lam = jnp.where(den != 0, num / jnp.where(den == 0, 1.0, den), 1.0)
+        e = lam * e
+    x = x + e
     x = _smooth(lvl.smoother, b, x, post, False)
     return x
 

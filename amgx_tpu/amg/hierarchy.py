@@ -80,6 +80,8 @@ class AMG:
         self.presweeps = g("presweeps")
         self.postsweeps = g("postsweeps")
         self.coarsest_sweeps = g("coarsest_sweeps")
+        self.finest_sweeps = g("finest_sweeps")
+        self.error_scaling = g("error_scaling")
         self.intensive_smoothing = bool(g("intensive_smoothing"))
         self.cycle_type = g("cycle")
         self.cycle_iters = g("cycle_iters")
@@ -106,6 +108,11 @@ class AMG:
             if len(self.levels) >= self.max_levels:
                 break
             if n <= max(self.min_coarse_rows, 2):
+                break
+            if self.dense_lu_num_rows and n <= self.dense_lu_num_rows \
+                    and len(self.levels) > 1:
+                # reference: switch to the dense-LU coarse solve once a
+                # level is small enough (amg.cu dense_lu_num_rows gate)
                 break
             created = self._create_coarse_level(level)
             if created is None:

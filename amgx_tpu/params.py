@@ -64,6 +64,8 @@ def register_all_parameters() -> None:
     P("postsweeps", int, 1, "post-smoothing sweeps", allowed_range=(0, None))
     P("coarsest_sweeps", int, 1, "smoothing sweeps on the coarsest level when "
       "no coarse solver is used", allowed_range=(0, None))
+    P("finest_sweeps", int, -1,
+      "override sweep count on the finest level (-1 = use pre/postsweeps)")
     P("intensive_smoothing", int, 0, "multiply sweep counts on coarse levels",
       allowed_values=[0, 1])
     P("cycle", str, "V", "multigrid cycle shape",

@@ -17,8 +17,9 @@ def _amg_cfg(**over):
     base = {"solver": "AMG", "algorithm": "AGGREGATION", "selector": "SIZE_2",
             "smoother": "MULTICOLOR_GS", "presweeps": 1, "postsweeps": 1,
             "coarse_solver": "DENSE_LU_SOLVER", "min_coarse_rows": 8,
-            "max_levels": 20, "cycle": "V", "max_iters": 60,
-            "tolerance": 1e-8, "convergence": "RELATIVE_INI",
+            "dense_lu_num_rows": 8,     # disable the early dense-LU gate so
+            "max_levels": 20, "cycle": "V", "max_iters": 60,  # tests see
+            "tolerance": 1e-8, "convergence": "RELATIVE_INI",  # deep grids
             "monitor_residual": 1, "scope": "main"}
     base.update(over)
     return amgx.AMGConfig({"config_version": 2, "solver": base})
@@ -165,7 +166,7 @@ def test_energymin_algorithm():
 
 def test_dense_coarse_levels():
     """dense_threshold_rows moves small coarse operators onto the MXU."""
-    s, status, rel = _run(_amg_cfg(dense_threshold_rows=64))
+    s, status, rel = _run(_amg_cfg(dense_threshold_rows=128))
     assert status == amgx.SolveStatus.SUCCESS and rel < 1e-6
     from amgx_tpu.matrix import DenseOperator
     kinds = [type(l.m.device_op()) for l in s.amg.levels]
