@@ -179,11 +179,51 @@ def _pmis_hash(n: int, seed: int) -> np.ndarray:
 
 def hmis_select(csr: CSRMatrix, strong: np.ndarray, seed: int = 0,
                 aggressive: bool = False) -> np.ndarray:
-    """HMIS (selectors/hmis.cu): a one-pass Ruge-Stueben sweep to seed
-    C points, then PMIS to clean up — approximated here by PMIS with
-    RS-style weights (strong-transpose degree dominates), which produces the
-    same C/F character."""
-    return pmis_select(csr, strong, seed=seed + 1, aggressive=aggressive)
+    """HMIS (selectors/hmis.cu): a one-pass Ruge-Stueben sweep seeds
+    C points by descending influence count, then PMIS cleans up the
+    remaining undecided points.
+
+    Pass 1 (serialized RS): visit points in order of lambda = |S^T row|
+    (number of points each influences); an unvisited point becomes C and
+    its strong neighbours become F. Pass 2: PMIS restricted to any points
+    the sweep left untouched keeps the splitting parallel-consistent.
+    """
+    s = _strength_graph(csr, strong)
+    st = s.T.tocsr()
+    sym = (s + st).tocsr()
+    n = csr.n_rows
+    lam = np.asarray(st.sum(axis=1)).ravel()
+    order = np.argsort(-(lam + _pmis_hash(n, seed)), kind="stable")
+    state = np.zeros(n, np.int8)
+    indptr, indices = sym.indptr, sym.indices
+    for i in order:
+        if state[i] != 0:
+            continue
+        state[i] = 1                      # C point
+        nb = indices[indptr[i]:indptr[i + 1]]
+        state[nb[state[nb] == 0]] = -1    # strong neighbours become F
+    if aggressive:
+        # aggressive HMIS: run the same sweep on the distance-2 graph of
+        # the C points only, demoting C points that lose
+        c_idx = np.nonzero(state == 1)[0]
+        sub = (sym[c_idx][:, c_idx] + (sym @ sym)[c_idx][:, c_idx]).tocsr()
+        sub.setdiag(0)
+        sub.eliminate_zeros()
+        lam_c = np.asarray(sub.sum(axis=1)).ravel()
+        order_c = np.argsort(-(lam_c + _pmis_hash(len(c_idx), seed + 3)),
+                             kind="stable")
+        keep = np.zeros(len(c_idx), np.int8)
+        for ii in order_c:
+            if keep[ii] != 0:
+                continue
+            keep[ii] = 1
+            nb = sub.indices[sub.indptr[ii]:sub.indptr[ii + 1]]
+            keep[nb[keep[nb] == 0]] = -1
+        state[c_idx[keep != 1]] = -1
+    cf_map = np.full(n, FINE, np.int64)
+    c_idx = np.nonzero(state == 1)[0]
+    cf_map[c_idx] = np.arange(c_idx.size)
+    return cf_map
 
 
 def cr_select(csr: CSRMatrix, strong: np.ndarray, sweeps: int = 5,
