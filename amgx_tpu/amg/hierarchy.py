@@ -242,6 +242,27 @@ class AMG:
         else:
             raise ValueError(f"Unknown AMG algorithm '{self.algorithm}'")
 
+        # RCM-permute non-stencil coarse operators so the MXU band format
+        # applies (TPU gathers scalarize; bandedness is restored by
+        # reordering — the data is restructured, not the kernel)
+        from ..ops.spmv import csr_to_dia
+        from ..ops import band as band_mod
+        if csr_to_dia(ac) is None and ac.n_rows > 256:
+            perm = band_mod.rcm_permutation(ac)
+            rank = np.empty_like(perm)
+            rank[perm] = np.arange(len(perm))
+            ac = band_mod.permute_square(ac, perm)
+            p_csr = band_mod.permute_cols(p_csr, perm)
+            r_csr = band_mod.permute_rows(r_csr, perm)
+            if level.agg_map is not None:
+                keep = level.agg_map >= 0
+                level.agg_map = np.where(keep, rank[np.where(
+                    keep, level.agg_map, 0)], -1)
+            if level.cf_map is not None:
+                keep = level.cf_map >= 0
+                level.cf_map = np.where(keep, rank[np.where(
+                    keep, level.cf_map, 0)], cls_mod.FINE)
+
         level.p_csr, level.r_csr = p_csr, r_csr
         cm = Matrix(ac, mode=mode)
         if level.cf_map is not None:

@@ -434,10 +434,14 @@ class Matrix:
             if dense_threshold and self.csr.n_rows * bx <= dense_threshold:
                 self._device_op = csr_to_dense_op(self.csr, dtype=mat_dt)
             elif spmv_impl in ("AUTO", "PALLAS") and (bx, bx) == (1, 1):
+                # fastest-first: DIA (stencil shift-FMA) -> tile-aligned
+                # band strips (MXU) -> padded-ELL gather fallback
                 from .ops.spmv import csr_to_dia
-                dia = csr_to_dia(self.csr, dtype=mat_dt) \
-                    if spmv_impl != "XLA" else None
-                self._device_op = dia if dia is not None else \
+                from .ops.band import csr_to_band
+                op = csr_to_dia(self.csr, dtype=mat_dt)
+                if op is None:
+                    op = csr_to_band(self.csr, dtype=mat_dt)
+                self._device_op = op if op is not None else \
                     csr_to_ell(self.csr, dtype=mat_dt)
             else:
                 self._device_op = csr_to_ell(self.csr, dtype=mat_dt)

@@ -116,7 +116,7 @@ def dia_spmv(a: DiaMatrix, x):
 
 
 def csr_to_dia(csr: CSRMatrix, dtype=None, max_bands: int = 32,
-               row_pad: int = 1024) -> Optional[DiaMatrix]:
+               row_pad: Optional[int] = None) -> Optional[DiaMatrix]:
     """Convert CSR to DIA if the matrix is banded with few distinct offsets.
     Returns None when the matrix is not DIA-friendly."""
     if csr.block_dim != (1, 1) or csr.nnz == 0:
@@ -126,6 +126,9 @@ def csr_to_dia(csr: CSRMatrix, dtype=None, max_bands: int = 32,
     uniq = np.unique(offs)
     if uniq.size > max_bands:
         return None
+    if row_pad is None:
+        # 2-D Pallas tiles want 128-row multiples; small matrices stay lean
+        row_pad = 128 if max(csr.n_rows, csr.n_cols) >= 128 else 8
     n_pad = max(row_pad, ((max(csr.n_rows, csr.n_cols) + row_pad - 1)
                           // row_pad) * row_pad)
     dtype = dtype or csr.data.dtype
