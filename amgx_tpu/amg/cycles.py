@@ -78,12 +78,16 @@ def cycle(amg, idx: int, b, x, zero_guess: bool = False,
         raise ValueError(f"Unknown cycle '{ctype}'")
     e = lvl.P.apply(xc)
     if amg.error_scaling in (2, 3):
-        # scale the coarse-grid correction to minimize ||r - lambda A e||
-        # (reference: error_scaling modes, classical_amg_level correction
-        # scaling)
+        # reference (aggregation_amg_level.cu error scaling):
+        #   mode 2: lambda = <r, Ae> / <Ae, Ae>   (residual minimization)
+        #   mode 3: lambda = <r, e>  / <e, Ae>    (energy minimization —
+        #           over-corrects, the right functional for unsmoothed
+        #           aggregation)
         ae = lvl.m.device_op().apply(e)
-        num = jnp.vdot(r, ae)
-        den = jnp.vdot(ae, ae)
+        if amg.error_scaling == 2:
+            num, den = jnp.vdot(r, ae), jnp.vdot(ae, ae)
+        else:
+            num, den = jnp.vdot(r, e), jnp.vdot(e, ae)
         lam = jnp.where(den != 0, num / jnp.where(den == 0, 1.0, den), 1.0)
         e = lam * e
     x = x + e
