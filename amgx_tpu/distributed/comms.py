@@ -61,6 +61,21 @@ def dist_spmv(cols, vals, pack_idx, halo_from, x_local, axis: str = "x",
     return jnp.concatenate([y_int, y_bnd])
 
 
+def dist_spmv_block(cols, vals, pack_idx, halo_from, x_local, by: int,
+                    axis: str = "x"):
+    """Blocked (BSR) shard SpMV: x_local is flat (L*by,); vals are
+    (Lr, W, bx, by); halo exchange moves whole column blocks."""
+    xb = x_local.reshape(-1, by)                    # (L, by)
+    buf = xb[pack_idx]                              # (Bmax, by)
+    table = jax.lax.all_gather(buf, axis)           # (D, Bmax, by)
+    halo = table.reshape(-1, by)[halo_from]         # (Hmax, by)
+    xe = jnp.concatenate([xb, halo], axis=0)        # (L+Hmax, by)
+    gathered = xe[cols]                             # (Lr, W, by)
+    y = jnp.einsum("rwij,rwj->ri", vals, gathered,
+                   preferred_element_type=jnp.result_type(vals, x_local))
+    return y.reshape(-1)
+
+
 def dist_dot(a, b, axis: str = "x"):
     return jax.lax.psum(jnp.vdot(a, b), axis)
 

@@ -90,7 +90,8 @@ class DistEllMatrix:
                  n_rows: int, n_cols: int, row_part: RowPartition,
                  col_part: RowPartition, lr: int, lc: int, nnz: int,
                  row_perm: Optional[np.ndarray] = None,
-                 col_perm: Optional[np.ndarray] = None):
+                 col_perm: Optional[np.ndarray] = None,
+                 block_dim=(1, 1)):
         self.cols = cols
         self.vals = vals
         self.pack_idx = pack_idx
@@ -106,6 +107,7 @@ class DistEllMatrix:
         self.row_perm = row_perm      # global row id per (dev, local slot)
         self.col_perm = col_perm      # same for the column space (square
                                       # reordered operators share row_perm)
+        self.block_dim = (int(block_dim[0]), int(block_dim[1]))
 
     @property
     def n_dev(self) -> int:
@@ -129,6 +131,7 @@ class DistEllMatrix:
                     axis: str = "x", sort_interior_first: bool = True
                     ) -> "DistEllMatrix":
         dtype = dtype or csr.data.dtype
+        bx, by = csr.block_dim
         if row_part is None:
             row_part = RowPartition.equal(csr.n_rows, n_dev)
         if col_part is None:
@@ -240,7 +243,9 @@ class DistEllMatrix:
             if info["rows_l"].size:
                 w = max(w, int(np.bincount(info["rows_l"]).max()))
         cols = np.zeros((n_dev, lr, w), np.int32)
-        vals = np.zeros((n_dev, lr, w), dtype)
+        vshape = (n_dev, lr, w) if (bx, by) == (1, 1) else \
+            (n_dev, lr, w, bx, by)
+        vals = np.zeros(vshape, dtype)
         interior = np.zeros(n_dev, np.int32)
         total_nnz = 0
         for d, info in enumerate(per_dev):
@@ -259,7 +264,8 @@ class DistEllMatrix:
                  jnp.asarray(pack_idx), jnp.asarray(halo_from),
                  jnp.asarray(interior), csr.n_rows, csr.n_cols,
                  row_part, col_part, lr, lc, total_nnz, row_perm,
-                 col_perm=row_perm if reorder else None)
+                 col_perm=row_perm if reorder else None,
+                 block_dim=(bx, by))
         if mesh is not None:
             dm.shard(mesh, axis)
         return dm
@@ -281,15 +287,22 @@ class DistEllMatrix:
         part = self.row_part if space == "rows" else self.col_part
         lpad = self.lr if space == "rows" else self.lc
         perm = self.row_perm if space == "rows" else self.col_perm
+        bdim = self.block_dim[0] if space == "rows" else self.block_dim[1]
         n_dev = self.n_dev
-        out = np.zeros((n_dev, lpad), np.asarray(v).dtype)
+        v = np.asarray(v).reshape(-1, bdim) if bdim > 1 else np.asarray(v)
+        if bdim > 1:
+            out = np.zeros((n_dev, lpad, bdim), v.dtype)
+        else:
+            out = np.zeros((n_dev, lpad), v.dtype)
         if perm is not None:
             ok = perm >= 0
-            out[ok] = np.asarray(v)[perm[ok]]
+            out[ok] = v[perm[ok]]
         else:
             for d in range(n_dev):
                 c0, c1 = part.offsets[d], part.offsets[d + 1]
-                out[d, :c1 - c0] = np.asarray(v)[c0:c1]
+                out[d, :c1 - c0] = v[c0:c1]
+        if bdim > 1:
+            out = out.reshape(n_dev, lpad * bdim)
         arr = jnp.asarray(out)
         if mesh is not None:
             arr = jax.device_put(arr, NamedSharding(mesh, P(axis)))
@@ -298,9 +311,14 @@ class DistEllMatrix:
     def gather_vector(self, arr, space: str = "rows") -> np.ndarray:
         part = self.row_part if space == "rows" else self.col_part
         perm = self.row_perm if space == "rows" else self.col_perm
+        bdim = self.block_dim[0] if space == "rows" else self.block_dim[1]
         a = np.asarray(arr)
         n = self.n_rows if space == "rows" else self.n_cols
-        out = np.zeros(n, a.dtype)
+        if bdim > 1:
+            a = a.reshape(self.n_dev, -1, bdim)
+            out = np.zeros((n, bdim), a.dtype)
+        else:
+            out = np.zeros(n, a.dtype)
         if perm is not None:
             ok = perm >= 0
             out[perm[ok]] = a[ok]
@@ -308,4 +326,4 @@ class DistEllMatrix:
             for d in range(self.n_dev):
                 c0, c1 = part.offsets[d], part.offsets[d + 1]
                 out[c0:c1] = a[d, :c1 - c0]
-        return out
+        return out.reshape(-1)

@@ -184,9 +184,23 @@ class DistributedSolver:
     @staticmethod
     def _inv_diag(csr: CSRMatrix, dm: DistEllMatrix, dtype):
         d = csr.diagonal().astype(np.float64)
-        safe = np.where(d == 0, 1.0, d)
-        inv_g = (1.0 / safe).astype(dtype)
-        return dm.scatter_vector(inv_g, "rows")
+        bx = csr.block_dim[0]
+        if bx == 1:
+            safe = np.where(d == 0, 1.0, d)
+            inv_g = (1.0 / safe).astype(dtype)
+            return dm.scatter_vector(inv_g, "rows")
+        inv = np.tile(np.eye(bx), (csr.n_rows, 1, 1))
+        for i in range(csr.n_rows):
+            try:
+                inv[i] = np.linalg.inv(d[i])
+            except np.linalg.LinAlgError:
+                pass
+        # stacked per shard: (D, Lr, bx, bx)
+        out = np.tile(np.eye(bx), (dm.n_dev, dm.lr, 1, 1)).astype(dtype)
+        for dev in range(dm.n_dev):
+            r0, r1 = dm.row_part.offsets[dev], dm.row_part.offsets[dev + 1]
+            out[dev, :r1 - r0] = inv[r0:r1]
+        return jnp.asarray(out)
 
     # -- SPMD building blocks -------------------------------------------------
 
@@ -249,37 +263,72 @@ class DistributedSolver:
         lvl_args = self._level_args()
         n_lvls = len(lvl_args)
 
+        split0 = getattr(self, "_split0", 0)
+        bx, by = self.levels[0].a.block_dim
+        bicg = self.solver_name in ("BICGSTAB", "PBICGSTAB")
+
+        def apply_invd(invd, r):
+            if bx > 1:
+                rb = r.reshape(-1, bx)
+                return jnp.einsum("rij,rj->ri", invd, rb).reshape(-1)
+            return invd * r
+
         def precond(r, args):
             if self.use_amg:
                 z = jnp.zeros_like(r)
                 return self._vcycle(0, r, z, args)
             if self.precond_name == "BLOCK_JACOBI":
-                return args[0][3] * r
+                return apply_invd(args[0][3], r)
             return r
 
-        split0 = getattr(self, "_split0", 0)
+        def spmv0(cols, vals, pack, halo, v):
+            if by > 1:
+                return comms.dist_spmv_block(cols, vals, pack, halo, v, by,
+                                             ax)
+            return comms.dist_spmv(cols, vals, pack, halo, v, ax,
+                                   interior_split=split0)
 
-        def step(cols, vals, pack, halo, flat_args, x, p, r, rho):
+        def step(cols, vals, pack, halo, flat_args, state):
+            """One Krylov iteration over the generic state pytree; returns
+            (state, ||r||)."""
             args = _unflatten(flat_args)
-            q = comms.dist_spmv(cols, vals, pack, halo, p, ax,
-                                interior_split=split0)
-            alpha = rho / comms.dist_dot(p, q, ax)
-            x = x + alpha * p
+            if bicg:
+                x, r, r_star, pv, rho = state
+                p_hat = precond(pv, args)
+                v = spmv0(cols, vals, pack, halo, p_hat)
+                alpha = rho / comms.dist_dot(r_star, v, ax)
+                sv = r - alpha * v
+                s_hat = precond(sv, args)
+                t = spmv0(cols, vals, pack, halo, s_hat)
+                omega = comms.dist_dot(t, sv, ax) / \
+                    comms.dist_dot(t, t, ax)
+                x = x + alpha * p_hat + omega * s_hat
+                r_new = sv - omega * t
+                rho_new = comms.dist_dot(r_star, r_new, ax)
+                beta = (rho_new / rho) * (alpha / omega)
+                pv = r_new + beta * (pv - omega * v)
+                nrm = comms.dist_nrm2(r_new, ax)
+                return (x, r_new, r_star, pv, rho_new), nrm
+            x, pv, r, rho = state
+            q = spmv0(cols, vals, pack, halo, pv)
+            alpha = rho / comms.dist_dot(pv, q, ax)
+            x = x + alpha * pv
             r = r - alpha * q
             z = precond(r, args)
             rho_new = comms.dist_dot(r, z, ax)
             beta = rho_new / rho
-            p = z + beta * p
+            pv = z + beta * pv
             nrm = comms.dist_nrm2(r, ax)
-            return x, p, r, rho_new, nrm
+            return (x, pv, r, rho_new), nrm
 
         def init(cols, vals, pack, halo, flat_args, b, x):
             args = _unflatten(flat_args)
-            r = b - comms.dist_spmv(cols, vals, pack, halo, x, ax,
-                                    interior_split=split0)
+            r = b - spmv0(cols, vals, pack, halo, x)
+            nrm = comms.dist_nrm2(r, ax)
+            if bicg:
+                return (x, r, r, r, comms.dist_dot(r, r, ax)), nrm
             z = precond(r, args)
-            rho = comms.dist_dot(r, z, ax)
-            return r, z, rho, comms.dist_nrm2(r, ax)
+            return (x, z, r, comms.dist_dot(r, z, ax)), nrm
 
         def _flatten(args):
             flat = []
@@ -325,22 +374,25 @@ class DistributedSolver:
                     lambda x: x[0] if x.ndim >= 1 and x.shape[0] == 1
                     else x, flat_args)
                 # sharded vectors arrive as (1, L); replicated scalars stay
-                vecs = tuple(v[0] if getattr(v, "ndim", 0) >= 1 and
-                             v.shape[0] == 1 else v for v in vecs)
+                vecs = jax.tree.map(
+                    lambda v: v[0] if getattr(v, "ndim", 0) >= 1 and
+                    v.shape[0] == 1 else v, vecs)
                 out = fn(cols, vals, pack, halo, flat_args, *vecs)
                 return jax.tree.map(
                     lambda o: o[None] if getattr(o, "ndim", 0) >= 1
                     else o, out)
             return inner
 
-        # NOTE on specs: vectors are (D, L) sharded on axis 0; scalars
-        # (rho, nrm) come back replicated.
-        self._jit_step = wrap(strip(step),
-                              (shard, shard, shard, P()),
-                              (shard, shard, shard, P(), P()))
-        self._jit_init = wrap(strip(init),
-                              (shard, shard),
-                              (shard, shard, P(), P()))
+        # state specs: vectors sharded on the device axis, scalars
+        # (rho) replicated
+        if bicg:
+            state_spec = (shard, shard, shard, shard, P())
+        else:
+            state_spec = (shard, shard, shard, P())
+        self._jit_step = wrap(strip(step), (state_spec,),
+                              (state_spec, P()))
+        self._jit_init = wrap(strip(init), (shard, shard),
+                              (state_spec, P()))
 
     # -- solve ------------------------------------------------------------------
 
@@ -353,21 +405,20 @@ class DistributedSolver:
             np.zeros_like(np.asarray(b, self._vec_dt)) if x0 is None
             else np.asarray(x0, self._vec_dt), "rows", self.mesh, self.axis)
         m = (a0.cols, a0.vals, a0.pack_idx, a0.halo_from)
-        r, p, rho, nrm = self._jit_init(*m, self._flat_args, b_d, x_d)
+        state, nrm = self._jit_init(*m, self._flat_args, b_d, x_d)
         ini = float(nrm)
         self.res_history = [ini]
         it = 0
         target = self.tolerance * (ini if "RELATIVE" in self.convergence
                                    else 1.0)
         while it < self.max_iters:
-            x_d, p, r, rho, nrm = self._jit_step(*m, self._flat_args,
-                                                 x_d, p, r, rho)
+            state, nrm = self._jit_step(*m, self._flat_args, state)
             it += 1
             val = float(nrm)
             self.res_history.append(val)
             if val <= target:
                 break
         self.last_iters = it
-        out = a0.gather_vector(x_d, "rows")
+        out = a0.gather_vector(state[0], "rows")
         self.solve_time = time.perf_counter() - t0
         return out, (0 if self.res_history[-1] <= target else 3)

@@ -171,6 +171,9 @@ def _run_phase(name: str, args, deadline_s: int):
 
 def main():
     dev = _run_phase("device", (), 240)
+    if "kind" not in dev:
+        time.sleep(60)                 # tunneled TPU workers heal slowly
+        dev = _run_phase("device", (), 240)
     kind = dev.get("kind", "unknown")
     on_tpu = dev.get("platform") == "tpu"
     if on_tpu:

@@ -216,3 +216,48 @@ def test_dist_spmv_overlap_split(mesh, rng):
     y = dm.gather_vector(f(dm.cols, dm.vals, dm.pack_idx, dm.halo_from,
                            xd), "rows")
     assert np.allclose(y, a.to_scipy() @ x)
+
+
+def test_distributed_block_bicgstab(mesh, rng):
+    """BASELINE config 4: coupled 4x4-block BSR BiCGStab, mesh-partitioned,
+    mixed precision."""
+    from amgx_tpu.matrix import CSRMatrix
+    base = amgx.gallery.poisson5pt(10, 10)
+    rows = np.repeat(np.arange(base.n_rows), base.row_nnz())
+    coupling = rng.standard_normal((4, 4)) * 0.2
+    coupling = coupling @ coupling.T + np.eye(4)
+    data = np.einsum("k,ij->kij", base.data, coupling)
+    a = CSRMatrix(base.n_rows, base.n_cols, base.indptr, base.indices,
+                  data, block_dim=(4, 4))
+    b = rng.standard_normal(a.n_rows * 4)
+    cfg = amgx.AMGConfig("solver=PBICGSTAB, preconditioner=BLOCK_JACOBI, "
+                         "max_iters=300, tolerance=1e-8, mode=dDFI, "
+                         "convergence=RELATIVE_INI, monitor_residual=1")
+    s = DistributedSolver(cfg, mesh)
+    s.setup(a)
+    x, status = s.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
+    assert status == 0
+    assert rel < 1e-5
+
+
+def test_distributed_block_spmv(mesh, rng):
+    from amgx_tpu.matrix import CSRMatrix
+    base = amgx.gallery.poisson5pt(8, 8)
+    rows = np.repeat(np.arange(base.n_rows), base.row_nnz())
+    data = rng.standard_normal((base.nnz, 2, 2))
+    a = CSRMatrix(base.n_rows, base.n_cols, base.indptr, base.indices,
+                  data, block_dim=(2, 2))
+    dm = DistEllMatrix.from_global(a, N_DEV, mesh=mesh,
+                                   sort_interior_first=False)
+    x = rng.standard_normal(a.n_rows * 2)
+
+    def spmv(cols, vals, pack, halo, xv):
+        return comms.dist_spmv_block(cols[0], vals[0], pack[0], halo[0],
+                                     xv[0], 2, "x")[None]
+    f = jax.jit(jax.shard_map(spmv, mesh=mesh, in_specs=(P("x"),) * 5,
+                              out_specs=P("x")))
+    xd = dm.scatter_vector(x, "cols", mesh)
+    y = dm.gather_vector(f(dm.cols, dm.vals, dm.pack_idx, dm.halo_from,
+                           xd), "rows")
+    assert np.allclose(y, a.to_scipy() @ x)
