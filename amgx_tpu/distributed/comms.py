@@ -61,6 +61,29 @@ def dist_spmv(cols, vals, pack_idx, halo_from, x_local, axis: str = "x",
     return jnp.concatenate([y_int, y_bnd])
 
 
+def dist_spmv_structured(offsets, bands, margins, hv_top, hc_top, hv_bot,
+                         hc_bot, pack_idx, halo_from, x_local,
+                         axis: str = "x"):
+    """Shard SpMV for stencil partitions: the owned part runs the no-gather
+    DIA shift-FMA (per-chip speed-of-light path); only the margin rows near
+    shard edges touch the exchanged halo (reference: interior/boundary
+    kernel split, multiply.cu:113-197 — here the interior is also
+    layout-optimal)."""
+    halo = halo_exchange(x_local, pack_idx, halo_from, axis)
+    y = jnp.zeros_like(x_local)
+    for k, off in enumerate(offsets):
+        y = y + bands[k] * jnp.roll(x_local, -off)
+    xe = jnp.concatenate([x_local, halo])
+    m_top, m_bot = margins
+    if m_top:
+        yt = jnp.sum(hv_top * xe[hc_top], axis=1)
+        y = y.at[:m_top].add(yt)
+    if m_bot:
+        yb = jnp.sum(hv_bot * xe[hc_bot], axis=1)
+        y = y.at[-m_bot:].add(yb)
+    return y
+
+
 def dist_spmv_block(cols, vals, pack_idx, halo_from, x_local, by: int,
                     axis: str = "x"):
     """Blocked (BSR) shard SpMV: x_local is flat (L*by,); vals are

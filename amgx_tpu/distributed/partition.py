@@ -266,9 +266,64 @@ class DistEllMatrix:
                  row_part, col_part, lr, lc, total_nnz, row_perm,
                  col_perm=row_perm if reorder else None,
                  block_dim=(bx, by))
+        dm.dia_bands = None
+        dm.dia_offsets = None
+        if (bx, by) == (1, 1) and not reorder:
+            dm._try_structured(cols, vals, lc)
         if mesh is not None:
             dm.shard(mesh, axis)
         return dm
+
+    def _try_structured(self, cols: np.ndarray, vals: np.ndarray,
+                        lc: int, max_bands: int = 32) -> None:
+        """Detect a shard-uniform banded *owned* part (stencils under
+        contiguous row partitions). When it exists, store the owned part as
+        stacked DIA bands so the shard-local SpMV runs the no-gather
+        shift-FMA path; halo entries stay in a (zeroed-elsewhere) ELL.
+
+        Mirrors the reference's interior/boundary kernel split
+        (multiply.cu) with a TPU-optimal interior layout.
+        """
+        n_dev, lr, w = cols.shape
+        rows = np.arange(lr)[None, :, None]
+        owned = (vals != 0) & (cols < lc)
+        offs = np.where(owned, cols - rows, 0)
+        uniq = np.unique(offs[owned]) if owned.any() else np.zeros(0,
+                                                                   np.int64)
+        if uniq.size == 0 or uniq.size > max_bands:
+            return
+        bands = np.zeros((n_dev, uniq.size, lr), vals.dtype)
+        halo_vals = np.array(vals)
+        lut = {int(o): i for i, o in enumerate(uniq)}
+        for d in range(n_dev):
+            sel = np.nonzero(owned[d])
+            for r, k in zip(*sel):
+                b = lut[int(cols[d, r, k]) - int(r)]
+                bands[d, b, r] += vals[d, r, k]
+                halo_vals[d, r, k] = 0.0
+        # halo entries of contiguous stencil partitions live only in margin
+        # rows near the shard edges; restrict the gather to those margins
+        has_halo = (halo_vals != 0).any(axis=2)        # (D, lr)
+        m_top = m_bot = 0
+        for d in range(n_dev):
+            idx = np.nonzero(has_halo[d])[0]
+            for r in idx:
+                if r <= lr - 1 - r:
+                    m_top = max(m_top, r + 1)
+                else:
+                    m_bot = max(m_bot, lr - r)
+        if m_top + m_bot >= lr:                         # margins overlap
+            m_top, m_bot = lr, 0
+        self.dia_offsets = tuple(int(o) for o in uniq)
+        self.dia_bands = jnp.asarray(bands)
+        self.margins = (m_top, m_bot)
+        self.halo_vals_top = jnp.asarray(halo_vals[:, :m_top]) \
+            if m_top else None
+        self.halo_cols_top = jnp.asarray(cols[:, :m_top]) if m_top else None
+        self.halo_vals_bot = jnp.asarray(halo_vals[:, lr - m_bot:]) \
+            if m_bot else None
+        self.halo_cols_bot = jnp.asarray(cols[:, lr - m_bot:]) if m_bot \
+            else None
 
     def shard(self, mesh: Mesh, axis: str = "x") -> None:
         s = NamedSharding(mesh, P(axis))
@@ -277,6 +332,13 @@ class DistEllMatrix:
         self.pack_idx = jax.device_put(self.pack_idx, s)
         self.halo_from = jax.device_put(self.halo_from, s)
         self.interior_rows = jax.device_put(self.interior_rows, s)
+        if getattr(self, "dia_bands", None) is not None:
+            self.dia_bands = jax.device_put(self.dia_bands, s)
+            for name in ("halo_vals_top", "halo_cols_top",
+                         "halo_vals_bot", "halo_cols_bot"):
+                v = getattr(self, name, None)
+                if v is not None:
+                    setattr(self, name, jax.device_put(v, s))
 
     # -- vector scatter/gather -------------------------------------------------
 

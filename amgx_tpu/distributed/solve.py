@@ -266,6 +266,36 @@ class DistributedSolver:
         split0 = getattr(self, "_split0", 0)
         bx, by = self.levels[0].a.block_dim
         bicg = self.solver_name in ("BICGSTAB", "PBICGSTAB")
+        a0 = self.levels[0].a
+        structured = getattr(a0, "dia_bands", None) is not None and by == 1
+        if structured:
+            self._mat_args = {"pack": a0.pack_idx, "halo": a0.halo_from,
+                              "bands": a0.dia_bands}
+            for nm in ("halo_vals_top", "halo_cols_top", "halo_vals_bot",
+                       "halo_cols_bot"):
+                v = getattr(a0, nm, None)
+                if v is not None:
+                    self._mat_args[nm] = v
+            offsets0 = a0.dia_offsets
+            margins0 = a0.margins
+        else:
+            self._mat_args = {"cols": a0.cols, "vals": a0.vals,
+                              "pack": a0.pack_idx, "halo": a0.halo_from}
+
+        def spmv0(mat, v):
+            if structured:
+                return comms.dist_spmv_structured(
+                    offsets0, mat["bands"], margins0,
+                    mat.get("halo_vals_top"), mat.get("halo_cols_top"),
+                    mat.get("halo_vals_bot"), mat.get("halo_cols_bot"),
+                    mat["pack"], mat["halo"], v, ax)
+            if by > 1:
+                return comms.dist_spmv_block(mat["cols"], mat["vals"],
+                                             mat["pack"], mat["halo"], v,
+                                             by, ax)
+            return comms.dist_spmv(mat["cols"], mat["vals"], mat["pack"],
+                                   mat["halo"], v, ax,
+                                   interior_split=split0)
 
         def apply_invd(invd, r):
             if bx > 1:
@@ -281,25 +311,18 @@ class DistributedSolver:
                 return apply_invd(args[0][3], r)
             return r
 
-        def spmv0(cols, vals, pack, halo, v):
-            if by > 1:
-                return comms.dist_spmv_block(cols, vals, pack, halo, v, by,
-                                             ax)
-            return comms.dist_spmv(cols, vals, pack, halo, v, ax,
-                                   interior_split=split0)
-
-        def step(cols, vals, pack, halo, flat_args, state):
+        def step(mat, flat_args, state):
             """One Krylov iteration over the generic state pytree; returns
             (state, ||r||)."""
             args = _unflatten(flat_args)
             if bicg:
                 x, r, r_star, pv, rho = state
                 p_hat = precond(pv, args)
-                v = spmv0(cols, vals, pack, halo, p_hat)
+                v = spmv0(mat, p_hat)
                 alpha = rho / comms.dist_dot(r_star, v, ax)
                 sv = r - alpha * v
                 s_hat = precond(sv, args)
-                t = spmv0(cols, vals, pack, halo, s_hat)
+                t = spmv0(mat, s_hat)
                 omega = comms.dist_dot(t, sv, ax) / \
                     comms.dist_dot(t, t, ax)
                 x = x + alpha * p_hat + omega * s_hat
@@ -310,7 +333,7 @@ class DistributedSolver:
                 nrm = comms.dist_nrm2(r_new, ax)
                 return (x, r_new, r_star, pv, rho_new), nrm
             x, pv, r, rho = state
-            q = spmv0(cols, vals, pack, halo, pv)
+            q = spmv0(mat, pv)
             alpha = rho / comms.dist_dot(pv, q, ax)
             x = x + alpha * pv
             r = r - alpha * q
@@ -321,9 +344,9 @@ class DistributedSolver:
             nrm = comms.dist_nrm2(r, ax)
             return (x, pv, r, rho_new), nrm
 
-        def init(cols, vals, pack, halo, flat_args, b, x):
+        def init(mat, flat_args, b, x):
             args = _unflatten(flat_args)
-            r = b - spmv0(cols, vals, pack, halo, x)
+            r = b - spmv0(mat, x)
             nrm = comms.dist_nrm2(r, ax)
             if bicg:
                 return (x, r, r, r, comms.dist_dot(r, r, ax)), nrm
@@ -347,7 +370,7 @@ class DistributedSolver:
         self._flat_args = _flatten(lvl_args)
         spec_rep = P()
         shard = P(ax)
-        mat_specs = (shard, shard, shard, shard)
+        mat_specs = jax.tree.map(lambda _: shard, self._mat_args)
         # every stacked level tensor leads with the device axis (sharded);
         # the replicated coarse LU factors are the exception
         arg_specs = tuple(
@@ -361,23 +384,21 @@ class DistributedSolver:
         def wrap(fn, extra_in, extra_out):
             return jax.jit(jax.shard_map(
                 fn, mesh=mesh,
-                in_specs=mat_specs + (arg_specs,) + extra_in,
+                in_specs=(mat_specs, arg_specs) + extra_in,
                 out_specs=extra_out,
                 check_vma=False))
 
         def strip(fn):
             # shard_map passes blocks with the device axis of size 1 intact
-            def inner(cols, vals, pack, halo, flat_args, *vecs):
-                cols, vals, pack, halo = (cols[0], vals[0], pack[0],
-                                          halo[0])
-                flat_args = jax.tree.map(
-                    lambda x: x[0] if x.ndim >= 1 and x.shape[0] == 1
-                    else x, flat_args)
-                # sharded vectors arrive as (1, L); replicated scalars stay
-                vecs = jax.tree.map(
-                    lambda v: v[0] if getattr(v, "ndim", 0) >= 1 and
-                    v.shape[0] == 1 else v, vecs)
-                out = fn(cols, vals, pack, halo, flat_args, *vecs)
+            def unlead(v):
+                return v[0] if getattr(v, "ndim", 0) >= 1 and \
+                    v.shape[0] == 1 else v
+
+            def inner(mat, flat_args, *rest):
+                mat = jax.tree.map(unlead, mat)
+                flat_args = jax.tree.map(unlead, flat_args)
+                rest = jax.tree.map(unlead, rest)
+                out = fn(mat, flat_args, *rest)
                 return jax.tree.map(
                     lambda o: o[None] if getattr(o, "ndim", 0) >= 1
                     else o, out)
@@ -404,15 +425,16 @@ class DistributedSolver:
         x_d = a0.scatter_vector(
             np.zeros_like(np.asarray(b, self._vec_dt)) if x0 is None
             else np.asarray(x0, self._vec_dt), "rows", self.mesh, self.axis)
-        m = (a0.cols, a0.vals, a0.pack_idx, a0.halo_from)
-        state, nrm = self._jit_init(*m, self._flat_args, b_d, x_d)
+        state, nrm = self._jit_init(self._mat_args, self._flat_args,
+                                    b_d, x_d)
         ini = float(nrm)
         self.res_history = [ini]
         it = 0
         target = self.tolerance * (ini if "RELATIVE" in self.convergence
                                    else 1.0)
         while it < self.max_iters:
-            state, nrm = self._jit_step(*m, self._flat_args, state)
+            state, nrm = self._jit_step(self._mat_args, self._flat_args,
+                                        state)
             it += 1
             val = float(nrm)
             self.res_history.append(val)

@@ -261,3 +261,22 @@ def test_distributed_block_spmv(mesh, rng):
     y = dm.gather_vector(f(dm.cols, dm.vals, dm.pack_idx, dm.halo_from,
                            xd), "rows")
     assert np.allclose(y, a.to_scipy() @ x)
+
+
+def test_structured_dia_path_active_and_correct(mesh, rng):
+    """Stencil partitions get the no-gather shard-local DIA layout; the
+    margin-limited halo gather matches the plain path exactly."""
+    a = amgx.gallery.poisson7pt(12, 8, 8)
+    dm = DistEllMatrix.from_global(a, N_DEV, mesh=mesh,
+                                   sort_interior_first=False)
+    assert dm.dia_bands is not None        # structured layout detected
+    assert len(dm.dia_offsets) <= 7
+    cfg = amgx.AMGConfig("solver=PCG, max_iters=200, tolerance=1e-9, "
+                         "convergence=RELATIVE_INI, monitor_residual=1")
+    s = DistributedSolver(cfg, mesh)
+    s.setup(a)
+    assert getattr(s.levels[0].a, "dia_bands", None) is not None
+    b = rng.standard_normal(a.n_rows)
+    x, status = s.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
+    assert status == 0 and rel < 1e-7
