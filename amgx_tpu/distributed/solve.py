@@ -93,13 +93,18 @@ class DistributedSolver:
             _, amg_scope = self.cfg.get_pair("preconditioner", self.scope)
             self.use_amg = True
 
-        # level 0
+        # level 0: prefer the shard-local banded layout (no gathers, halo
+        # confined to margin rows); fall back to interior-first rows for the
+        # overlap split when the matrix isn't stencil-structured
         a0 = DistEllMatrix.from_global(csr, n_dev, row_part, dtype=mat_dt,
                                        mesh=self.mesh, axis=self.axis,
-                                       sort_interior_first=not self.use_amg)
-        # static interior bound valid on every shard -> comm/compute overlap
-        self._split0 = int(np.asarray(a0.interior_rows).min()) \
-            if not self.use_amg else 0
+                                       sort_interior_first=False)
+        self._split0 = 0
+        if getattr(a0, "dia_bands", None) is None and not self.use_amg:
+            a0 = DistEllMatrix.from_global(
+                csr, n_dev, row_part, dtype=mat_dt, mesh=self.mesh,
+                axis=self.axis, sort_interior_first=True)
+            self._split0 = int(np.asarray(a0.interior_rows).min())
         self.levels = [DistLevel(a0, self._inv_diag(csr, a0, vec_dt))]
         self._global_csrs = [csr]
 
