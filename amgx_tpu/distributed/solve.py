@@ -420,6 +420,34 @@ class DistributedSolver:
         self._jit_init = wrap(strip(init), (shard, shard),
                               (state_spec, P()))
 
+        # fused solve: the whole iterate/convergence loop as ONE SPMD
+        # program (per-step host dispatch costs ~ms launch latency)
+        max_iters = self.max_iters
+        tol = self.tolerance
+        relative = "RELATIVE" in self.convergence
+
+        def solve_fused(mat, flat_args, b, x):
+            state, nrm0 = init(mat, flat_args, b, x)
+            target = tol * nrm0 if relative else tol
+            hist = jnp.zeros((max_iters + 1,), nrm0.dtype).at[0].set(nrm0)
+
+            def cond(c):
+                _, it, nrm, _ = c
+                return jnp.logical_and(it < max_iters, nrm > target)
+
+            def body(c):
+                st, it, _, h = c
+                st, nrm = step(mat, flat_args, st)
+                h = h.at[it + 1].set(nrm)
+                return (st, it + 1, nrm, h)
+
+            state, it, nrm, hist = jax.lax.while_loop(
+                cond, body, (state, jnp.asarray(0, jnp.int32), nrm0, hist))
+            return state[0], it, nrm, hist
+
+        self._jit_solve_fused = wrap(strip(solve_fused), (shard, shard),
+                                     (shard, P(), P(), P()))
+
     # -- solve ------------------------------------------------------------------
 
     def solve(self, b: np.ndarray, x0: Optional[np.ndarray] = None):
@@ -430,22 +458,35 @@ class DistributedSolver:
         x_d = a0.scatter_vector(
             np.zeros_like(np.asarray(b, self._vec_dt)) if x0 is None
             else np.asarray(x0, self._vec_dt), "rows", self.mesh, self.axis)
-        state, nrm = self._jit_init(self._mat_args, self._flat_args,
-                                    b_d, x_d)
-        ini = float(nrm)
-        self.res_history = [ini]
-        it = 0
+        if bool(self.cfg.get("fused_solve", self.scope)):
+            x_out, it_d, nrm, hist = self._jit_solve_fused(
+                self._mat_args, self._flat_args, b_d, x_d)
+            it = int(it_d)
+            # replicated outputs come back with a leading length-1 axis
+            h = np.asarray(hist).reshape(-1)[:it + 1]
+            self.res_history = [float(v) for v in h]
+        else:
+            state, nrm = self._jit_init(self._mat_args, self._flat_args,
+                                        b_d, x_d)
+            ini = float(nrm)
+            self.res_history = [ini]
+            it = 0
+            target = self.tolerance * (ini if "RELATIVE" in self.convergence
+                                       else 1.0)
+            while it < self.max_iters:
+                state, nrm = self._jit_step(self._mat_args, self._flat_args,
+                                            state)
+                it += 1
+                val = float(nrm)
+                self.res_history.append(val)
+                if val <= target:
+                    break
+            x_out = state[0]
+        self.last_iters = it
+        out = a0.gather_vector(x_out, "rows")
+        self.solve_time = time.perf_counter() - t0
+        ini = self.res_history[0] if self.res_history else 1.0
         target = self.tolerance * (ini if "RELATIVE" in self.convergence
                                    else 1.0)
-        while it < self.max_iters:
-            state, nrm = self._jit_step(self._mat_args, self._flat_args,
-                                        state)
-            it += 1
-            val = float(nrm)
-            self.res_history.append(val)
-            if val <= target:
-                break
-        self.last_iters = it
-        out = a0.gather_vector(state[0], "rows")
-        self.solve_time = time.perf_counter() - t0
-        return out, (0 if self.res_history[-1] <= target else 3)
+        ok = self.res_history and self.res_history[-1] <= target
+        return out, (0 if ok else 3)
