@@ -240,6 +240,10 @@ def register_all_parameters() -> None:
     P("device_alloc_scaling_factor", int, 10, "inert on TPU")
     P("device_alloc_scaling_threshold", int, 16384, "inert on TPU")
     P("spmm_max_attempts", int, 6, "inert on TPU (hash SpGEMM retries)")
+    P("reuse_scale", int, 0, "reuse the error-scaling factor across cycles")
+    P("scaling_smoother_steps", int, 2, "smoother steps inside scalers")
+    P("rap_truncate_factor", float, -1.0,
+      "drop RAP entries below factor*row max (-1 = off)")
     P("config_version", int, 2, "config schema version")
 
     # -- precision / mode ----------------------------------------------------------

@@ -146,6 +146,39 @@ def phase_amg(n_side: int):
         if getattr(s, "preconditioner", None) is not None else 0}))
 
 
+def phase_scaling(n_side: int, n_dev: int):
+    """nnz/s scaling efficiency 1 -> n_dev shards over the available devices
+    (BASELINE: >=80 percent from 1 chip to N hosts). On a single-chip/CPU
+    run this validates the harness; real efficiency needs a multi-chip
+    mesh."""
+    import jax
+    import amgx_tpu as amgx
+    from amgx_tpu.distributed import DistributedSolver
+    from amgx_tpu.distributed.solve import make_mesh
+    n_avail = len(jax.devices())
+    n_dev = min(n_dev, n_avail)
+    a = amgx.gallery.poisson7pt(n_side, n_side, n_side, dtype=np.float32)
+    b = np.ones(a.n_rows, np.float32)
+    out = {"n": a.n_rows, "nnz": a.nnz, "devices_used": n_dev}
+    for nd in ([1, n_dev] if n_dev > 1 else [1]):
+        mesh = make_mesh(nd)
+        cfg = amgx.AMGConfig("solver=PCG, max_iters=50, tolerance=1e-20, "
+                             "convergence=RELATIVE_INI, mode=dFFI, "
+                             "monitor_residual=1")
+        s = DistributedSolver(cfg, mesh)
+        s.setup(a)
+        s.solve(b)                       # compile
+        t0 = time.perf_counter()
+        s.solve(b)
+        dt = time.perf_counter() - t0
+        out[str(nd)] = {"solve_s": dt,
+                        "nnz_per_s": a.nnz * s.last_iters / dt}
+    if n_dev > 1:
+        out["efficiency"] = out[str(n_dev)]["nnz_per_s"] / (
+            out["1"]["nnz_per_s"] * n_dev)
+    print(json.dumps(out))
+
+
 _PHASES = {
     "device": (phase_device, ()),
 }
@@ -185,6 +218,7 @@ def main():
     spmv_dia = _run_phase("spmv_dia", dia_args, deadlines[0])
     spmv_ell = _run_phase("spmv_ell", ell_args, deadlines[1])
     amg = _run_phase("amg", amg_args, deadlines[2])
+    scaling = _run_phase("scaling", (32 if on_tpu else 12, 8), 900)
     candidates = [r for r in (spmv_dia, spmv_ell) if "gbps" in r]
     sol = _hbm_gbps(kind)
     if candidates:
@@ -200,15 +234,20 @@ def main():
         "vs_baseline": vsb,
         "detail": {"device": kind, "hbm_sol_gbps": sol,
                    "spmv_dia": spmv_dia, "spmv_ell": spmv_ell,
-                   "amg_pcg": amg},
+                   "amg_pcg": amg, "scaling": scaling},
     }))
 
 
 if __name__ == "__main__":
+    if os.environ.get("AMGX_BENCH_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms",
+                          os.environ["AMGX_BENCH_PLATFORM"])
     if len(sys.argv) > 2 and sys.argv[1] == "--phase":
         name = sys.argv[2]
         args = [int(a) for a in sys.argv[3:]]
         {"device": phase_device, "spmv_dia": phase_spmv_dia,
-         "spmv_ell": phase_spmv_ell, "amg": phase_amg}[name](*args)
+         "spmv_ell": phase_spmv_ell, "amg": phase_amg,
+         "scaling": phase_scaling}[name](*args)
     else:
         main()

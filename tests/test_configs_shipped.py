@@ -29,7 +29,11 @@ def test_config_parses_and_allocates(path):
 
 SOLVE_SAMPLE = ["FGMRES_AGGREGATION.json", "AMG_CLASSICAL_PMIS.json",
                 "PCG_V.json", "PBICGSTAB.json", "CHEB_SOLVER_NOPREC.json",
-                "JACOBI.json", "V-cheby-smoother.json"]
+                "JACOBI.json", "V-cheby-smoother.json",
+                "GMRES_AMG_D2.json", "IDR_DILU.json", "PCG_DILU.json",
+                "AMG_CLASSICAL_AGGRESSIVE_L1_TRUNC.json",
+                "CLASSICAL_W_CYCLE.json", "AGGREGATION_MULTI_PAIRWISE.json",
+                "PCGF_CLASSICAL_V_JACOBI.json"]
 
 
 @pytest.mark.parametrize("name", SOLVE_SAMPLE)
@@ -46,5 +50,8 @@ def test_config_solves_poisson(name):
         np.linalg.norm(b)
     if name in ("JACOBI.json", "CHEB_SOLVER_NOPREC.json"):
         assert rel < 0.5          # plain relaxation: progress only
+    elif name == "AMG_CLASSICAL_AGGRESSIVE_L1_TRUNC.json":
+        # aggressive coarsening trades per-cycle rate for grid size
+        assert rel < 1e-2
     else:
         assert status == amgx.SolveStatus.SUCCESS and rel < 1e-6
