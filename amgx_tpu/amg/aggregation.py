@@ -14,7 +14,7 @@ singletons merge into their strongest neighbour aggregate (merge_singletons).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -14,8 +14,6 @@ index of a C point, -1 marks F points.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 
 from ..matrix import CSRMatrix

@@ -16,7 +16,7 @@ from . import initialize as _initialize, finalize as _finalize
 from .config import AMGConfig, write_parameters_description
 from .matrix import Matrix
 from .resources import Resources
-from .solvers import SolverFactory, SolveStatus
+from .solvers import SolverFactory
 from .eigensolvers import AMGEigenSolver
 from . import gallery
 from .io import read_system as _read_system, write_system as _write_system

@@ -10,8 +10,6 @@ smoother sweeps on device. ``coloring_level`` 2 colors the distance-2 graph
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
-
 import numpy as np
 
 from .matrix import CSRMatrix

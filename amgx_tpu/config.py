@@ -21,8 +21,8 @@ No C++/CUDA is involved: the registry is plain Python, validated eagerly.
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
 
 
 class AMGXConfigError(ValueError):

@@ -11,7 +11,7 @@ host-side graph algorithms (selectors, coloring, matching).
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 

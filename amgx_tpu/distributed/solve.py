@@ -15,13 +15,12 @@ to 1 rank" strategy with zero idle ranks.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import List, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import AMGConfig
 from ..matrix import CSRMatrix, Matrix, mode_dtypes

@@ -15,7 +15,7 @@ The eig_which selection reproduces the reference semantics:
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 import jax.numpy as jnp

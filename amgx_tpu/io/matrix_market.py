@@ -11,7 +11,7 @@ core.cu:571-575). Supports:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

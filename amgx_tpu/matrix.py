@@ -20,7 +20,6 @@ parameters (matrix dtype, vector dtype).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np

@@ -16,8 +16,6 @@ built; results are identical.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 
 from ..matrix import CSRMatrix

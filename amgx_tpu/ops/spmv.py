@@ -16,7 +16,6 @@ with halo exchange, multiply.cu:113-197) lives in ``amgx_tpu.distributed``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import numpy as np

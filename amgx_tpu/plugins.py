@@ -13,7 +13,7 @@ from __future__ import annotations
 import importlib
 import importlib.util
 import os
-from typing import Iterable, List
+from typing import List
 
 _loaded: List[str] = []
 

@@ -11,8 +11,6 @@ reporting (fgmres_solver.cu:296-605).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

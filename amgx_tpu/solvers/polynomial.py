@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from .base import Solver, register_solver
 from ..matrix import csr_to_ell, mode_dtypes
-from .smoothers import _inv_diag_arrays
 
 
 @register_solver("POLYNOMIAL")

@@ -14,8 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .base import Solver, register_solver
-from ..matrix import Matrix, mode_dtypes
-from ..ops import blas
+from ..matrix import mode_dtypes
 
 
 def _inv_diag_arrays(csr, vec_dtype, n_pad, l1: bool = False):
