@@ -182,9 +182,37 @@ def select_aggregates(csr: CSRMatrix, selector: str, cfg, scope: str
             agg = agg2[agg]
         return agg, nc
 
+    if selector == "ADAPTIVE":
+        # adaptive aggregation (selectors/adaptive.cu): edge weights from a
+        # relaxed test vector e (algebraically smooth error), so aggregates
+        # follow the near-nullspace: w_ij ~ |e_i a_ij e_j|
+        import scipy.sparse as sp
+        n = csr.n_rows
+        data = csr.data if csr.block_dim == (1, 1) else \
+            csr.data[:, comp, comp]
+        a = sp.csr_matrix((data, csr.indices, csr.indptr),
+                          shape=(n, csr.n_cols))[:, :n].tocsr()
+        d = a.diagonal()
+        d = np.where(d == 0, 1.0, d)
+        rng = np.random.default_rng(5)
+        e = rng.random(n)
+        for _ in range(6):
+            e = e - 0.7 * (a @ e) / d
+        w = a.copy()
+        rows = np.repeat(np.arange(n), np.diff(a.indptr))
+        w.data = np.abs(e[rows] * a.data * e[a.indices])
+        w = 0.5 * (w + w.T).tocsr()
+        w.setdiag(0)
+        w.eliminate_zeros()
+        agg = pairwise_match(w, max_it, max_un, det, seed=0)
+        if do_merge:
+            agg = merge_singletons(w, agg, agg)
+        return _compact(agg)
+
     if selector in ("PARALLEL_GREEDY_SELECTOR", "SERIAL_GREEDY_BFS",
-                    "ADAPTIVE", "GEO"):
-        # greedy BFS aggregation with target size 4 (greedy selectors family)
+                    "GEO"):
+        # greedy BFS aggregation with target size 4 (greedy selectors family;
+        # GEO without coordinates degrades to the structural greedy walk)
         return _greedy_aggregate(csr, target=4)
 
     raise ValueError(f"Unknown aggregation selector '{selector}'")

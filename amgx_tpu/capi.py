@@ -439,3 +439,53 @@ def AMGX_read_system_distributed(m: Matrix, rhs: _Vector, sol: _Vector,
             csr.data, csr.diag_data, dist),
         rhs.upload(n, csr.block_dim[0], b),
         None if x is None else sol.upload(n, csr.block_dim[0], x))[0]
+
+
+# ---------------------------------------------------------------------------
+# Remaining handle accessors (amgx_c.h misc entry points)
+# ---------------------------------------------------------------------------
+
+def AMGX_vector_get_size(v: _Vector):
+    n = 0 if v.data is None else len(v.data) // max(1, v.block_dim)
+    return RC_OK, n, v.block_dim
+
+
+def AMGX_matrix_download_all(m: Matrix):
+    """Inverse of upload_all: returns (n, nnz, block_dimx, block_dimy,
+    row_ptrs, col_indices, data, diag_data)."""
+    c = m.csr
+    return (RC_OK, c.n_rows, c.nnz, c.block_dim[0], c.block_dim[1],
+            np.array(c.indptr), np.array(c.indices), np.array(c.data),
+            None if c.diag_data is None else np.array(c.diag_data))
+
+
+def AMGX_vector_download_async(v: _Vector):
+    return AMGX_vector_download(v)
+
+
+def AMGX_config_get_default_number_of_rings(cfg: AMGConfig):
+    # reference: distance-2 interpolation needs 2 rings (amgx_c.cu:1766)
+    interp = cfg.get("interpolator")
+    return RC_OK, (2 if interp in ("D2", "MULTIPASS") else 1)
+
+
+def AMGX_get_error_string(rc: int) -> str:
+    names = {RC_OK: "success", RC_BAD_PARAMETERS: "bad parameters",
+             RC_UNKNOWN: "unknown error", RC_IO_ERROR: "I/O error",
+             RC_BAD_MODE: "invalid mode",
+             RC_BAD_CONFIGURATION: "invalid configuration",
+             RC_NOT_IMPLEMENTED: "not implemented",
+             RC_INTERNAL: "internal error"}
+    return names.get(rc, f"error code {rc}")
+
+
+def AMGX_solver_register_print_callback(fn):
+    return AMGX_register_print_callback(fn)
+
+
+def AMGX_pin_memory(*args):
+    return RC_OK      # host pinning is meaningless here
+
+
+def AMGX_unpin_memory(*args):
+    return RC_OK

@@ -31,11 +31,16 @@ class KaczmarzSolver(Solver):
     def solver_setup(self):
         csr = self.m.csr
         if csr.block_dim != (1, 1):
-            raise NotImplementedError("KACZMARZ supports scalar matrices")
+            # block systems: expand to the scalar view (row projections act
+            # on scalar equations; block vectors are already interleaved so
+            # the expansion matches the vector layout exactly)
+            from ..matrix import CSRMatrix
+            csr = CSRMatrix.from_scipy(csr.to_scipy())
+        self._scalar_csr = csr
         vec_dt, _ = mode_dtypes(self.mode)
         self.at = csr_to_ell(csr.transpose(), dtype=vec_dt,
-                             row_pad=self.n_pad)
-        rownorm = np.zeros(self.n_pad)
+                             row_pad=self.vec_len)
+        rownorm = np.zeros(self.vec_len)
         rows = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
         np.add.at(rownorm, rows, np.abs(csr.data) ** 2)
         safe = np.where(rownorm == 0, 1.0, rownorm)
@@ -47,7 +52,7 @@ class KaczmarzSolver(Solver):
         if self.use_coloring:
             from ..coloring import color_matrix
             coloring = color_matrix(csr, "MIN_MAX_2RING")
-            col = np.full(self.n_pad, -1, np.int32)
+            col = np.full(self.vec_len, -1, np.int32)
             col[:csr.n_rows] = coloring.colors
             self.color = jnp.asarray(col)
             self.num_colors = coloring.num_colors

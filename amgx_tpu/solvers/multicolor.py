@@ -180,16 +180,21 @@ class MulticolorILUSolver(Solver):
     def solver_setup(self):
         csr = self.m.csr
         if csr.block_dim != (1, 1):
-            raise NotImplementedError(
-                "MULTICOLOR_ILU supports scalar matrices on TPU (use "
-                "MULTICOLOR_DILU for block systems)")
+            # factorize the scalar expansion (the interleaved block-vector
+            # layout matches the scalar expansion exactly)
+            from ..coloring import color_matrix
+            csr = CSRMatrix.from_scipy(self.m.csr.to_scipy())
+            coloring = color_matrix(
+                csr, self.cfg.get("matrix_coloring_scheme", self.scope),
+                self.cfg, self.scope)
+        else:
+            coloring = self.m.coloring
         vec_dt, _ = mode_dtypes(self.mode)
         level_k = int(self.cfg.get("ilu_sparsity_level", self.scope))
         work = csr
         if level_k >= 1:
             from ..ops.spgemm import sparsity_ilu1
             work = sparsity_ilu1(csr)
-        coloring = self.m.coloring
         col = coloring.colors
         nc = coloring.num_colors
         n = csr.n_rows
@@ -236,14 +241,14 @@ class MulticolorILUSolver(Solver):
                                   data[lower], sum_duplicates=False)
         umat = CSRMatrix.from_coo(n, n, rows[upper], indices[upper],
                                   data[upper], sum_duplicates=False)
-        udiag = np.ones(self.n_pad)
+        udiag = np.ones(self.vec_len)
         rows_all = np.repeat(np.arange(n), np.diff(indptr))
         dmask = (indices == rows_all) & (data != 0)
         udiag[rows_all[dmask]] = data[dmask]
-        self.L = csr_to_ell(lmat, dtype=vec_dt, row_pad=self.n_pad)
-        self.U = csr_to_ell(umat, dtype=vec_dt, row_pad=self.n_pad)
+        self.L = csr_to_ell(lmat, dtype=vec_dt, row_pad=self.vec_len)
+        self.U = csr_to_ell(umat, dtype=vec_dt, row_pad=self.vec_len)
         self.inv_udiag = jnp.asarray((1.0 / udiag).astype(vec_dt))
-        color_pad = np.full(self.n_pad, -1, np.int32)
+        color_pad = np.full(self.vec_len, -1, np.int32)
         color_pad[:n] = col
         self.color = jnp.asarray(color_pad)
         self.num_colors = nc

@@ -171,3 +171,8 @@ def test_dense_coarse_levels():
     from amgx_tpu.matrix import DenseOperator
     kinds = [type(l.m.device_op()) for l in s.amg.levels]
     assert any(k is DenseOperator for k in kinds)
+
+
+def test_adaptive_selector():
+    s, status, rel = _run(_amg_cfg(selector="ADAPTIVE"))
+    assert status == amgx.SolveStatus.SUCCESS and rel < 1e-6

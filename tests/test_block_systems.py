@@ -79,3 +79,19 @@ def test_block_mm_io_roundtrip(tmp_path, rng):
     a2, _, _ = amgx.io.read_system(p)
     assert a2.block_dim == (2, 2)
     assert np.allclose(a2.to_dense(), a.to_dense())
+
+
+@pytest.mark.parametrize("name", ["KACZMARZ", "MULTICOLOR_ILU"])
+def test_block_scalar_expansion_smoothers(name, rng):
+    """Block systems run through the scalar-expanded KACZMARZ/ILU paths."""
+    a = _block_poisson(6, 6, 2, rng)
+    cfg = amgx.AMGConfig(f"solver={name}, max_iters=40, "
+                         "relaxation_factor=0.9, monitor_residual=1, "
+                         "convergence=RELATIVE_INI, tolerance=1e-30")
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a))
+    b = rng.standard_normal(a.n_rows * 2)
+    x, _ = s.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ s.extract_vector(x)) / \
+        np.linalg.norm(b)
+    assert np.isfinite(rel) and rel < 0.999
