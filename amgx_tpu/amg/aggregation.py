@@ -128,14 +128,19 @@ def merge_singletons(w, agg: np.ndarray, singleton_ids: np.ndarray
         # target: strongest neighbour in a non-singleton aggregate (or any)
         best = np.argmax(nb_w)
         agg[i] = agg[nb[best]]
-    # compact ids
-    uniq, agg = np.unique(agg, return_inverse=True)
-    return agg
+    return _compact(agg)[0]
 
 
 def _compact(agg: np.ndarray) -> Tuple[np.ndarray, int]:
-    uniq, inv = np.unique(agg, return_inverse=True)
-    return inv.astype(np.int64), uniq.size
+    """Renumber aggregates by first appearance in fine order: the coarse
+    numbering inherits the fine grid's locality, so coarse operators stay
+    banded without any reordering (the TPU band/DIA layouts depend on it)."""
+    uniq, first, inv = np.unique(agg, return_index=True,
+                                 return_inverse=True)
+    order = np.argsort(first, kind="stable")
+    rank = np.empty(uniq.size, np.int64)
+    rank[order] = np.arange(uniq.size)
+    return rank[inv].astype(np.int64), uniq.size
 
 
 def select_aggregates(csr: CSRMatrix, selector: str, cfg, scope: str

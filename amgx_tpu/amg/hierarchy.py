@@ -244,10 +244,13 @@ class AMG:
 
         # RCM-permute non-stencil coarse operators so the MXU band format
         # applies (TPU gathers scalarize; bandedness is restored by
-        # reordering — the data is restructured, not the kernel)
+        # reordering — the data is restructured, not the kernel). Aggregate
+        # numbering already inherits fine-grid locality, so this only fires
+        # when the natural coarse ordering isn't band-friendly either.
         from ..ops.spmv import csr_to_dia
         from ..ops import band as band_mod
-        if csr_to_dia(ac) is None and ac.n_rows > 256:
+        if (csr_to_dia(ac) is None and ac.n_rows > 256
+                and band_mod.csr_to_band(ac) is None):
             perm = band_mod.rcm_permutation(ac)
             rank = np.empty_like(perm)
             rank[perm] = np.arange(len(perm))

@@ -146,7 +146,7 @@ def band_spmv_pallas(a: BandMatrix, x, interpret: bool = False):
 
 def csr_to_band(csr: CSRMatrix, tile_rows: int = 128,
                 max_width: int = 4096,
-                max_bytes: int = 256 * 1024 * 1024,
+                max_bytes: int = 512 * 1024 * 1024,
                 dtype=None) -> Optional[BandMatrix]:
     """Build the tile-aligned band format if the (given) row ordering is
     banded enough; returns None otherwise. Callers wanting bandedness

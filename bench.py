@@ -119,8 +119,9 @@ def phase_amg(n_side: int):
     cfg = amgx.AMGConfig({"config_version": 2, "solver": {
         "solver": "PCG", "max_iters": 100, "tolerance": 1e-6,
         "convergence": "RELATIVE_INI", "monitor_residual": 1,
-        "mode": "dFFI", "dense_threshold_rows": 4096, "scope": "main",
+        "mode": "dFFI", "scope": "main",
         "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "dense_threshold_rows": 4096,
                            "algorithm": "AGGREGATION",
                            "selector": "SIZE_8",
                            "smoother": "BLOCK_JACOBI",
