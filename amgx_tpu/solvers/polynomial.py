@@ -71,16 +71,19 @@ class KPZPolynomialSolver(Solver):
     def solver_setup(self):
         csr = self.m.csr
         if csr.block_dim != (1, 1):
-            raise NotImplementedError("KPZ_POLYNOMIAL supports scalar "
-                                      "matrices")
+            # block systems run through the scalar expansion (interleaved
+            # block vectors match the scalar row layout exactly)
+            from ..matrix import CSRMatrix
+            csr = CSRMatrix.from_scipy(self.m.csr.to_scipy())
         vec_dt, _ = mode_dtypes(self.mode)
         self.at = csr_to_ell(csr.transpose(), dtype=vec_dt,
-                             row_pad=self.n_pad)
-        rownorm = np.zeros(self.n_pad)
+                             row_pad=self.vec_len)
+        rownorm = np.zeros(self.vec_len)
         rows = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
         np.add.at(rownorm, rows, np.abs(csr.data) ** 2)
         self.inv_rownorm = jnp.asarray(
             (1.0 / np.where(rownorm == 0, 1.0, rownorm)).astype(vec_dt))
+        self._max_row_fanout = max(1, int(csr.row_nnz().max()))
 
     def solve_init(self, b, x, zero_guess):
         return None
@@ -88,7 +91,7 @@ class KPZPolynomialSolver(Solver):
     def solver_damping(self):
         # contraction bound for the normal-equations iteration: damp by the
         # maximum row fanout so ||I - w A^T R^{-1} A|| < 1
-        return 1.0 / max(1, int(self.m.csr.row_nnz().max()))
+        return 1.0 / self._max_row_fanout
 
     def solve_iteration(self, b, x, s):
         omega = self.relaxation_factor * self.solver_damping()

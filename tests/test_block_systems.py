@@ -95,3 +95,17 @@ def test_block_scalar_expansion_smoothers(name, rng):
     rel = np.linalg.norm(b - a.to_scipy() @ s.extract_vector(x)) / \
         np.linalg.norm(b)
     assert np.isfinite(rel) and rel < 0.999
+
+
+def test_block_kpz_polynomial(rng):
+    a = _block_poisson(6, 6, 2, rng)
+    cfg = amgx.AMGConfig("solver=KPZ_POLYNOMIAL, max_iters=30, "
+                         "relaxation_factor=0.9, monitor_residual=1, "
+                         "convergence=RELATIVE_INI, tolerance=1e-30")
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a))
+    b = rng.standard_normal(a.n_rows * 2)
+    x, _ = s.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ s.extract_vector(x)) / \
+        np.linalg.norm(b)
+    assert np.isfinite(rel) and rel < 0.999
