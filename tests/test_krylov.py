@@ -114,3 +114,20 @@ def test_not_converged_status():
         "solver=CG, max_iters=2, tolerance=1e-14, "
         "convergence=RELATIVE_INI, monitor_residual=1", A2D, B2D)
     assert status == amgx.SolveStatus.NOT_CONVERGED
+
+
+def test_iterative_refinement_mixed_precision():
+    """f32 inner solve + f64 refinement reaches f64 accuracy
+    (SURVEY.md §7.3 mixed-precision pattern)."""
+    from amgx_tpu.refinement import solve_refined
+    a = amgx.gallery.poisson5pt(12, 12)
+    b = np.linspace(1.0, 2.0, a.n_rows)
+    cfg = amgx.AMGConfig("solver=PCG, preconditioner=BLOCK_JACOBI, "
+                         "max_iters=60, tolerance=1e-5, "
+                         "convergence=RELATIVE_INI, monitor_residual=1")
+    x, status, hist = solve_refined(cfg, a, b, tolerance=1e-12,
+                                    inner_mode="dFFI")
+    assert status == amgx.SolveStatus.SUCCESS
+    rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
+    assert rel < 1e-11            # beyond f32-only accuracy
+    assert len(hist) >= 2 and hist[-1] < hist[0]
