@@ -117,6 +117,7 @@ class DistributedSolver:
             self.presweeps = max(1, g("presweeps"))
             self.postsweeps = max(1, g("postsweeps"))
             self.smooth_damp = g("relaxation_factor")
+            self.cycle_type = g("cycle")
             work = csr
             while len(self.levels) < max_levels and work.n_rows > min_rows:
                 if algorithm == "AGGREGATION":
@@ -243,6 +244,10 @@ class DistributedSolver:
         rc = spmv(r_args, r)
         xc = jnp.zeros_like(rc)
         xc = self._vcycle(idx + 1, rc, xc, lvl_args)
+        if getattr(self, "cycle_type", "V") in ("W", "F"):
+            # W/F cycles revisit the coarse level (reference: the W and F
+            # dispatchers, core/src/cycles)
+            xc = self._vcycle(idx + 1, rc, xc, lvl_args)
         x = x + spmv(p_args, xc)
         for _ in range(self.postsweeps):
             x = x + self.smooth_damp * inv_diag * (b - spmv(a_args, x))

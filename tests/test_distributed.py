@@ -303,3 +303,23 @@ def test_distributed_classical_amg(mesh, rng):
     rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
     assert status == 0 and rel < 1e-6
     assert len(s.levels) >= 2
+
+
+def test_distributed_w_cycle(mesh, rng):
+    a = amgx.gallery.poisson7pt(10, 10, 10)
+    b = rng.standard_normal(a.n_rows)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "PCG", "max_iters": 100, "tolerance": 1e-8,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "algorithm": "AGGREGATION", "selector": "SIZE_4",
+                           "smoother": "BLOCK_JACOBI",
+                           "relaxation_factor": 0.7, "presweeps": 1,
+                           "postsweeps": 1, "max_iters": 1,
+                           "min_coarse_rows": 32, "cycle": "W"}}})
+    s = DistributedSolver(cfg, mesh)
+    s.setup(a)
+    x, status = s.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
+    assert status == 0 and rel < 1e-6
