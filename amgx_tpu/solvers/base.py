@@ -116,6 +116,11 @@ class Solver:
         else:
             self.m = None
             self.op = m
+        if self.cfg.get("print_config", self.scope):
+            _out(f"Configuration ({type(self).__name__} @ scope "
+                 f"'{self.scope}'):")
+            for (sc, name), val in sorted(self.cfg.items()):
+                _out(f"  {sc}:{name} = {val!r}")
         with profile_phase(f"setup:{type(self).__name__}"):
             self.solver_setup()
         self._jit_iteration = None

@@ -55,3 +55,33 @@ def test_config_solves_poisson(name):
         assert rel < 1e-2
     else:
         assert status == amgx.SolveStatus.SUCCESS and rel < 1e-6
+
+
+EIG_DIR = os.path.join(CFG_DIR, "eigen")
+EIG_ALL = sorted(glob.glob(os.path.join(EIG_DIR, "*.json")))
+
+
+@pytest.mark.parametrize("path", EIG_ALL, ids=[os.path.basename(p)
+                                               for p in EIG_ALL])
+def test_eigen_config_allocates(path):
+    cfg = amgx.AMGConfig(open(path).read())
+    es = amgx.EigenSolverFactory.allocate(cfg)
+    assert es is not None
+
+
+def test_eigen_lanczos_preset_solves():
+    cfg = amgx.AMGConfig(open(os.path.join(EIG_DIR, "LANCZOS.json")).read())
+    a = amgx.gallery.poisson5pt(10, 10)
+    es = amgx.EigenSolverFactory.allocate(cfg)
+    es.setup(amgx.Matrix(a))
+    evals, _ = es.solve()
+    ref = np.linalg.eigvalsh(a.to_dense()).max()
+    assert abs(evals[0] - ref) / ref < 1e-4
+
+
+def test_print_config_echo(capsys):
+    cfg = amgx.AMGConfig("solver=CG, print_config=1, max_iters=3")
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(amgx.gallery.poisson5pt(4, 4)))
+    out = capsys.readouterr().out
+    assert "Configuration" in out and "max_iters" in out
