@@ -268,7 +268,7 @@ class DistEllMatrix:
                  block_dim=(bx, by))
         dm.dia_bands = None
         dm.dia_offsets = None
-        if (bx, by) == (1, 1) and not reorder:
+        if (bx, by) == (1, 1) and not reorder and same_space:
             dm._try_structured(cols, vals, lc)
         if mesh is not None:
             dm.shard(mesh, axis)

@@ -216,15 +216,28 @@ class DistributedSolver:
             return comms.dist_spmv(cols, vals, pack, halo, x, ax)
         return apply, (dm.cols, dm.vals, dm.pack_idx, dm.halo_from)
 
+    def _apply_mat(self, mat, v, static=None):
+        """Apply one operand pytree (ELL or structured DIA form)."""
+        ax = self.axis
+        if "bands" in mat:
+            offsets, margins = static
+            return comms.dist_spmv_structured(
+                offsets, mat["bands"], margins,
+                mat.get("halo_vals_top"), mat.get("halo_cols_top"),
+                mat.get("halo_vals_bot"), mat.get("halo_cols_bot"),
+                mat["pack"], mat["halo"], v, ax)
+        return comms.dist_spmv(mat["cols"], mat["vals"], mat["pack"],
+                               mat["halo"], v, ax)
+
     def _vcycle(self, idx, b, x, lvl_args):
         """One V-cycle, fully inside the SPMD program. lvl_args[i] =
         (a_args, p_args, r_args, inv_diag, coarse_dense)."""
         ax = self.axis
         a_args, p_args, r_args, inv_diag, coarse = lvl_args[idx]
+        static = self._level_static[idx]
 
-        def spmv(args, v):
-            cols, vals, pack, halo = args
-            return comms.dist_spmv(cols, vals, pack, halo, v, ax)
+        def spmv(args, v, st=None):
+            return self._apply_mat(args, v, st)
 
         if idx == len(lvl_args) - 1:
             if coarse is not None:
@@ -236,11 +249,12 @@ class DistributedSolver:
                 return jax.lax.dynamic_slice(sol, (i * lr,), (lr,))
             # fallback: damped Jacobi sweeps
             for _ in range(4):
-                x = x + 0.8 * inv_diag * (b - spmv(a_args, x))
+                x = x + 0.8 * inv_diag * (b - spmv(a_args, x, static))
             return x
         for _ in range(self.presweeps):
-            x = x + self.smooth_damp * inv_diag * (b - spmv(a_args, x))
-        r = b - spmv(a_args, x)
+            x = x + self.smooth_damp * inv_diag * (b - spmv(a_args, x,
+                                                            static))
+        r = b - spmv(a_args, x, static)
         rc = spmv(r_args, r)
         xc = jnp.zeros_like(rc)
         xc = self._vcycle(idx + 1, rc, xc, lvl_args)
@@ -250,18 +264,37 @@ class DistributedSolver:
             xc = self._vcycle(idx + 1, rc, xc, lvl_args)
         x = x + spmv(p_args, xc)
         for _ in range(self.postsweeps):
-            x = x + self.smooth_damp * inv_diag * (b - spmv(a_args, x))
+            x = x + self.smooth_damp * inv_diag * (b - spmv(a_args, x,
+                                                            static))
         return x
 
+    def _mat_pytree(self, dm):
+        """Operand pytree for one operator; structured (DIA + margin) form
+        when the layout was detected at partition time."""
+        if getattr(dm, "dia_bands", None) is not None and \
+                dm.block_dim == (1, 1):
+            mat = {"pack": dm.pack_idx, "halo": dm.halo_from,
+                   "bands": dm.dia_bands}
+            for nm in ("halo_vals_top", "halo_cols_top", "halo_vals_bot",
+                       "halo_cols_bot"):
+                v = getattr(dm, nm, None)
+                if v is not None:
+                    mat[nm] = v
+            return mat
+        return {"cols": dm.cols, "vals": dm.vals, "pack": dm.pack_idx,
+                "halo": dm.halo_from}
+
     def _level_args(self):
+        # static layout metadata per level (offsets/margins can't live in
+        # the traced pytree)
+        self._level_static = [
+            (getattr(lvl.a, "dia_offsets", None),
+             getattr(lvl.a, "margins", None)) for lvl in self.levels]
         out = []
         for lvl in self.levels:
-            a_args = (lvl.a.cols, lvl.a.vals, lvl.a.pack_idx,
-                      lvl.a.halo_from)
-            p_args = None if lvl.p is None else \
-                (lvl.p.cols, lvl.p.vals, lvl.p.pack_idx, lvl.p.halo_from)
-            r_args = None if lvl.r is None else \
-                (lvl.r.cols, lvl.r.vals, lvl.r.pack_idx, lvl.r.halo_from)
+            a_args = self._mat_pytree(lvl.a)
+            p_args = None if lvl.p is None else self._mat_pytree(lvl.p)
+            r_args = None if lvl.r is None else self._mat_pytree(lvl.r)
             out.append((a_args, p_args, r_args, lvl.inv_diag,
                         lvl.coarse_dense))
         return out
@@ -277,27 +310,13 @@ class DistributedSolver:
         bicg = self.solver_name in ("BICGSTAB", "PBICGSTAB")
         a0 = self.levels[0].a
         structured = getattr(a0, "dia_bands", None) is not None and by == 1
-        if structured:
-            self._mat_args = {"pack": a0.pack_idx, "halo": a0.halo_from,
-                              "bands": a0.dia_bands}
-            for nm in ("halo_vals_top", "halo_cols_top", "halo_vals_bot",
-                       "halo_cols_bot"):
-                v = getattr(a0, nm, None)
-                if v is not None:
-                    self._mat_args[nm] = v
-            offsets0 = a0.dia_offsets
-            margins0 = a0.margins
-        else:
-            self._mat_args = {"cols": a0.cols, "vals": a0.vals,
-                              "pack": a0.pack_idx, "halo": a0.halo_from}
+        self._mat_args = self._mat_pytree(a0)
+        static0 = (getattr(a0, "dia_offsets", None),
+                   getattr(a0, "margins", None))
 
         def spmv0(mat, v):
             if structured:
-                return comms.dist_spmv_structured(
-                    offsets0, mat["bands"], margins0,
-                    mat.get("halo_vals_top"), mat.get("halo_cols_top"),
-                    mat.get("halo_vals_bot"), mat.get("halo_cols_bot"),
-                    mat["pack"], mat["halo"], v, ax)
+                return self._apply_mat(mat, v, static0)
             if by > 1:
                 return comms.dist_spmv_block(mat["cols"], mat["vals"],
                                              mat["pack"], mat["halo"], v,
@@ -383,12 +402,12 @@ class DistributedSolver:
         # every stacked level tensor leads with the device axis (sharded);
         # the replicated coarse LU factors are the exception
         arg_specs = tuple(
-            (tuple(shard for _ in range(4)),
-             tuple(shard for _ in range(4)) if lvl.p is not None else (),
-             tuple(shard for _ in range(4)) if lvl.r is not None else (),
+            (jax.tree.map(lambda _: shard, lvl_args[i][0]),
+             jax.tree.map(lambda _: shard, lvl_args[i][1] or ()) or (),
+             jax.tree.map(lambda _: shard, lvl_args[i][2] or ()) or (),
              shard,
              (spec_rep, spec_rep) if lvl.coarse_dense is not None else ())
-            for lvl in self.levels)
+            for i, lvl in enumerate(self.levels))
 
         def wrap(fn, extra_in, extra_out):
             return jax.jit(jax.shard_map(
