@@ -72,19 +72,18 @@ def pairwise_match(w, max_iters: int = 15, max_unassigned: float = 0.05,
     next_id = 0
     indptr, indices, data = w.indptr, w.indices, w.data
     tie = _hash_tiebreak(n, seed)
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    vals = data + tie[indices]              # deterministic tiebreak
     for it in range(max_iters):
         un = agg < 0
         n_un = int(un.sum())
         if n_un == 0 or n_un <= max_unassigned * n:
             break
-        # strongest unaggregated neighbour per unaggregated node
+        # strongest unaggregated neighbour per unaggregated node:
+        # vectorized per-row argmax over masked entries — sort rows
+        # ascending with values descending, take the first entry per row
         cand = np.full(n, -1, np.int64)
-        vals = data + tie[indices]          # deterministic tiebreak
-        mask = un[indices]
-        # vectorized per-row argmax over masked entries: sort rows ascending
-        # with values descending, take the first entry per row
-        rows = np.repeat(np.arange(n), np.diff(indptr))
-        ok = mask & un[rows]
+        ok = un[indices] & un[rows]
         if not ok.any():
             break
         order = np.lexsort((-vals[ok], rows[ok]))

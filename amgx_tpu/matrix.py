@@ -186,11 +186,9 @@ class CSRMatrix:
             d = np.zeros(self.n_rows, dtype=self.data.dtype)
         else:
             d = np.zeros((self.n_rows, bx, by), dtype=self.data.dtype)
-        for i in range(self.n_rows):
-            s, e = self.indptr[i], self.indptr[i + 1]
-            hit = np.nonzero(self.indices[s:e] == i)[0]
-            if hit.size:
-                d[i] = self.data[s + hit[0]]
+        rows = np.repeat(np.arange(self.n_rows), self.row_nnz())
+        hit = self.indices == rows
+        d[rows[hit]] = self.data[hit]
         return d
 
     def transpose(self) -> "CSRMatrix":
