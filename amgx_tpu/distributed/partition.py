@@ -51,6 +51,20 @@ class RowPartition:
         return cls(np.concatenate([[0], np.cumsum(sizes)]))
 
     @classmethod
+    def consolidated(cls, n_rows: int, n_dev: int, n_active: int
+                     ) -> "RowPartition":
+        """Rows distributed over only the first ``n_active`` devices;
+        trailing devices own zero rows (the reference's coarse-level
+        consolidation/gluing, amg.cu:328-391 + glue.h: root partitions
+        continue, the rest idle). On TPU every shard still executes the
+        SPMD program, but idle shards carry only zero padding, so halo
+        tables and collective payloads shrink with the active set."""
+        n_active = max(1, min(n_dev, n_active))
+        inner = cls.equal(n_rows, n_active)
+        pad = np.full(n_dev - n_active, n_rows, np.int64)
+        return cls(np.concatenate([inner.offsets, pad]))
+
+    @classmethod
     def from_partition_vector(cls, pv: np.ndarray, n_dev: int
                               ) -> Tuple["RowPartition", np.ndarray]:
         """Non-contiguous partition vector -> permutation to contiguous +

@@ -112,8 +112,15 @@ class DistributedSolver:
             algorithm = g("algorithm")
             selector = g("selector")
             max_levels = g("max_levels")
-            min_rows = max(g("min_coarse_rows"),
-                           2 * n_dev)     # keep >= 2 rows per shard
+            # consolidation thresholds (reference: amg.cu:328-391 decision;
+            # matrix_consolidation_lower/upper_threshold, core.cu):
+            # when avg rows per *active* shard drops below `lower`, shrink
+            # the active sub-mesh so each active shard holds ~`upper` rows
+            cons_lower = g("matrix_consolidation_lower_threshold")
+            cons_upper = max(1, g("matrix_consolidation_upper_threshold"))
+            min_rows = g("min_coarse_rows") if cons_lower > 0 else \
+                max(g("min_coarse_rows"),
+                    2 * n_dev)            # keep >= 2 rows per shard
             self.presweeps = max(1, g("presweeps"))
             self.postsweeps = max(1, g("postsweeps"))
             self.smooth_damp = g("relaxation_factor")
@@ -143,7 +150,20 @@ class DistributedSolver:
                     from ..ops.spgemm import galerkin_product
                     ac = galerkin_product(r_csr, work, p_csr)
                 fine_part = self.levels[-1].a.row_part
-                coarse_part = RowPartition.equal(nc, n_dev)
+                # consolidation decision: how many shards stay active for
+                # the coarse level (never more than were active on the fine
+                # level — consolidation only shrinks the sub-mesh)
+                fine_active = int(np.sum(np.diff(fine_part.offsets) > 0))
+                if cons_lower > 0 and nc < cons_lower * fine_active:
+                    n_active = min(fine_active,
+                                   max(1, -(-nc // cons_upper)))
+                else:
+                    n_active = fine_active
+                if n_active < n_dev:
+                    coarse_part = RowPartition.consolidated(nc, n_dev,
+                                                            n_active)
+                else:
+                    coarse_part = RowPartition.equal(nc, n_dev)
                 lvl = self.levels[-1]
                 lvl.p = DistEllMatrix.from_global(
                     p_csr, n_dev, fine_part, coarse_part, dtype=mat_dt,

@@ -323,3 +323,47 @@ def test_distributed_w_cycle(mesh, rng):
     x, status = s.solve(b)
     rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
     assert status == 0 and rel < 1e-6
+
+
+def test_coarse_level_consolidation(mesh, rng):
+    """Mid-hierarchy consolidation (reference: glue.h, amg.cu:328-391):
+    coarse levels below the threshold reshard onto a prefix sub-mesh;
+    trailing shards own zero rows. Convergence must match the
+    unconsolidated run."""
+    a = amgx.gallery.poisson7pt(12, 12, 12)
+    b = rng.standard_normal(a.n_rows)
+
+    def make_cfg(lower):
+        return amgx.AMGConfig({"config_version": 2, "solver": {
+            "solver": "PCG", "max_iters": 100, "tolerance": 1e-8,
+            "convergence": "RELATIVE_INI", "monitor_residual": 1,
+            "scope": "main",
+            "preconditioner": {
+                "solver": "AMG", "scope": "amg",
+                "algorithm": "AGGREGATION", "selector": "SIZE_2",
+                "smoother": "BLOCK_JACOBI", "relaxation_factor": 0.7,
+                "presweeps": 1, "postsweeps": 1, "max_iters": 1,
+                "min_coarse_rows": 16, "max_levels": 12, "cycle": "V",
+                "matrix_consolidation_lower_threshold": lower,
+                "matrix_consolidation_upper_threshold": 64}}})
+
+    s = DistributedSolver(make_cfg(48), mesh)
+    s.setup(a)
+    # some level must actually have consolidated onto a sub-mesh
+    actives = [int(np.sum(np.diff(l.a.row_part.offsets) > 0))
+               for l in s.levels]
+    assert actives[0] == N_DEV and min(actives) < N_DEV
+    # active sets only shrink with depth
+    assert all(a1 <= a0 for a0, a1 in zip(actives, actives[1:]))
+    x, status = s.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
+    assert status == 0 and rel < 1e-6
+
+    s0 = DistributedSolver(make_cfg(0), mesh)
+    s0.setup(a)
+    x0, status0 = s0.solve(b)
+    assert status0 == 0
+    # consolidation changes the data layout, not the algorithm: the
+    # iterate path agrees to fp tolerance while hierarchies match
+    if len(s0.levels) == len(s.levels):
+        assert abs(s.last_iters - s0.last_iters) <= 2
