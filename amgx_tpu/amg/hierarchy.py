@@ -168,6 +168,7 @@ class AMG:
             else:
                 ac = galerkin_product(lvl.r_csr, lvl.m.csr, lvl.p_csr)
             cm = Matrix(ac, mode=m.mode)
+            cm.csr.aux["fine_reordered"] = True
             if lvl.cf_map is not None:
                 cm.csr.aux["cf_map"] = lvl.cf_map
             self.levels[i + 1].m = cm
@@ -268,6 +269,9 @@ class AMG:
 
         level.p_csr, level.r_csr = p_csr, r_csr
         cm = Matrix(ac, mode=mode)
+        # hierarchy-internal matrix: its index space is fixed by P/R — the
+        # attached smoother/coarse solver must never re-permute it
+        cm.csr.aux["fine_reordered"] = True
         if level.cf_map is not None:
             cm.csr.aux["cf_map"] = level.cf_map
         coarse = AMGLevel(cm, level.index + 1)

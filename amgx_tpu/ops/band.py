@@ -193,6 +193,25 @@ def csr_to_band(csr: CSRMatrix, tile_rows: int = 128,
                       n, csr.n_cols, csr.nnz, x_pad)
 
 
+def tile_halfwidth(rows: np.ndarray, cols: np.ndarray, n: int,
+                   tile_rows: int = 128) -> int:
+    """Half-window hw the band-strip format would need for this ordering
+    (the per-tile column span, rounded up to lane blocks) — a cheap
+    estimator that avoids building the strips."""
+    if rows.size == 0:
+        return 128
+    tiles = -(-n // tile_rows)
+    tile_of = rows // tile_rows
+    lo = np.full(tiles, np.iinfo(np.int64).max)
+    hi = np.zeros(tiles, np.int64)
+    np.minimum.at(lo, tile_of, cols)
+    np.maximum.at(hi, tile_of, cols)
+    empty = lo > hi
+    lo[empty], hi[empty] = 0, 0
+    span = int((hi - lo).max()) + 1
+    return max(128, ((span + 127) // 128) * 128)
+
+
 def rcm_permutation(csr: CSRMatrix) -> np.ndarray:
     """Reverse Cuthill-McKee ordering (bandwidth reduction)."""
     import scipy.sparse as sp

@@ -224,6 +224,11 @@ def register_all_parameters() -> None:
       "row target per rank after consolidation")
     P("use_cuda_ipc_consolidation", int, 0, "inert on TPU")
     P("fine_level_consolidation", int, 0, "consolidate the fine level")
+    P("fine_level_reordering", str, "AUTO",
+      "reorder the user's fine matrix for the banded TPU layouts: AUTO "
+      "applies RCM only when the given ordering is neither stencil- nor "
+      "band-structured; solve vectors are permuted at the API boundary",
+      allowed_values=["NONE", "AUTO", "RCM"])
     P("partition_vec_size", int, 0, "compat")
 
     # -- system / resources (inert hints kept for config compatibility) ---------

@@ -88,6 +88,8 @@ class Solver:
         self._jit_first = None
         self._jit_fused = None
         self.scaler = None
+        self._perm = None              # fine-level reordering (RCM) state
+        self._m_user = None            # user's handle when reordered
 
     # -- setup ----------------------------------------------------------------
 
@@ -98,6 +100,7 @@ class Solver:
         from ..logging_util import profile_phase
         self._phase = profile_phase
         if isinstance(m, Matrix):
+            m = self._maybe_reorder(m)
             self.m = m
             if self.needs_coloring and m.coloring is None \
                     and m.csr is not None:
@@ -128,10 +131,62 @@ class Solver:
         self._jit_fused = None
         self.setup_time = time.perf_counter() - t0
 
+    def _maybe_reorder(self, m: Matrix) -> Matrix:
+        """Fine-level reordering (the TPU analog of the reference's
+        reorder-by-color setup step, solver.cu:433): when the user's row
+        ordering defeats the banded layouts, RCM-permute the whole system
+        once at setup. Everything downstream — coloring, scalers, the AMG
+        hierarchy, inner solvers — sees the permuted index space; solve
+        vectors cross the boundary through prepare/extract_vector. Nested
+        solvers receive the already-permuted handle (aux flag) and never
+        re-permute."""
+        self._perm = None
+        self._m_user = None
+        csr = m.csr
+        mode = str(self.cfg.get("fine_level_reordering", self.scope))
+        if (csr is None or mode == "NONE" or m.manager is not None
+                or self.is_smoother or csr.block_dim != (1, 1)
+                or csr.n_rows == 0 or csr.aux.get("fine_reordered")):
+            return m
+        from ..ops import band as band_mod
+        if mode == "AUTO":
+            if csr.n_rows <= 256:
+                return m
+            from ..ops.spmv import csr_to_dia
+            if csr_to_dia(csr) is not None:
+                return m
+            # reorder only when RCM buys a materially narrower band than
+            # the user's ordering AND the RCM'd band fits the strip format
+            n = csr.n_rows
+            rows = np.repeat(np.arange(n), csr.row_nnz())
+            perm = band_mod.rcm_permutation(csr)
+            rank = np.empty_like(perm)
+            rank[perm] = np.arange(n)
+            bw = int(np.abs(rank[rows] - rank[csr.indices]).max()) \
+                if csr.nnz else 0
+            hw_rcm = max(128, ((bw + 128) // 128) * 128)
+            tiles = -(-n // 128)
+            itemsize = np.dtype(csr.data.dtype).itemsize
+            if (2 * hw_rcm > 4096 or
+                    tiles * 128 * 2 * hw_rcm * itemsize > 512 * 1024 * 1024):
+                return m             # gather territory even after RCM
+            hw_cur = band_mod.tile_halfwidth(rows, csr.indices, n)
+            if 2 * hw_cur <= 4096 and hw_cur <= 2 * hw_rcm:
+                return m             # current ordering is already fine
+        else:
+            perm = band_mod.rcm_permutation(csr)
+        pcsr = band_mod.permute_square(csr, perm)
+        pcsr.aux.update(csr.aux)
+        pcsr.aux["fine_reordered"] = True
+        pm = Matrix(pcsr, mode=m.mode)
+        self._m_user = m
+        self._perm = np.asarray(perm)
+        return pm
+
     def resetup(self, m=None) -> None:
         """Reference: AMGX_solver_resetup — values changed, structure kept.
         Subclasses that can reuse structure override this."""
-        self.setup(m if m is not None else self.m)
+        self.setup(m if m is not None else (self._m_user or self.m))
 
     def solver_setup(self) -> None:
         """Subclass hook: build factorizations, hierarchies, etc."""
@@ -170,12 +225,21 @@ class Solver:
 
     def prepare_vector(self, v) -> jnp.ndarray:
         vec_dt, _ = mode_dtypes(self.mode)
-        v = jnp.asarray(np.asarray(v).reshape(-1), dtype=vec_dt)
+        a = np.asarray(v).reshape(-1)
+        if self._perm is not None and a.shape[0] >= self._perm.shape[0]:
+            n = self._perm.shape[0]
+            a = np.concatenate([a[self._perm], a[n:]])
+        v = jnp.asarray(a, dtype=vec_dt)
         return blas.pad_vector(v, self.vec_len)
 
     def extract_vector(self, v) -> np.ndarray:
         n = self.op.n_rows * self.block_dim[0]
-        return np.asarray(v)[:n]
+        out = np.asarray(v)[:n]
+        if self._perm is not None:
+            back = np.empty_like(out)
+            back[self._perm] = out
+            out = back
+        return out
 
     # -- fused on-device solve loop -------------------------------------------
 

@@ -131,3 +131,37 @@ def test_iterative_refinement_mixed_precision():
     rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
     assert rel < 1e-11            # beyond f32-only accuracy
     assert len(hist) >= 2 and hist[-1] < hist[0]
+
+
+def test_fine_level_reordering(rng):
+    """fine_level_reordering=AUTO: a scrambled stencil matrix is RCM'd back
+    to a narrow band layout; vectors map through the API boundary; NONE and
+    RCM agree with AUTO."""
+    import amgx_tpu as amgx
+    from amgx_tpu.ops.band import permute_square
+    a = amgx.gallery.poisson5pt(40, 40)
+    ash = permute_square(a, rng.permutation(a.n_rows))
+    b = rng.standard_normal(a.n_rows)
+    sols = {}
+    for mode in ("NONE", "AUTO", "RCM"):
+        cfg = amgx.AMGConfig(
+            "solver=CG, max_iters=400, tolerance=1e-10, "
+            "convergence=RELATIVE_INI, monitor_residual=1, "
+            f"fine_level_reordering={mode}")
+        s = amgx.SolverFactory.allocate(cfg)
+        s.setup(amgx.Matrix(ash))
+        x, st = s.solve(b)
+        xv = s.extract_vector(x)
+        rel = np.linalg.norm(b - ash.to_scipy() @ xv) / np.linalg.norm(b)
+        assert st == 0 and rel < 1e-8
+        sols[mode] = xv
+        if mode == "AUTO":
+            assert s._perm is not None          # heuristic fired
+            assert s.op.strips.shape[2] <= 512  # narrow band recovered
+    assert np.allclose(sols["AUTO"], sols["NONE"], atol=1e-8)
+    # natural ordering: AUTO must NOT permute (DIA already optimal)
+    cfg = amgx.AMGConfig("solver=CG, max_iters=5, tolerance=1e-10, "
+                         "monitor_residual=1")
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a))
+    assert s._perm is None
