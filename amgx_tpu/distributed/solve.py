@@ -125,12 +125,20 @@ class DistributedSolver:
             self.postsweeps = max(1, g("postsweeps"))
             self.smooth_damp = g("relaxation_factor")
             self.cycle_type = g("cycle")
+            shard_local = str(self.cfg.get("distributed_aggregation",
+                                           amg_scope)) == "SHARD_LOCAL"
             work = csr
             while len(self.levels) < max_levels and work.n_rows > min_rows:
+                count_part = None
                 if algorithm == "AGGREGATION":
                     from ..amg.aggregation import select_aggregates, build_p_r
-                    agg, nc = select_aggregates(work, selector, self.cfg,
-                                                amg_scope)
+                    if shard_local:
+                        agg, nc, count_part = self._shard_local_aggregates(
+                            work, self.levels[-1].a.row_part, selector,
+                            amg_scope)
+                    else:
+                        agg, nc = select_aggregates(work, selector, self.cfg,
+                                                    amg_scope)
                     if nc == 0 or nc >= work.n_rows:
                         break
                     p_csr, r_csr = build_p_r(agg, nc)
@@ -162,6 +170,11 @@ class DistributedSolver:
                 if n_active < n_dev:
                     coarse_part = RowPartition.consolidated(nc, n_dev,
                                                             n_active)
+                elif count_part is not None:
+                    # shard-local aggregation: coarse rows stay on the shard
+                    # that owns their fine aggregate — transfers (P/R) are
+                    # block-diagonal, so restrict/prolongate need no halo
+                    coarse_part = count_part
                 else:
                     coarse_part = RowPartition.equal(nc, n_dev)
                 lvl = self.levels[-1]
@@ -205,6 +218,31 @@ class DistributedSolver:
 
         self._build_step()
         self.setup_time = time.perf_counter() - t0
+
+    def _shard_local_aggregates(self, csr: CSRMatrix, part: RowPartition,
+                                selector: str, scope: str):
+        """Aggregate each shard's diagonal block independently (reference:
+        distributed aggregation — setAggregates runs per rank on owned rows,
+        aggregation_amg_level.cu:1986; aggregates never span ranks).
+        Returns (global agg map, n_coarse, coarse RowPartition aligned with
+        the fine shards)."""
+        from ..amg.aggregation import select_aggregates
+        a = csr.to_scipy().tocsr()
+        agg = np.full(csr.n_rows, -1, np.int64)
+        offsets = [0]
+        base = 0
+        for d in range(part.n_dev):
+            r0, r1 = int(part.offsets[d]), int(part.offsets[d + 1])
+            if r1 > r0:
+                blk = a[r0:r1, r0:r1].tocsr()
+                bm = CSRMatrix(r1 - r0, r1 - r0, blk.indptr, blk.indices,
+                               blk.data)
+                agg_d, nc_d = select_aggregates(bm, selector, self.cfg,
+                                                scope)
+                agg[r0:r1] = np.where(agg_d >= 0, base + agg_d, -1)
+                base += nc_d
+            offsets.append(base)
+        return agg, base, RowPartition(np.asarray(offsets, np.int64))
 
     @staticmethod
     def _inv_diag(csr: CSRMatrix, dm: DistEllMatrix, dtype):

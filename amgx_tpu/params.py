@@ -218,6 +218,12 @@ def register_all_parameters() -> None:
     P("num_import_rings", int, 1, "halo ring count", allowed_range=(1, 2))
     P("min_rows_latency_hiding", int, -1,
       "enable interior/boundary overlap above this local row count")
+    P("distributed_aggregation", str, "SHARD_LOCAL",
+      "distributed AMG aggregation scope: SHARD_LOCAL aggregates each "
+      "shard's owned rows (reference semantics — aggregates never span "
+      "ranks; transfers become halo-free), GLOBAL aggregates the global "
+      "matrix then re-partitions",
+      allowed_values=["SHARD_LOCAL", "GLOBAL"])
     P("matrix_consolidation_lower_threshold", int, 0,
       "consolidate a level when average rows/rank drops below this")
     P("matrix_consolidation_upper_threshold", int, 1000,

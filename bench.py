@@ -208,6 +208,12 @@ def main():
     if "kind" not in dev:
         time.sleep(60)                 # tunneled TPU workers heal slowly
         dev = _run_phase("device", (), 240)
+    if "kind" not in dev and not os.environ.get("AMGX_BENCH_PLATFORM"):
+        # tunnel unreachable: force the CPU backend for the remaining
+        # phases so they measure instead of hanging through every deadline
+        os.environ["AMGX_BENCH_PLATFORM"] = "cpu"
+        dev = _run_phase("device", (), 240)
+        dev["tpu_unreachable"] = True
     kind = dev.get("kind", "unknown")
     on_tpu = dev.get("platform") == "tpu"
     if on_tpu:

@@ -367,3 +367,35 @@ def test_coarse_level_consolidation(mesh, rng):
     # iterate path agrees to fp tolerance while hierarchies match
     if len(s0.levels) == len(s.levels):
         assert abs(s.last_iters - s0.last_iters) <= 2
+
+
+def test_shard_local_aggregation(mesh, rng):
+    """distributed_aggregation=SHARD_LOCAL (the default, mirroring the
+    reference's per-rank setAggregates): aggregates never span shards, so
+    coarse rows stay on their fine shard and P/R are block-diagonal."""
+    a = amgx.gallery.poisson7pt(12, 12, 12)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "PCG", "max_iters": 100, "tolerance": 1e-8,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "algorithm": "AGGREGATION", "selector": "SIZE_2",
+                           "smoother": "BLOCK_JACOBI",
+                           "relaxation_factor": 0.7, "presweeps": 1,
+                           "postsweeps": 1, "max_iters": 1,
+                           "min_coarse_rows": 32, "max_levels": 12,
+                           "cycle": "V"}}})
+    s = DistributedSolver(cfg, mesh)
+    s.setup(a)
+    # transfer operators carry no real halo entries: every P/R nonzero
+    # references an owned column of the same shard
+    import numpy as _np
+    for lvl in s.levels[:-1]:
+        for t in (lvl.p, lvl.r):
+            cols = _np.asarray(t.cols)
+            vals = _np.asarray(t.vals)
+            assert not ((vals != 0) & (cols >= t.lc)).any()
+    b = rng.standard_normal(a.n_rows)
+    x, status = s.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
+    assert status == 0 and rel < 1e-6 and s.last_iters <= 30
