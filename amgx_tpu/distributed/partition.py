@@ -280,6 +280,10 @@ class DistEllMatrix:
                  row_part, col_part, lr, lc, total_nnz, row_perm,
                  col_perm=row_perm if reorder else None,
                  block_dim=(bx, by))
+        # operators whose every nonzero hits an owned column need no halo
+        # exchange at all (e.g. block-diagonal P/R from shard-local
+        # aggregation): their SpMV is collective-free
+        dm.halo_free = all(info["halo_g"].size == 0 for info in per_dev)
         dm.dia_bands = None
         dm.dia_offsets = None
         if (bx, by) == (1, 1) and not reorder and same_space:

@@ -277,6 +277,9 @@ class DistributedSolver:
     def _apply_mat(self, mat, v, static=None):
         """Apply one operand pytree (ELL or structured DIA form)."""
         ax = self.axis
+        if "pack" not in mat:
+            # halo-free operator (shard-local P/R): no collective at all
+            return jnp.sum(mat["vals"] * v[mat["cols"]], axis=1)
         if "bands" in mat:
             offsets, margins = static
             return comms.dist_spmv_structured(
@@ -339,6 +342,8 @@ class DistributedSolver:
                 if v is not None:
                     mat[nm] = v
             return mat
+        if getattr(dm, "halo_free", False) and dm.block_dim == (1, 1):
+            return {"cols": dm.cols, "vals": dm.vals}
         return {"cols": dm.cols, "vals": dm.vals, "pack": dm.pack_idx,
                 "halo": dm.halo_from}
 
@@ -373,6 +378,8 @@ class DistributedSolver:
                    getattr(a0, "margins", None))
 
         def spmv0(mat, v):
+            if "pack" not in mat:           # halo-free (e.g. 1 active shard)
+                return jnp.sum(mat["vals"] * v[mat["cols"]], axis=1)
             if structured:
                 return self._apply_mat(mat, v, static0)
             if by > 1:
