@@ -91,6 +91,11 @@ class DistributedSolver:
         if self.precond_name == "AMG":
             _, amg_scope = self.cfg.get_pair("preconditioner", self.scope)
             self.use_amg = True
+        elif self.solver_name == "AMG":
+            # standalone AMG: iterate V-cycles (reference: AMG solver =
+            # one cycle per solve_iteration, algebraic_multigrid_solver.h)
+            amg_scope = self.scope
+            self.use_amg = True
 
         # level 0: prefer the shard-local banded layout (no gathers, halo
         # confined to margin rows); fall back to interior-first rows for the
@@ -371,6 +376,16 @@ class DistributedSolver:
         split0 = getattr(self, "_split0", 0)
         bx, by = self.levels[0].a.block_dim
         bicg = self.solver_name in ("BICGSTAB", "PBICGSTAB")
+        gmres = self.solver_name in ("GMRES", "FGMRES")
+        amg_alone = self.solver_name == "AMG"
+        supported = ("PCG", "CG", "BICGSTAB", "PBICGSTAB", "GMRES",
+                     "FGMRES", "AMG")
+        if self.solver_name not in supported:
+            raise NotImplementedError(
+                f"DistributedSolver does not implement "
+                f"'{self.solver_name}'; supported: {supported} "
+                f"(single-chip SolverFactory covers the full catalog)")
+        m_rst = int(self.cfg.get("gmres_n_restart", self.scope))
         a0 = self.levels[0].a
         structured = getattr(a0, "dia_bands", None) is not None and by == 1
         self._mat_args = self._mat_pytree(a0)
@@ -404,10 +419,93 @@ class DistributedSolver:
                 return apply_invd(args[0][3], r)
             return r
 
+        def gmres_restart(mat, b, xv):
+            """Fresh Krylov basis (reference: FGMRES restart,
+            fgmres_solver.cu:296-605). All small dense work (R, Givens, g)
+            is replicated; the basis V/Z is row-sharded."""
+            r = b - spmv0(mat, xv)
+            beta = comms.dist_nrm2(r, ax)
+            L = r.shape[0]
+            V = jnp.zeros((m_rst + 1, L), r.dtype).at[0].set(
+                jnp.where(beta > 0, r / jnp.where(beta == 0, 1.0, beta), r))
+            Z = jnp.zeros((m_rst, L), r.dtype)
+            R = jnp.zeros((m_rst + 1, m_rst), r.dtype)
+            cs = jnp.zeros((m_rst,), r.dtype)
+            sn = jnp.zeros((m_rst,), r.dtype)
+            g = jnp.zeros((m_rst + 1,), r.dtype).at[0].set(beta)
+            return (V, Z, R, cs, sn, g, jnp.asarray(0, jnp.int32), xv), beta
+
+        def gmres_step(mat, args, state):
+            """One Arnoldi step; identical numerics to the single-chip
+            _GMRESBase.solve_iteration with psum-reduced projections. The
+            update always uses flexible (Z) storage — equal to right-
+            preconditioned GMRES for our (linear) preconditioners."""
+            x, b, V, Z, R, cs, sn, g, i, x0 = state
+            vi = V[i]
+            z = precond(vi, args)
+            w = spmv0(mat, z)
+            mask = (jnp.arange(m_rst + 1) <= i).astype(w.dtype)
+            h = jax.lax.psum(V @ w, ax) * mask
+            w = w - h @ V
+            h2 = jax.lax.psum(V @ w, ax) * mask
+            w = w - h2 @ V
+            h = h + h2
+            h_next = jnp.sqrt(jax.lax.psum(jnp.vdot(w, w), ax))
+            V = V.at[i + 1].set(w / jnp.where(h_next == 0, 1.0, h_next))
+            Z = Z.at[i].set(z)
+
+            def apply_rot(j, hcol):
+                hj, hj1 = hcol[j], hcol[j + 1]
+                c, sj = cs[j], sn[j]
+                return hcol.at[j].set(c * hj + sj * hj1) \
+                           .at[j + 1].set(-sj * hj + c * hj1)
+            hcol = jax.lax.fori_loop(0, i, apply_rot, h)
+            hcol = hcol.at[i + 1].set(h_next.astype(h.dtype))
+            hi, hn = hcol[i], hcol[i + 1]
+            denom = jnp.sqrt(hi * hi + hn * hn)
+            safe = jnp.where(denom == 0, 1.0, denom)
+            c_new = jnp.where(denom == 0, 1.0, hi / safe)
+            s_new = jnp.where(denom == 0, 0.0, hn / safe)
+            hcol = hcol.at[i].set(denom).at[i + 1].set(0.0)
+            cs = cs.at[i].set(c_new)
+            sn = sn.at[i].set(s_new)
+            gi = g[i]
+            g = g.at[i].set(c_new * gi).at[i + 1].set(-s_new * gi)
+            R = R.at[:, i].set(hcol)
+            nrm = jnp.abs(g[i + 1])
+            k = i + 1
+            y = jnp.zeros((m_rst,), x.dtype)
+
+            def back_sub(jj, y):
+                j = m_rst - 1 - jj
+                rhs = g[j] - R[j] @ y
+                yj = jnp.where(j < k, rhs / jnp.where(R[j, j] == 0, 1.0,
+                                                      R[j, j]), 0.0)
+                return y.at[j].set(yj)
+            y = jax.lax.fori_loop(0, m_rst, back_sub, y)
+            x_new = x0 + y @ Z
+
+            def do_restart(_):
+                st, _ = gmres_restart(mat, b, x_new)
+                return st
+
+            def keep(_):
+                return (V, Z, R, cs, sn, g, i + 1, x0)
+            rest = jax.lax.cond(i + 1 >= m_rst, do_restart, keep, None)
+            return (x_new, b) + rest, nrm
+
         def step(mat, flat_args, state):
             """One Krylov iteration over the generic state pytree; returns
             (state, ||r||)."""
             args = _unflatten(flat_args)
+            if gmres:
+                return gmres_step(mat, args, state)
+            if amg_alone:
+                x, r = state
+                z = precond(r, args)
+                x = x + z
+                r = r - spmv0(mat, z)
+                return (x, r), comms.dist_nrm2(r, ax)
             if bicg:
                 x, r, r_star, pv, rho = state
                 p_hat = precond(pv, args)
@@ -439,8 +537,13 @@ class DistributedSolver:
 
         def init(mat, flat_args, b, x):
             args = _unflatten(flat_args)
+            if gmres:
+                rest, beta = gmres_restart(mat, b, x)
+                return (x, b) + rest, beta
             r = b - spmv0(mat, x)
             nrm = comms.dist_nrm2(r, ax)
+            if amg_alone:
+                return (x, r), nrm
             if bicg:
                 return (x, r, r, r, comms.dist_dot(r, r, ax)), nrm
             z = precond(r, args)
@@ -497,9 +600,14 @@ class DistributedSolver:
                     else o, out)
             return inner
 
-        # state specs: vectors sharded on the device axis, scalars
-        # (rho) replicated
-        if bicg:
+        # state specs: vectors sharded on the device axis, small dense
+        # work (R/cs/sn/g/i, rho) replicated
+        if gmres:
+            state_spec = (shard, shard, shard, shard, P(), P(), P(), P(),
+                          P(), shard)
+        elif amg_alone:
+            state_spec = (shard, shard)
+        elif bicg:
             state_spec = (shard, shard, shard, shard, P())
         else:
             state_spec = (shard, shard, shard, P())

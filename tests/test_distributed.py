@@ -399,3 +399,56 @@ def test_shard_local_aggregation(mesh, rng):
     x, status = s.solve(b)
     rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
     assert status == 0 and rel < 1e-6 and s.last_iters <= 30
+
+
+def test_distributed_fgmres_amg(mesh, rng):
+    """The flagship FGMRES+aggregation-AMG composition, distributed
+    (reference: FGMRES_AGGREGATION.json over MPI ranks)."""
+    a = amgx.gallery.poisson7pt(10, 10, 10)
+    b = rng.standard_normal(a.n_rows)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "FGMRES", "max_iters": 60, "gmres_n_restart": 10,
+        "tolerance": 1e-8, "convergence": "RELATIVE_INI",
+        "monitor_residual": 1, "scope": "main",
+        "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "algorithm": "AGGREGATION", "selector": "SIZE_2",
+                           "smoother": "BLOCK_JACOBI",
+                           "relaxation_factor": 0.7, "presweeps": 1,
+                           "postsweeps": 1, "max_iters": 1,
+                           "min_coarse_rows": 32, "max_levels": 10,
+                           "cycle": "V"}}})
+    s = DistributedSolver(cfg, mesh)
+    s.setup(a)
+    x, status = s.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
+    assert status == 0 and rel < 1e-6
+    assert s.last_iters <= 30        # AMG-preconditioned Krylov
+    # plain distributed GMRES (no preconditioner) also converges
+    cfg2 = amgx.AMGConfig("solver=GMRES, max_iters=300, gmres_n_restart=30, "
+                          "tolerance=1e-8, convergence=RELATIVE_INI, "
+                          "monitor_residual=1")
+    s2 = DistributedSolver(cfg2, mesh)
+    s2.setup(a)
+    x2, st2 = s2.solve(b)
+    rel2 = np.linalg.norm(b - a.to_scipy() @ x2) / np.linalg.norm(b)
+    assert st2 == 0 and rel2 < 1e-6
+
+
+def test_distributed_standalone_amg(mesh, rng):
+    """solver=AMG used directly (not as a preconditioner): iterated
+    V-cycles, reference AlgebraicMultigrid_Solver semantics."""
+    a = amgx.gallery.poisson5pt(24, 24)
+    b = rng.standard_normal(a.n_rows)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "AMG", "max_iters": 60, "tolerance": 1e-8,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main", "algorithm": "AGGREGATION", "selector": "SIZE_2",
+        "smoother": "BLOCK_JACOBI", "relaxation_factor": 0.7,
+        "presweeps": 2, "postsweeps": 2, "min_coarse_rows": 16,
+        "max_levels": 10, "cycle": "V"}})
+    s = DistributedSolver(cfg, mesh)
+    s.setup(a)
+    assert len(s.levels) >= 2
+    x, status = s.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
+    assert status == 0 and rel < 1e-6
