@@ -163,11 +163,13 @@ def select_aggregates(csr: CSRMatrix, selector: str, cfg, scope: str
         return np.arange(csr.n_rows, dtype=np.int64), csr.n_rows
 
     if selector in ("SIZE_2", "SIZE_4", "SIZE_8", "MULTI_PAIRWISE"):
-        rounds = {"SIZE_2": 1, "SIZE_4": 2, "SIZE_8": 3,
-                  "MULTI_PAIRWISE": max(1, int(np.log2(max(2, 2))))}[selector]
         if selector == "MULTI_PAIRWISE":
+            # reference: each pass about doubles the aggregate size
+            # (aggregation_passes, core.cu:492); Notay weight formula
             formula = 1
-            rounds = 2
+            rounds = max(1, int(g("aggregation_passes")))
+        else:
+            rounds = {"SIZE_2": 1, "SIZE_4": 2, "SIZE_8": 3}[selector]
         w = _edge_weights(csr, formula=formula, component=comp)
         agg = pairwise_match(w, max_it, max_un, det, seed=0)
         if do_merge:
@@ -213,10 +215,20 @@ def select_aggregates(csr: CSRMatrix, selector: str, cfg, scope: str
             agg = merge_singletons(w, agg, agg)
         return _compact(agg)
 
-    if selector in ("PARALLEL_GREEDY_SELECTOR", "SERIAL_GREEDY_BFS",
-                    "GEO"):
-        # greedy BFS aggregation with target size 4 (greedy selectors family;
-        # GEO without coordinates degrades to the structural greedy walk)
+    if selector == "SERIAL_GREEDY_BFS":
+        # deterministic serial BFS walk (serial_greedy_bfs.cu)
+        return _greedy_aggregate(csr, target=4)
+
+    if selector == "PARALLEL_GREEDY_SELECTOR":
+        return _parallel_greedy_aggregate(csr, det)
+
+    if selector == "GEO":
+        # geometric aggregation (geo_selector.cu): blocks of the point
+        # cloud when coordinates are attached (Matrix aux "geo.coords"),
+        # structural greedy walk otherwise
+        coords = csr.aux.get("geo.coords")
+        if coords is not None:
+            return _geo_aggregate(np.asarray(coords))
         return _greedy_aggregate(csr, target=4)
 
     raise ValueError(f"Unknown aggregation selector '{selector}'")
@@ -227,6 +239,105 @@ def _as_scalar(csr: CSRMatrix) -> CSRMatrix:
         return csr
     return CSRMatrix(csr.n_rows, csr.n_cols, csr.indptr, csr.indices,
                      csr.data[:, 0, 0])
+
+
+def _parallel_greedy_aggregate(csr: CSRMatrix, det: bool = False
+                               ) -> Tuple[np.ndarray, int]:
+    """MIS-rooted parallel aggregation (parallel_greedy_selector.cu):
+    rounds of (a) Luby-style maximal independent set over unaggregated
+    nodes by hashed priority, (b) roots open aggregates, (c) unaggregated
+    neighbors join their strongest adjacent aggregate. Fully vectorized —
+    each round is a data-parallel sweep, matching the reference's
+    GPU-parallel structure (deterministic: priorities are a pure hash)."""
+    import scipy.sparse as sp
+    n = csr.n_rows
+    data = csr.data if csr.block_dim == (1, 1) else csr.data[:, 0, 0]
+    a = sp.csr_matrix((np.abs(data), csr.indices, csr.indptr),
+                      shape=(n, csr.n_cols))[:, :n].tocsr()
+    a.setdiag(0)
+    a.eliminate_zeros()
+    adj = a.tocsr()
+    agg = np.full(n, -1, np.int64)
+    next_id = 0
+    # deterministic node priorities (hash), ties broken by index
+    pri = (np.arange(n, dtype=np.uint64) * np.uint64(2654435761)
+           % np.uint64(2 ** 31)).astype(np.int64)
+    rows = np.repeat(np.arange(n), np.diff(adj.indptr))
+    cols = adj.indices
+    for _ in range(64):
+        un = agg < 0
+        if not un.any():
+            break
+        # (a) MIS on the unaggregated subgraph: a node is a root iff no
+        # unaggregated neighbor has higher (pri, idx)
+        edge = un[rows] & un[cols]
+        better = np.zeros(n, bool)
+        er, ec = rows[edge], cols[edge]
+        nb_wins = (pri[ec] > pri[er]) | ((pri[ec] == pri[er]) & (ec > er))
+        np.logical_or.at(better, er, nb_wins)
+        roots = un & ~better
+        if not roots.any():
+            roots = un        # isolated leftovers become singletons
+        ids = np.cumsum(roots) - 1
+        agg[roots] = next_id + ids[roots]
+        next_id += int(roots.sum())
+        # (b) unaggregated nodes join the strongest aggregated neighbor
+        # whose aggregate still has room (size cap keeps hubs in check)
+        un = agg < 0
+        if not un.any():
+            break
+        sizes = np.bincount(agg[agg >= 0], minlength=next_id)
+        e2 = un[rows] & (agg[cols] >= 0)
+        e2[e2] = sizes[agg[cols[e2]]] < 8
+        if e2.any():
+            er, ec, ew = rows[e2], cols[e2], adj.data[e2]
+            best = np.full(n, -1.0)
+            np.maximum.at(best, er, ew)
+            pick = e2.copy()
+            pick[e2] = ew >= best[er] - 1e-300
+            # first best edge per row wins (deterministic)
+            pr, pc = rows[pick], cols[pick]
+            first = np.full(n, -1, np.int64)
+            upr, fidx = np.unique(pr, return_index=True)  # rows are sorted
+            first[upr] = pc[fidx]
+            jr = np.nonzero((first >= 0) & un)[0]
+            if jr.size:
+                # admit at most (cap - size) joiners per aggregate this
+                # round, lowest row index first (deterministic)
+                tg = agg[first[jr]]
+                order = np.argsort(tg, kind="stable")
+                jr_s, tg_s = jr[order], tg[order]
+                uniq, start = np.unique(tg_s, return_index=True)
+                rank = np.arange(jr_s.size) - \
+                    start[np.searchsorted(uniq, tg_s)]
+                ok = rank < (8 - sizes[tg_s])
+                agg[jr_s[ok]] = tg_s[ok]
+    # leftovers (no aggregated neighbor at all): singletons
+    left = agg < 0
+    if left.any():
+        agg[left] = next_id + np.arange(int(left.sum()))
+        next_id += int(left.sum())
+    return _compact(agg)
+
+
+def _geo_aggregate(coords: np.ndarray, target: int = 8
+                   ) -> Tuple[np.ndarray, int]:
+    """Geometric aggregation from point coordinates (geo_selector.cu):
+    uniform spatial blocks sized so aggregates hold ~``target`` points."""
+    coords = np.atleast_2d(np.asarray(coords, np.float64))
+    if coords.shape[0] < coords.shape[1]:
+        coords = coords.T
+    n, d = coords.shape
+    blocks = max(1, int(round((n / target) ** (1.0 / d))))
+    lo = coords.min(axis=0)
+    ptp = coords.max(axis=0) - lo
+    span = np.where(ptp == 0, 1.0, ptp)
+    cell = np.minimum(((coords - lo) / span * blocks).astype(np.int64),
+                      blocks - 1)
+    key = cell[:, 0]
+    for k in range(1, d):
+        key = key * blocks + cell[:, k]
+    return _compact(key)
 
 
 def _greedy_aggregate(csr: CSRMatrix, target: int = 4

@@ -123,6 +123,9 @@ def register_all_parameters() -> None:
     P("matrix_halo_exchange", int, 0, "distributed coarse-matrix halo policy",
       allowed_range=(0, 2))
     P("full_ghost_level", int, 0, "keep full ghost rows on coarse levels")
+    P("aggregation_passes", int, 3,
+      "for selector=MULTI_PAIRWISE: each pass about doubles the size of "
+      "each aggregate", allowed_range=(1, None))
     P("serial_matching", int, 0, "deterministic serial matching",
       allowed_values=[0, 1])
     P("modified_handshake", int, 0, "use modified handshaking",

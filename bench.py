@@ -240,6 +240,7 @@ def main():
         "unit": "GB/s",
         "vs_baseline": vsb,
         "detail": {"device": kind, "hbm_sol_gbps": sol,
+                   "tpu_unreachable": bool(dev.get("tpu_unreachable")),
                    "spmv_dia": spmv_dia, "spmv_ell": spmv_ell,
                    "amg_pcg": amg, "scaling": scaling},
     }))

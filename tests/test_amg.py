@@ -176,3 +176,46 @@ def test_dense_coarse_levels():
 def test_adaptive_selector():
     s, status, rel = _run(_amg_cfg(selector="ADAPTIVE"))
     assert status == amgx.SolveStatus.SUCCESS and rel < 1e-6
+
+
+def test_parallel_greedy_selector(rng):
+    """MIS-rooted parallel aggregation: full cover, capped sizes,
+    deterministic (parallel_greedy_selector.cu semantics)."""
+    import amgx_tpu as amgx
+    from amgx_tpu.amg.aggregation import select_aggregates
+    cfg = amgx.AMGConfig()
+    a = amgx.gallery.poisson7pt(10, 10, 10)
+    agg, nc = select_aggregates(a, "PARALLEL_GREEDY_SELECTOR", cfg,
+                                "default")
+    sizes = np.bincount(agg)
+    assert (agg >= 0).all() and agg.max() == nc - 1
+    assert sizes.max() <= 8 and 2.0 <= a.n_rows / nc <= 8.0
+    agg2, _ = select_aggregates(a, "PARALLEL_GREEDY_SELECTOR", cfg,
+                                "default")
+    assert np.array_equal(agg, agg2)
+
+
+def test_geo_selector_coordinates():
+    """GEO uses attached coordinates (Matrix aux geo.coords) for uniform
+    spatial blocks (geo_selector.cu)."""
+    import amgx_tpu as amgx
+    from amgx_tpu.amg.aggregation import select_aggregates
+    a = amgx.gallery.poisson7pt(8, 8, 8)
+    a.aux["geo.coords"] = np.mgrid[0:8, 0:8, 0:8].reshape(3, -1).T * 1.0
+    agg, nc = select_aggregates(a, "GEO", amgx.AMGConfig(), "default")
+    assert (agg >= 0).all() and nc == 64        # 2x2x2 blocks of 8
+    assert np.bincount(agg).max() == 8
+
+
+def test_multi_pairwise_aggregation_passes():
+    """aggregation_passes controls MULTI_PAIRWISE coarsening depth
+    (core.cu:492: each pass about doubles aggregate size)."""
+    import amgx_tpu as amgx
+    from amgx_tpu.amg.aggregation import select_aggregates
+    a = amgx.gallery.poisson5pt(32, 32)
+    ncs = []
+    for passes in (1, 2, 3):
+        cfg = amgx.AMGConfig(f"aggregation_passes={passes}")
+        _, nc = select_aggregates(a, "MULTI_PAIRWISE", cfg, "default")
+        ncs.append(nc)
+    assert ncs[0] > ncs[1] > ncs[2]             # deeper coarsening per pass
