@@ -217,6 +217,11 @@ class AMG:
             if self.algorithm == "ENERGYMIN":
                 selector = "CR"
             cf_map = cls_mod.select_cf(csr, strong, selector, cfg, scope)
+            if self.algorithm == "ENERGYMIN":
+                # CR can strand F nodes with no nearby C: promote them so
+                # every F row gets an interpolatory set (constants preserved)
+                from .energymin import ensure_coverage
+                cf_map = ensure_coverage(csr, strong, cf_map)
             nc = int(cf_map.max()) + 1 if (cf_map >= 0).any() else 0
             if nc == 0 or nc >= csr.n_rows:
                 return None

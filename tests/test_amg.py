@@ -219,3 +219,24 @@ def test_multi_pairwise_aggregation_passes():
         _, nc = select_aggregates(a, "MULTI_PAIRWISE", cfg, "default")
         ncs.append(nc)
     assert ncs[0] > ncs[1] > ncs[2]             # deeper coarsening per pass
+
+
+def test_energymin_interpolation_properties():
+    """EM interpolation (energymin_amg_level.cu:93-368 analog): the
+    constrained sweeps monotonically reduce tr(P^T A P) while preserving
+    constants exactly; uncovered CR F-nodes are promoted to C."""
+    import amgx_tpu as amgx
+    from amgx_tpu.amg import classical as cls_mod
+    from amgx_tpu.amg.energymin import em_interpolation, ensure_coverage
+    a = amgx.gallery.poisson5pt(24, 24)
+    strong = cls_mod.strong_connections(a, "AHAT", 0.25)
+    cf = cls_mod.select_cf(a, strong, "CR", amgx.AMGConfig(), "default")
+    cf = ensure_coverage(a, strong, cf)
+    A = a.to_scipy()
+    prev = np.inf
+    for sw in (0, 1, 2, 4):
+        P = em_interpolation(a, strong, cf, sweeps=sw).to_scipy()
+        energy = (P.T @ A @ P).diagonal().sum()
+        assert np.abs(P @ np.ones(P.shape[1]) - 1).max() < 1e-12
+        assert energy <= prev + 1e-9
+        prev = energy
