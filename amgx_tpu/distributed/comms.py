@@ -84,6 +84,33 @@ def dist_spmv_structured(offsets, bands, margins, hv_top, hc_top, hv_bot,
     return y
 
 
+def dist_spmv_band(strips, base_hw, meta, hv_top, hc_top, hv_bot, hc_bot,
+                   pack_idx, halo_from, x_local, axis: str = "x"):
+    """Shard SpMV for banded (non-stencil) owned parts: per-tile MXU
+    matmuls via the band-strip layout (ops/band.py) — the distributed
+    analog of the single-chip BandMatrix path; halo entries live in margin
+    rows like the DIA path. ``meta`` = (hw, x_pad, lr_pad, m_top, m_bot)
+    is static."""
+    from ..ops.band import BandMatrix, band_spmv, band_spmv_pallas
+    hw, x_pad, lr_pad, m_top, m_bot = meta
+    halo = halo_exchange(x_local, pack_idx, halo_from, axis)
+    lr = x_local.shape[0]
+    xw = jnp.pad(x_local, (0, x_pad - lr)) if x_pad > lr else \
+        x_local[:x_pad]
+    bm = BandMatrix(strips, base_hw * hw, lr_pad, x_pad, 0, x_pad)
+    if jax.default_backend() == "tpu":
+        y = band_spmv_pallas(bm, xw)
+    else:
+        y = band_spmv(bm, xw)
+    y = y[:lr]
+    xe = jnp.concatenate([x_local, halo])
+    if m_top:
+        y = y.at[:m_top].add(jnp.sum(hv_top * xe[hc_top], axis=1))
+    if m_bot:
+        y = y.at[-m_bot:].add(jnp.sum(hv_bot * xe[hc_bot], axis=1))
+    return y
+
+
 def dist_spmv_block(cols, vals, pack_idx, halo_from, x_local, by: int,
                     axis: str = "x"):
     """Blocked (BSR) shard SpMV: x_local is flat (L*by,); vals are

@@ -286,8 +286,11 @@ class DistEllMatrix:
         dm.halo_free = all(info["halo_g"].size == 0 for info in per_dev)
         dm.dia_bands = None
         dm.dia_offsets = None
+        dm.band_strips = None
         if (bx, by) == (1, 1) and not reorder and same_space:
             dm._try_structured(cols, vals, lc)
+            if dm.dia_bands is None:
+                dm._try_band_strips(cols, vals, lc)
         if mesh is not None:
             dm.shard(mesh, axis)
         return dm
@@ -343,6 +346,73 @@ class DistEllMatrix:
         self.halo_cols_bot = jnp.asarray(cols[:, lr - m_bot:]) if m_bot \
             else None
 
+    def _try_band_strips(self, cols: np.ndarray, vals: np.ndarray,
+                         lc: int, tile_rows: int = 128,
+                         max_width: int = 4096,
+                         max_bytes: int = 256 * 1024 * 1024) -> None:
+        """Banded-but-not-stencil owned parts (e.g. RCM-ordered meshes under
+        contiguous partitions): store each shard's owned block as
+        tile-aligned band strips (ops/band.py) so the shard-local SpMV is
+        per-tile MXU matmuls instead of scalarizing gathers. Halo entries
+        stay in margin-row ELL exactly like the DIA path."""
+        n_dev, lr, w_ell = cols.shape
+        owned = (vals != 0) & (cols < lc)
+        if not owned.any():
+            return
+        tiles = -(-lr // tile_rows)
+        lr_pad = tiles * tile_rows
+        # per-(shard, tile) column spans of the owned part
+        rows = np.broadcast_to(np.arange(lr)[None, :, None], cols.shape)
+        tile_of = rows // tile_rows
+        lo = np.full((n_dev, tiles), np.iinfo(np.int64).max)
+        hi = np.full((n_dev, tiles), -1, np.int64)
+        d_idx = np.broadcast_to(np.arange(n_dev)[:, None, None], cols.shape)
+        np.minimum.at(lo, (d_idx[owned], tile_of[owned]), cols[owned])
+        np.maximum.at(hi, (d_idx[owned], tile_of[owned]), cols[owned])
+        empty = hi < lo
+        lo[empty], hi[empty] = 0, 0
+        span = int((hi - lo).max()) + 1
+        hw = max(128, ((span + 127) // 128) * 128)
+        w = 2 * hw
+        if w > max_width or w >= 2 * lc:     # wider than dense-ish: no win
+            return
+        if n_dev * tiles * tile_rows * w * vals.dtype.itemsize > max_bytes:
+            return
+        # halo margins (same policy as the DIA path)
+        has_halo = ((vals != 0) & (cols >= lc)).any(axis=2)      # (D, lr)
+        m_top = m_bot = 0
+        for d in range(n_dev):
+            for r in np.nonzero(has_halo[d])[0]:
+                if r <= lr - 1 - r:
+                    m_top = max(m_top, r + 1)
+                else:
+                    m_bot = max(m_bot, lr - r)
+        if m_top + m_bot >= lr:
+            return
+        base = (lo // hw) * hw                                   # (D, T)
+        strips = np.zeros((n_dev, tiles, tile_rows, w), vals.dtype)
+        halo_vals = np.array(vals)
+        sel = np.nonzero(owned)
+        dd, rr, kk = sel
+        tt = rr // tile_rows
+        strips[dd, tt, rr % tile_rows,
+               cols[sel] - base[dd, tt]] = vals[sel]
+        halo_vals[sel] = 0.0
+        x_pad = int(base.max()) + w
+        x_pad = max(x_pad, ((lc + hw - 1) // hw) * hw)
+        x_pad = ((x_pad + hw - 1) // hw) * hw
+        self.band_strips = jnp.asarray(strips)
+        self.band_base = jnp.asarray((base // hw).astype(np.int32))
+        self.band_meta = (hw, x_pad, lr_pad, m_top, m_bot)
+        self.margins = (m_top, m_bot)
+        self.halo_vals_top = jnp.asarray(halo_vals[:, :m_top]) \
+            if m_top else None
+        self.halo_cols_top = jnp.asarray(cols[:, :m_top]) if m_top else None
+        self.halo_vals_bot = jnp.asarray(halo_vals[:, lr - m_bot:]) \
+            if m_bot else None
+        self.halo_cols_bot = jnp.asarray(cols[:, lr - m_bot:]) if m_bot \
+            else None
+
     def shard(self, mesh: Mesh, axis: str = "x") -> None:
         s = NamedSharding(mesh, P(axis))
         self.cols = jax.device_put(self.cols, s)
@@ -352,6 +422,11 @@ class DistEllMatrix:
         self.interior_rows = jax.device_put(self.interior_rows, s)
         if getattr(self, "dia_bands", None) is not None:
             self.dia_bands = jax.device_put(self.dia_bands, s)
+        if getattr(self, "band_strips", None) is not None:
+            self.band_strips = jax.device_put(self.band_strips, s)
+            self.band_base = jax.device_put(self.band_base, s)
+        if getattr(self, "dia_bands", None) is not None or \
+                getattr(self, "band_strips", None) is not None:
             for name in ("halo_vals_top", "halo_cols_top",
                          "halo_vals_bot", "halo_cols_bot"):
                 v = getattr(self, name, None)

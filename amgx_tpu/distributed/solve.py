@@ -104,7 +104,9 @@ class DistributedSolver:
                                        mesh=self.mesh, axis=self.axis,
                                        sort_interior_first=False)
         self._split0 = 0
-        if getattr(a0, "dia_bands", None) is None and not self.use_amg:
+        if getattr(a0, "dia_bands", None) is None and \
+                getattr(a0, "band_strips", None) is None and \
+                not self.use_amg:
             a0 = DistEllMatrix.from_global(
                 csr, n_dev, row_part, dtype=mat_dt, mesh=self.mesh,
                 axis=self.axis, sort_interior_first=True)
@@ -280,15 +282,22 @@ class DistributedSolver:
         return apply, (dm.cols, dm.vals, dm.pack_idx, dm.halo_from)
 
     def _apply_mat(self, mat, v, static=None):
-        """Apply one operand pytree (ELL or structured DIA form)."""
+        """Apply one operand pytree (ELL, structured DIA, or band form)."""
         ax = self.axis
         if "pack" not in mat:
             # halo-free operator (shard-local P/R): no collective at all
             return jnp.sum(mat["vals"] * v[mat["cols"]], axis=1)
         if "bands" in mat:
-            offsets, margins = static
+            offsets, margins, _ = static
             return comms.dist_spmv_structured(
                 offsets, mat["bands"], margins,
+                mat.get("halo_vals_top"), mat.get("halo_cols_top"),
+                mat.get("halo_vals_bot"), mat.get("halo_cols_bot"),
+                mat["pack"], mat["halo"], v, ax)
+        if "strips" in mat:
+            _, _, band_meta = static
+            return comms.dist_spmv_band(
+                mat["strips"], mat["base"], band_meta,
                 mat.get("halo_vals_top"), mat.get("halo_cols_top"),
                 mat.get("halo_vals_bot"), mat.get("halo_cols_bot"),
                 mat["pack"], mat["halo"], v, ax)
@@ -347,17 +356,28 @@ class DistributedSolver:
                 if v is not None:
                     mat[nm] = v
             return mat
+        if getattr(dm, "band_strips", None) is not None and \
+                dm.block_dim == (1, 1):
+            mat = {"pack": dm.pack_idx, "halo": dm.halo_from,
+                   "strips": dm.band_strips, "base": dm.band_base}
+            for nm in ("halo_vals_top", "halo_cols_top", "halo_vals_bot",
+                       "halo_cols_bot"):
+                v = getattr(dm, nm, None)
+                if v is not None:
+                    mat[nm] = v
+            return mat
         if getattr(dm, "halo_free", False) and dm.block_dim == (1, 1):
             return {"cols": dm.cols, "vals": dm.vals}
         return {"cols": dm.cols, "vals": dm.vals, "pack": dm.pack_idx,
                 "halo": dm.halo_from}
 
     def _level_args(self):
-        # static layout metadata per level (offsets/margins can't live in
-        # the traced pytree)
+        # static layout metadata per level (offsets/margins/band meta can't
+        # live in the traced pytree)
         self._level_static = [
             (getattr(lvl.a, "dia_offsets", None),
-             getattr(lvl.a, "margins", None)) for lvl in self.levels]
+             getattr(lvl.a, "margins", None),
+             getattr(lvl.a, "band_meta", None)) for lvl in self.levels]
         out = []
         for lvl in self.levels:
             a_args = self._mat_pytree(lvl.a)
@@ -387,10 +407,13 @@ class DistributedSolver:
                 f"(single-chip SolverFactory covers the full catalog)")
         m_rst = int(self.cfg.get("gmres_n_restart", self.scope))
         a0 = self.levels[0].a
-        structured = getattr(a0, "dia_bands", None) is not None and by == 1
+        structured = by == 1 and (
+            getattr(a0, "dia_bands", None) is not None
+            or getattr(a0, "band_strips", None) is not None)
         self._mat_args = self._mat_pytree(a0)
         static0 = (getattr(a0, "dia_offsets", None),
-                   getattr(a0, "margins", None))
+                   getattr(a0, "margins", None),
+                   getattr(a0, "band_meta", None))
 
         def spmv0(mat, v):
             if "pack" not in mat:           # halo-free (e.g. 1 active shard)

@@ -452,3 +452,41 @@ def test_distributed_standalone_amg(mesh, rng):
     x, status = s.solve(b)
     rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
     assert status == 0 and rel < 1e-6
+
+
+def _random_band_spd(n, bw, rng):
+    import scipy.sparse as sp
+    from amgx_tpu.matrix import CSRMatrix
+    rows, cols, vals = [], [], []
+    for off in range(1, bw + 1):
+        mask = rng.random(n - off) < 0.3
+        idx = np.nonzero(mask)[0]
+        v = rng.standard_normal(idx.size) * 0.1
+        rows += [idx, idx + off]
+        cols += [idx + off, idx]
+        vals += [v, v]
+    A = sp.coo_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(n, n)).tocsr()
+    A = (A + sp.diags(np.abs(A).sum(axis=1).A1 + 1.0)).tocsr()
+    return CSRMatrix(n, n, A.indptr, A.indices, A.data), A
+
+
+def test_distributed_band_strips(mesh, rng):
+    """Banded-but-not-stencil shard-local parts (too many distinct offsets
+    for DIA) use the tile-aligned band-strip MXU layout; the solve is
+    exact and the layout is active."""
+    a, A = _random_band_spd(4096, 40, rng)
+    dm = DistEllMatrix.from_global(a, N_DEV, mesh=mesh,
+                                   sort_interior_first=False)
+    assert dm.dia_bands is None and dm.band_strips is not None
+    cfg = amgx.AMGConfig("solver=PCG, preconditioner=BLOCK_JACOBI, "
+                         "max_iters=300, tolerance=1e-8, "
+                         "convergence=RELATIVE_INI, monitor_residual=1")
+    s = DistributedSolver(cfg, mesh)
+    s.setup(a)
+    assert s.levels[0].a.band_strips is not None
+    b = rng.standard_normal(a.n_rows)
+    x, status = s.solve(b)
+    rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert status == 0 and rel < 1e-6
