@@ -272,6 +272,32 @@ class DistributedSolver:
             out[dev, :r1 - r0] = inv[r0:r1]
         return jnp.asarray(out)
 
+    # -- stats (reference: amg.cu getGridStatisticsString; distributed runs
+    # print the same table, plus our active-shard column) --------------------
+
+    def grid_stats_string(self) -> str:
+        lines = ["AMG Grid:",
+                 f"         Number of Levels: {len(self.levels)}",
+                 f"{'LVL':>12s} {'ROWS':>12s} {'NNZ':>14s} {'SPRSTY':>10s}"
+                 f" {'SHARDS':>8s}"]
+        lines.append("         " + "-" * 60)
+        total_rows = total_nnz = 0
+        for i, lvl in enumerate(self.levels):
+            n, nnz = lvl.a.n_rows, lvl.a.nnz
+            total_rows += n
+            total_nnz += nnz
+            active = int(np.sum(np.diff(lvl.a.row_part.offsets) > 0))
+            sp = nnz / max(1, n * n)
+            lines.append(f"{i:>12d} {n:>12d} {nnz:>14d} {sp:>10.3g}"
+                         f" {active:>8d}")
+        fine = self.levels[0]
+        lines.append("         " + "-" * 60)
+        lines.append(f"     Grid Complexity: "
+                     f"{total_rows / max(1, fine.a.n_rows):.5g}")
+        lines.append(f" Operator Complexity: "
+                     f"{total_nnz / max(1, fine.a.nnz):.5g}")
+        return "\n".join(lines)
+
     # -- SPMD building blocks -------------------------------------------------
 
     def _op(self, dm: DistEllMatrix):
