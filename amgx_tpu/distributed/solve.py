@@ -134,6 +134,7 @@ class DistributedSolver:
             self.cycle_type = g("cycle")
             shard_local = str(self.cfg.get("distributed_aggregation",
                                            amg_scope)) == "SHARD_LOCAL"
+            self._structure = []
             work = csr
             while len(self.levels) < max_levels and work.n_rows > min_rows:
                 count_part = None
@@ -200,29 +201,82 @@ class DistributedSolver:
                 self.levels.append(DistLevel(ad, self._inv_diag(ac, ad,
                                                                 vec_dt)))
                 self._global_csrs.append(ac)
+                self._structure.append(
+                    {"agg": agg if algorithm == "AGGREGATION" else None,
+                     "nc": nc, "p_csr": p_csr, "r_csr": r_csr})
                 work = ac
-            # replicated coarse solve (consolidation analog)
-            coarsest = self._global_csrs[-1]
-            dense = coarsest.to_dense().astype(np.float64)
-            n = dense.shape[0]
-            lvl = self.levels[-1]
-            lr = lvl.a.lr
-            n_pad = lr * n_dev
-            full = np.eye(n_pad)
-            # rows live blocked per device: global slot = d * lr + local
-            gmap = np.full(n_pad, -1, np.int64)
-            for d in range(n_dev):
-                r0, r1 = lvl.a.row_part.offsets[d], \
-                    lvl.a.row_part.offsets[d + 1]
-                gmap[d * lr:(d * lr) + (r1 - r0)] = np.arange(r0, r1)
-            ok = gmap >= 0
-            sub = np.ix_(ok, ok)
-            full[sub] = dense[np.ix_(gmap[ok], gmap[ok])]
-            import scipy.linalg as sla
-            lu, piv = sla.lu_factor(full)
-            lvl.coarse_dense = (jnp.asarray(lu.astype(vec_dt)),
-                                jnp.asarray(piv.astype(np.int32)))
+            self._build_coarse_dense(vec_dt)
 
+        self._build_step()
+        if self.use_amg and amg_scope is not None and \
+                bool(self.cfg.get("print_grid_stats", amg_scope)):
+            from ..logging_util import amgx_output
+            amgx_output(self.grid_stats_string() + "\n")
+        self.setup_time = time.perf_counter() - t0
+
+    def _build_coarse_dense(self, vec_dt) -> None:
+        """Replicated coarsest-level dense LU (consolidate-to-all)."""
+        n_dev = self.mesh.devices.size
+        coarsest = self._global_csrs[-1]
+        dense = coarsest.to_dense().astype(np.float64)
+        lvl = self.levels[-1]
+        lr = lvl.a.lr
+        n_pad = lr * n_dev
+        full = np.eye(n_pad)
+        # rows live blocked per device: global slot = d * lr + local
+        gmap = np.full(n_pad, -1, np.int64)
+        for d in range(n_dev):
+            r0, r1 = lvl.a.row_part.offsets[d], \
+                lvl.a.row_part.offsets[d + 1]
+            gmap[d * lr:(d * lr) + (r1 - r0)] = np.arange(r0, r1)
+        ok = gmap >= 0
+        sub = np.ix_(ok, ok)
+        full[sub] = dense[np.ix_(gmap[ok], gmap[ok])]
+        import scipy.linalg as sla
+        lu, piv = sla.lu_factor(full)
+        lvl.coarse_dense = (jnp.asarray(lu.astype(vec_dt)),
+                            jnp.asarray(piv.astype(np.int32)))
+
+    def resetup(self, csr: Optional[CSRMatrix] = None) -> None:
+        """Coefficients changed, structure kept (reference:
+        AMGX_solver_resetup + structure_reuse_levels, amg.cu:260-290):
+        partitions, aggregate maps and transfer structures are reused;
+        only operator values, smoother data and the coarse factorization
+        are recomputed. Falls back to full setup when no hierarchy exists."""
+        if not self.levels:
+            return self.setup(csr)
+        csr = csr if csr is not None else self._global_csrs[0]
+        t0 = time.perf_counter()
+        vec_dt, mat_dt = mode_dtypes(self.mode)
+        n_dev = self.mesh.devices.size
+        lvl0 = self.levels[0]
+        a0 = DistEllMatrix.from_global(
+            csr, n_dev, lvl0.a.row_part, dtype=mat_dt, mesh=self.mesh,
+            axis=self.axis, sort_interior_first=self._split0 > 0)
+        lvl0.a = a0
+        lvl0.inv_diag = self._inv_diag(csr, a0, vec_dt)
+        work = csr
+        new_csrs = [csr]
+        for i, lvl in enumerate(self.levels[:-1]):
+            info = self._structure[i]
+            if info["agg"] is not None:
+                from ..ops.spgemm import aggregation_galerkin
+                ac = aggregation_galerkin(work, info["agg"], info["nc"])
+            else:
+                from ..ops.spgemm import galerkin_product
+                ac = galerkin_product(info["r_csr"], work, info["p_csr"])
+            nxt = self.levels[i + 1]
+            coarse_part = nxt.a.row_part
+            ad = DistEllMatrix.from_global(
+                ac, n_dev, coarse_part, coarse_part, dtype=mat_dt,
+                mesh=self.mesh, axis=self.axis, sort_interior_first=False)
+            nxt.a = ad
+            nxt.inv_diag = self._inv_diag(ac, ad, vec_dt)
+            work = ac
+            new_csrs.append(ac)
+        self._global_csrs = new_csrs
+        if self.levels[-1].coarse_dense is not None:
+            self._build_coarse_dense(vec_dt)
         self._build_step()
         self.setup_time = time.perf_counter() - t0
 

@@ -490,3 +490,32 @@ def test_distributed_band_strips(mesh, rng):
     x, status = s.solve(b)
     rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
     assert status == 0 and rel < 1e-6
+
+
+def test_distributed_resetup(mesh, rng):
+    """AMGX_solver_resetup analog for the distributed solver: coefficients
+    change, structure (partitions/aggregates/P/R) is reused."""
+    from amgx_tpu.matrix import CSRMatrix
+    a = amgx.gallery.poisson7pt(10, 10, 10)
+    b = rng.standard_normal(a.n_rows)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "PCG", "max_iters": 100, "tolerance": 1e-8,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "algorithm": "AGGREGATION", "selector": "SIZE_2",
+                           "smoother": "BLOCK_JACOBI",
+                           "relaxation_factor": 0.7, "presweeps": 1,
+                           "postsweeps": 1, "max_iters": 1,
+                           "min_coarse_rows": 32, "max_levels": 10,
+                           "cycle": "V"}}})
+    s = DistributedSolver(cfg, mesh)
+    s.setup(a)
+    structure = [tuple(np.asarray(l.a.row_part.offsets)) for l in s.levels]
+    a2 = CSRMatrix(a.n_rows, a.n_cols, a.indptr, a.indices, a.data * 1.5)
+    s.resetup(a2)
+    assert [tuple(np.asarray(l.a.row_part.offsets))
+            for l in s.levels] == structure      # hierarchy reused
+    x, status = s.solve(b)
+    rel = np.linalg.norm(b - a2.to_scipy() @ x) / np.linalg.norm(b)
+    assert status == 0 and rel < 1e-6
