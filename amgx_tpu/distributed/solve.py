@@ -485,6 +485,10 @@ class DistributedSolver:
                 f"DistributedSolver does not implement "
                 f"'{self.solver_name}'; supported: {supported} "
                 f"(single-chip SolverFactory covers the full catalog)")
+        if gmres and np.issubdtype(np.dtype(self._vec_dt), np.complexfloating):
+            raise NotImplementedError(
+                "distributed GMRES/FGMRES uses real Givens rotations; use "
+                "the single-chip GMRES for complex modes")
         m_rst = int(self.cfg.get("gmres_n_restart", self.scope))
         a0 = self.levels[0].a
         structured = by == 1 and (
@@ -548,9 +552,9 @@ class DistributedSolver:
             z = precond(vi, args)
             w = spmv0(mat, z)
             mask = (jnp.arange(m_rst + 1) <= i).astype(w.dtype)
-            h = jax.lax.psum(V @ w, ax) * mask
+            h = jax.lax.psum(jnp.conj(V) @ w, ax) * mask
             w = w - h @ V
-            h2 = jax.lax.psum(V @ w, ax) * mask
+            h2 = jax.lax.psum(jnp.conj(V) @ w, ax) * mask
             w = w - h2 @ V
             h = h + h2
             h_next = jnp.sqrt(jax.lax.psum(jnp.vdot(w, w), ax))

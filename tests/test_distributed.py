@@ -519,3 +519,19 @@ def test_distributed_resetup(mesh, rng):
     x, status = s.solve(b)
     rel = np.linalg.norm(b - a2.to_scipy() @ x) / np.linalg.norm(b)
     assert status == 0 and rel < 1e-6
+
+
+def test_gmres_matches_single_chip(mesh, rng):
+    """Distributed GMRES reproduces the single-chip iterate path to fp
+    round-off (identical Arnoldi/Givens numerics, psum projections)."""
+    a = amgx.gallery.poisson5pt(16, 16)
+    b = rng.standard_normal(a.n_rows)
+    cs = ("solver=GMRES, max_iters=60, gmres_n_restart=12, "
+          "tolerance=1e-10, convergence=RELATIVE_INI, monitor_residual=1")
+    s1 = amgx.SolverFactory.allocate(amgx.AMGConfig(cs))
+    s1.setup(amgx.Matrix(a))
+    x1, _ = s1.solve(b)
+    s8 = DistributedSolver(amgx.AMGConfig(cs), mesh)
+    s8.setup(a)
+    x8, _ = s8.solve(b)
+    assert np.abs(s1.extract_vector(x1) - x8).max() < 1e-8
