@@ -168,17 +168,44 @@ class _SolverHandle:
         self.mode = mode
         cfg.set("mode", mode)
         self.solver = SolverFactory.allocate(cfg)
+        self.dist_solver = None
         self.status = SOLVE_SUCCESS
 
     # reference: AMG_Solver::setup_capi (amg_solver.cu:197)
     def setup(self, m: Matrix):
         m.mode = self.mode
+        if m.manager is not None:
+            # distributed upload: run the SPMD solve over the mesh
+            # (reference: the MPI solve path). Falls back to the global
+            # single-program solve when the solver has no distributed
+            # implementation or the mesh is too small.
+            import jax as _jax
+            from .distributed import DistributedSolver
+            from .distributed.solve import make_mesh
+            n_dev = m.manager.n_dev
+            if len(_jax.devices()) >= n_dev:
+                try:
+                    self.dist_solver = DistributedSolver(
+                        self.cfg, make_mesh(n_dev))
+                    self.dist_solver.setup(m.csr, m.manager.row_part)
+                    return
+                except NotImplementedError:
+                    self.dist_solver = None
         self.solver.setup(m)
 
     def resetup(self, m: Matrix):
-        self.solver.resetup(m)
+        if self.dist_solver is not None:
+            self.dist_solver.resetup(m.csr)
+        else:
+            self.solver.resetup(m)
 
     def solve(self, b: _Vector, x: _Vector, zero_guess=False):
+        if self.dist_solver is not None:
+            sol, status = self.dist_solver.solve(
+                b.data, None if zero_guess else x.data)
+            x.data = np.asarray(sol)
+            self.status = status
+            return status
         sol, status = self.solver.solve(
             b.data, None if zero_guess else x.data,
             zero_initial_guess=zero_guess)

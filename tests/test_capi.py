@@ -86,3 +86,42 @@ def test_parameters_description_dump(tmp_path):
     import json
     d = json.loads(open(p).read())
     assert "solver" in d
+
+
+def test_capi_distributed_solve_spmd():
+    """AMGX_matrix_upload_distributed + solver_setup/solve runs the SPMD
+    DistributedSolver over the mesh (reference: the MPI solve path), with
+    resetup reusing the hierarchy."""
+    import numpy as np
+    import amgx_tpu as amgx
+    from amgx_tpu import capi
+    a = amgx.gallery.poisson7pt(10, 10, 10)
+    rc, cfg = capi.AMGX_config_create(
+        "solver=PCG, preconditioner=BLOCK_JACOBI, max_iters=300, "
+        "tolerance=1e-8, convergence=RELATIVE_INI, monitor_residual=1")
+    rc, rsrc = capi.AMGX_resources_create_simple(cfg)
+    rc, M = capi.AMGX_matrix_create(rsrc, "dDDI")
+    rc, dist = capi.AMGX_distribution_create()
+    dist.set_partition_data(
+        "offsets", np.linspace(0, a.n_rows, 9).astype(int))
+    capi.AMGX_matrix_upload_distributed(
+        M, a.n_rows, a.n_rows, a.nnz, 1, 1, a.indptr, a.indices, a.data,
+        None, dist)
+    rc, S = capi.AMGX_solver_create(rsrc, "dDDI", cfg)
+    capi.AMGX_solver_setup(S, M)
+    assert S.dist_solver is not None
+    rc, B = capi.AMGX_vector_create(rsrc, "dDDI")
+    rc, X = capi.AMGX_vector_create(rsrc, "dDDI")
+    b = np.ones(a.n_rows)
+    B.upload(a.n_rows, 1, b)
+    X.upload(a.n_rows, 1, np.zeros(a.n_rows))
+    st = capi.AMGX_solver_solve(S, B, X)
+    rc, xs = capi.AMGX_vector_download(X)
+    rel = np.linalg.norm(b - a.to_scipy() @ xs) / np.linalg.norm(b)
+    assert st == 0 and rel < 1e-6
+    M.replace_coefficients(a.data * 2.0)
+    capi.AMGX_solver_resetup(S, M)
+    st = capi.AMGX_solver_solve(S, B, X)
+    rc, xs = capi.AMGX_vector_download(X)
+    rel = np.linalg.norm(b - 2 * a.to_scipy() @ xs) / np.linalg.norm(b)
+    assert st == 0 and rel < 1e-6
