@@ -15,7 +15,12 @@ def main():
     ap.add_argument("-m", "--matrix", required=True, help=".mtx system file")
     ap.add_argument("-c", "--config", required=True, help="JSON/cfg file")
     ap.add_argument("--mode", default="dDDI")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     capi.AMGX_initialize()
     rc, cfg = capi.AMGX_config_create_from_file(args.config)

@@ -21,7 +21,12 @@ def main():
     ap.add_argument("--nz", type=int, default=32)
     ap.add_argument("--devices", type=int, default=0,
                     help="mesh size (0 = all)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     amgx.initialize()
     mesh = make_mesh(args.devices or None)

@@ -17,7 +17,12 @@ def main():
     ap.add_argument("-it", type=int, default=100)
     ap.add_argument("-ref", action="store_true",
                     help="verify against the host (scipy) SpMV")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     amgx.initialize()
     if args.matrix:

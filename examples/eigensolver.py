@@ -17,7 +17,12 @@ def main():
                     default="eig_solver=LANCZOS, eig_which=largest, "
                             "eig_max_iters=200, eig_tolerance=1e-8")
     ap.add_argument("--pagerank", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     amgx.initialize()
     cfg = amgx.AMGConfig(args.config)
