@@ -132,6 +132,16 @@ class DistributedSolver:
             self.postsweeps = max(1, g("postsweeps"))
             self.smooth_damp = g("relaxation_factor")
             self.cycle_type = g("cycle")
+            # Chebyshev is the TPU-recommended smoother (SpMV + axpy only,
+            # no colors/gathers; reference ships V-cheby configs). The
+            # per-level lambda_max of D^-1 A is estimated at setup.
+            smoother_name, _ = self.cfg.get_pair("smoother", amg_scope)
+            self.cheby_smoothing = smoother_name in ("CHEBYSHEV",
+                                                     "CHEBYSHEV_POLY")
+            self.cheby_order = max(1, g("chebyshev_polynomial_order"))
+            self._cheby_bounds = []
+            if self.cheby_smoothing:
+                self._cheby_bounds.append(self._lambda_bounds(csr))
             shard_local = str(self.cfg.get("distributed_aggregation",
                                            amg_scope)) == "SHARD_LOCAL"
             self._structure = []
@@ -200,6 +210,8 @@ class DistributedSolver:
                     sort_interior_first=False)
                 self.levels.append(DistLevel(ad, self._inv_diag(ac, ad,
                                                                 vec_dt)))
+                if self.cheby_smoothing:
+                    self._cheby_bounds.append(self._lambda_bounds(ac))
                 self._global_csrs.append(ac)
                 self._structure.append(
                     {"agg": agg if algorithm == "AGGREGATION" else None,
@@ -213,6 +225,48 @@ class DistributedSolver:
             from ..logging_util import amgx_output
             amgx_output(self.grid_stats_string() + "\n")
         self.setup_time = time.perf_counter() - t0
+
+    @staticmethod
+    def _lambda_bounds(csr: CSRMatrix, iters: int = 12):
+        """Power-iteration estimate of lambda_max(D^-1 A) (reference:
+        chebyshev_lambda_estimate_mode 0, cheb_solver.cu); lambda_min is
+        the usual lambda_max/8 smoothing window."""
+        a = csr.to_scipy().tocsr()
+        d = a.diagonal()
+        d = np.where(d == 0, 1.0, d)
+        rng = np.random.default_rng(7)
+        v = rng.standard_normal(csr.n_rows)
+        lam = 1.0
+        for _ in range(iters):
+            w = (a @ v) / d
+            lam = float(np.linalg.norm(w))
+            if lam == 0:
+                return 1.0, 0.125
+            v = w / lam
+        lam *= 1.05                      # safety margin
+        return lam, lam / 8.0
+
+    def _cheby_smooth(self, a_args, static, inv_diag, bounds, b, x,
+                      order: int):
+        """Chebyshev polynomial smoothing on [lambda_min, lambda_max] of
+        D^-1 A: only SpMV + axpy, the TPU-optimal smoother (reference:
+        cheb_solver.cu / chebyshev_poly.cu)."""
+        lam_max, lam_min = bounds
+        theta = 0.5 * (lam_max + lam_min)
+        delta = 0.5 * (lam_max - lam_min)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        r = b - self._apply_mat(a_args, x, static)
+        p = (inv_diag * r) / theta
+        x = x + p
+        for _ in range(order - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            r = b - self._apply_mat(a_args, x, static)
+            p = (rho_new * rho) * p + (2.0 * rho_new / delta) * \
+                (inv_diag * r)
+            x = x + p
+            rho = rho_new
+        return x
 
     def _build_coarse_dense(self, vec_dt) -> None:
         """Replicated coarsest-level dense LU (consolidate-to-all)."""
@@ -255,6 +309,9 @@ class DistributedSolver:
             axis=self.axis, sort_interior_first=self._split0 > 0)
         lvl0.a = a0
         lvl0.inv_diag = self._inv_diag(csr, a0, vec_dt)
+        cheby = getattr(self, "cheby_smoothing", False)
+        if cheby:
+            self._cheby_bounds = [self._lambda_bounds(csr)]
         work = csr
         new_csrs = [csr]
         for i, lvl in enumerate(self.levels[:-1]):
@@ -272,6 +329,8 @@ class DistributedSolver:
                 mesh=self.mesh, axis=self.axis, sort_interior_first=False)
             nxt.a = ad
             nxt.inv_diag = self._inv_diag(ac, ad, vec_dt)
+            if cheby:
+                self._cheby_bounds.append(self._lambda_bounds(ac))
             work = ac
             new_csrs.append(ac)
         self._global_csrs = new_csrs
@@ -406,9 +465,15 @@ class DistributedSolver:
             for _ in range(4):
                 x = x + 0.8 * inv_diag * (b - spmv(a_args, x, static))
             return x
-        for _ in range(self.presweeps):
-            x = x + self.smooth_damp * inv_diag * (b - spmv(a_args, x,
-                                                            static))
+        cheby = getattr(self, "cheby_smoothing", False)
+        if cheby:
+            x = self._cheby_smooth(a_args, static, inv_diag,
+                                   self._cheby_bounds[idx], b, x,
+                                   self.cheby_order)
+        else:
+            for _ in range(self.presweeps):
+                x = x + self.smooth_damp * inv_diag * (b - spmv(a_args, x,
+                                                                static))
         r = b - spmv(a_args, x, static)
         rc = spmv(r_args, r)
         xc = jnp.zeros_like(rc)
@@ -418,9 +483,14 @@ class DistributedSolver:
             # dispatchers, core/src/cycles)
             xc = self._vcycle(idx + 1, rc, xc, lvl_args)
         x = x + spmv(p_args, xc)
-        for _ in range(self.postsweeps):
-            x = x + self.smooth_damp * inv_diag * (b - spmv(a_args, x,
-                                                            static))
+        if cheby:
+            x = self._cheby_smooth(a_args, static, inv_diag,
+                                   self._cheby_bounds[idx], b, x,
+                                   self.cheby_order)
+        else:
+            for _ in range(self.postsweeps):
+                x = x + self.smooth_damp * inv_diag * (b - spmv(a_args, x,
+                                                                static))
         return x
 
     def _mat_pytree(self, dm):
