@@ -48,6 +48,8 @@ class ChebyshevSolver(_PreconditionedSolver):
       2 — user-provided cheby_max_lambda / cheby_min_lambda.
     """
 
+    _jacobi_invd = None
+
     def __init__(self, cfg, scope="default"):
         super().__init__(cfg, scope)
         self.est_mode = int(cfg.get("chebyshev_lambda_estimate_mode", scope))
@@ -59,13 +61,21 @@ class ChebyshevSolver(_PreconditionedSolver):
         super().solver_setup()
         vec_dt, _ = mode_dtypes(self.mode)
         n = self.vec_len
+        self._jacobi_invd = None
         if self.est_mode == 2:
             lmax, lmin = self.user_max, self.user_min
         else:
             if self.est_mode == 0 and self.m is not None \
                     and self.m.csr is not None:
+                # mode 0 bounds the spectrum of D^-1 A; the iteration must
+                # run on the SAME operator (reference: the lambda estimate
+                # always matches the iterated operator, cheb_solver.cu:
+                # 100-260) — so an unpreconditioned Chebyshev becomes
+                # Jacobi-preconditioned here
                 invd = _inv_diag_arrays(self.m.csr, vec_dt, self.n_pad)
                 fn = lambda v: _apply_inv_diag(invd, self.op.apply(v))
+                if self.preconditioner is None:
+                    self._jacobi_invd = invd
             else:
                 fn = self.op.apply
             lmax = _power_lambda_max(fn, n, vec_dt, self.est_iters)
@@ -87,6 +97,8 @@ class ChebyshevSolver(_PreconditionedSolver):
         r, p, alpha, it = s["r"], s["p"], s["alpha"], s["iter"]
         d, c = s["d"], s["c"]
         z = M(r)
+        if self._jacobi_invd is not None:
+            z = _apply_inv_diag(self._jacobi_invd, z)
         beta0 = jnp.asarray(0.0, r.dtype)
         beta1 = jnp.asarray(0.5 * (c / d) ** 2, r.dtype)
         alpha_new = jnp.where(

@@ -135,3 +135,30 @@ def test_scalers():
         r = np.linalg.norm(b - orig @ s.extract_vector(x))
         assert status == amgx.SolveStatus.SUCCESS
         assert r / np.linalg.norm(b) < 1e-5, scaling
+
+
+def test_chebyshev_amg_smoother_converges():
+    """CHEBYSHEV as the AMG in-cycle smoother: the mode-0 lambda bounds are
+    taken on D^-1 A, so the unpreconditioned iteration must run
+    Jacobi-preconditioned to match (reference: cheb_solver.cu estimates the
+    iterated operator). Regression: this diverged when the iteration ran on
+    plain A with D^-1 A bounds."""
+    import amgx_tpu as amgx
+    a = amgx.gallery.poisson7pt(12, 12, 12)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "PCG", "max_iters": 60, "tolerance": 1e-8,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "algorithm": "AGGREGATION", "selector": "SIZE_8",
+                           "smoother": "CHEBYSHEV", "presweeps": 1,
+                           "postsweeps": 1, "max_iters": 1,
+                           "min_coarse_rows": 64, "max_levels": 12,
+                           "cycle": "V"}}})
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a))
+    b = np.ones(a.n_rows)
+    x, st = s.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ s.extract_vector(x)) / \
+        np.linalg.norm(b)
+    assert st == 0 and rel < 1e-6 and s.last_iters <= 40
