@@ -81,9 +81,30 @@ class DistributedSolver:
 
     # -- setup -------------------------------------------------------------
 
+    def _apply_scaling(self, csr: CSRMatrix) -> CSRMatrix:
+        """Equation re-scaling before partitioning (reference: Scaler hooks
+        in Solver::setup/solve, solver.cu:469-482/669-676). Returns a
+        scaled copy; the user's matrix is untouched."""
+        scaling = self.cfg.get("scaling", self.scope)
+        self._scaler = None
+        if scaling == "NONE":
+            return csr
+        from .. import scalers as _scalers
+        from ..matrix import Matrix as _Matrix
+        work = CSRMatrix(csr.n_rows, csr.n_cols, csr.indptr, csr.indices,
+                         csr.data.copy(), block_dim=csr.block_dim,
+                         diag_data=None if csr.diag_data is None
+                         else csr.diag_data.copy())
+        mm = _Matrix(work)
+        self._scaler = _scalers.make_scaler(scaling, self.cfg, self.scope)
+        self._scaler.setup(mm)
+        return mm.csr
+
     def setup(self, csr: CSRMatrix,
               row_part: Optional[RowPartition] = None) -> None:
         t0 = time.perf_counter()
+        self._user_csr0 = csr
+        csr = self._apply_scaling(csr)
         vec_dt, mat_dt = mode_dtypes(self.mode)
         n_dev = self.mesh.devices.size
         self._vec_dt = vec_dt
@@ -299,7 +320,9 @@ class DistributedSolver:
         are recomputed. Falls back to full setup when no hierarchy exists."""
         if not self.levels:
             return self.setup(csr)
-        csr = csr if csr is not None else self._global_csrs[0]
+        csr = csr if csr is not None else self._user_csr0
+        self._user_csr0 = csr
+        csr = self._apply_scaling(csr)
         t0 = time.perf_counter()
         vec_dt, mat_dt = mode_dtypes(self.mode)
         n_dev = self.mesh.devices.size
@@ -826,6 +849,12 @@ class DistributedSolver:
     def solve(self, b: np.ndarray, x0: Optional[np.ndarray] = None):
         t0 = time.perf_counter()
         a0 = self.levels[0].a
+        scaler = getattr(self, "_scaler", None)
+        if scaler is not None:
+            n = a0.n_rows
+            b = np.asarray(b, np.float64) * scaler._dl[:n]
+            if x0 is not None:
+                x0 = np.asarray(x0, np.float64) / scaler._dr[:n]
         b_d = a0.scatter_vector(np.asarray(b, self._vec_dt), "rows",
                                 self.mesh, self.axis)
         x_d = a0.scatter_vector(
@@ -857,6 +886,8 @@ class DistributedSolver:
             x_out = state[0]
         self.last_iters = it
         out = a0.gather_vector(x_out, "rows")
+        if scaler is not None:
+            out = out * scaler._dr[:a0.n_rows]
         self.solve_time = time.perf_counter() - t0
         ini = self.res_history[0] if self.res_history else 1.0
         target = self.tolerance * (ini if "RELATIVE" in self.convergence

@@ -565,3 +565,36 @@ def test_distributed_chebyshev_smoothing(mesh, rng):
         return s.last_iters
 
     assert run("CHEBYSHEV") <= run("BLOCK_JACOBI")
+
+
+def test_distributed_scaling(mesh, rng):
+    """Scalers in the distributed path (reference: Scaler hooks in
+    Solver::setup/solve): the system is scaled before partitioning, the
+    user's matrix is untouched, vectors map at the API boundary, and
+    resetup rescales fresh coefficients. Convergence is tested on the
+    scaled system (reference semantics), so the true-residual tolerance is
+    looser than the solver tolerance."""
+    import scipy.sparse as sp
+    from amgx_tpu.matrix import CSRMatrix
+    a0 = amgx.gallery.poisson5pt(24, 24)
+    d = 10.0 ** rng.uniform(-3, 3, a0.n_rows)
+    A = (sp.diags(d) @ a0.to_scipy() @ sp.diags(d)).tocsr()
+    a = CSRMatrix(a0.n_rows, a0.n_cols, A.indptr, A.indices, A.data)
+    b = rng.standard_normal(a.n_rows)
+    for scaling in ("BINORMALIZATION", "DIAGONAL_SYMMETRIC"):
+        cfg = amgx.AMGConfig(
+            "solver=PCG, preconditioner=BLOCK_JACOBI, max_iters=500, "
+            "tolerance=1e-10, convergence=RELATIVE_INI, "
+            f"monitor_residual=1, scaling={scaling}")
+        s = DistributedSolver(cfg, mesh)
+        s.setup(a)
+        x, st = s.solve(b)
+        rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+        assert st == 0 and rel < 1e-4, (scaling, rel)
+        assert np.array_equal(a.data, A.data)       # user matrix untouched
+        a2 = CSRMatrix(a.n_rows, a.n_cols, a.indptr, a.indices,
+                       a.data * 3.0)
+        s.resetup(a2)
+        x, st = s.solve(b)
+        rel = np.linalg.norm(b - 3 * A @ x) / np.linalg.norm(b)
+        assert rel < 1e-4, ("resetup", scaling, rel)
