@@ -220,35 +220,35 @@ class DistEllMatrix:
         # boundary (B2L) tables: what each device must send
         # halo_g of device d lives on owner o at local slot (g - c0_o); the
         # owner packs those slots; we need consistent pack lists per owner
-        need_from: List[List[int]] = [[] for _ in range(n_dev)]
-        for d, info in enumerate(per_dev):
-            for g in info["halo_g"]:
-                o = int(col_part.owner_of(np.array([g]))[0])
-                need_from[o].append(int(g))
-        pack_lists = []
-        pack_pos: List[dict] = []
-        for o in range(n_dev):
-            uniq = sorted(set(need_from[o]))
-            pack_lists.append(uniq)
-            pack_pos.append({g: i for i, g in enumerate(uniq)})
-        bmax = _round_up(max(1, max(len(p) for p in pack_lists)), 8)
+        all_g = np.concatenate([i["halo_g"] for i in per_dev]) \
+            if per_dev else np.zeros(0, np.int64)
+        all_o = col_part.owner_of(all_g) if all_g.size else \
+            np.zeros(0, np.int64)
+        pack_lists = [np.unique(all_g[all_o == o]) for o in range(n_dev)]
+        bmax = _round_up(max(1, max(p.size for p in pack_lists)), 8)
         hmax = _round_up(max(1, max(len(i["halo_g"]) for i in per_dev)), 8)
 
         # NOTE: pack_idx indexes the *column-space* local vector of the owner
         # (through the owner's interior-first relabeling when active)
         pack_idx = np.zeros((n_dev, bmax), np.int32)
         for o in range(n_dev):
-            c0 = col_part.offsets[o]
-            for i, g in enumerate(pack_lists[o]):
-                slot = g - c0
-                if reorder:
-                    slot = ranks[o][slot]
-                pack_idx[o, i] = slot
+            if not pack_lists[o].size:
+                continue
+            slot = pack_lists[o] - col_part.offsets[o]
+            if reorder:
+                slot = ranks[o][slot]
+            pack_idx[o, :slot.size] = slot
         halo_from = np.zeros((n_dev, hmax), np.int32)
         for d, info in enumerate(per_dev):
-            for h, g in enumerate(info["halo_g"]):
-                o = int(col_part.owner_of(np.array([g]))[0])
-                halo_from[d, h] = o * bmax + pack_pos[o][g]
+            hg = info["halo_g"]
+            if not hg.size:
+                continue
+            owners = col_part.owner_of(hg)
+            pos = np.empty(hg.size, np.int64)
+            for o in np.unique(owners):
+                grp = owners == o
+                pos[grp] = np.searchsorted(pack_lists[o], hg[grp])
+            halo_from[d, :hg.size] = owners * bmax + pos
 
         # ELL assembly with the halo slot base rewritten to lc (already) and
         # halo slots offset into the concatenated [x_local | halo] vector
@@ -315,13 +315,12 @@ class DistEllMatrix:
             return
         bands = np.zeros((n_dev, uniq.size, lr), vals.dtype)
         halo_vals = np.array(vals)
-        lut = {int(o): i for i, o in enumerate(uniq)}
-        for d in range(n_dev):
-            sel = np.nonzero(owned[d])
-            for r, k in zip(*sel):
-                b = lut[int(cols[d, r, k]) - int(r)]
-                bands[d, b, r] += vals[d, r, k]
-                halo_vals[d, r, k] = 0.0
+        sel = np.nonzero(owned)
+        if sel[0].size:
+            dd, rr, _ = sel
+            band_idx = np.searchsorted(uniq, cols[sel].astype(np.int64) - rr)
+            np.add.at(bands, (dd, band_idx, rr), vals[sel])
+            halo_vals[sel] = 0.0
         # halo entries of contiguous stencil partitions live only in margin
         # rows near the shard edges; restrict the gather to those margins
         has_halo = (halo_vals != 0).any(axis=2)        # (D, lr)

@@ -89,6 +89,10 @@ class DistributedSolver:
         self._scaler = None
         if scaling == "NONE":
             return csr
+        if csr.block_dim != (1, 1) or \
+                np.issubdtype(csr.data.dtype, np.complexfloating):
+            raise NotImplementedError(
+                "distributed scaling supports real scalar systems")
         from .. import scalers as _scalers
         from ..matrix import Matrix as _Matrix
         work = CSRMatrix(csr.n_rows, csr.n_cols, csr.indptr, csr.indices,
@@ -135,6 +139,11 @@ class DistributedSolver:
         self.levels = [DistLevel(a0, self._inv_diag(csr, a0, vec_dt))]
         self._global_csrs = [csr]
 
+        if self.use_amg and csr.block_dim != (1, 1):
+            raise NotImplementedError(
+                "distributed AMG supports scalar systems; block (BSR) "
+                "systems run through the single-chip solver or the "
+                "distributed Krylov solvers")
         if self.use_amg:
             g = lambda k: self.cfg.get(k, amg_scope)
             algorithm = g("algorithm")
@@ -395,12 +404,12 @@ class DistributedSolver:
             safe = np.where(d == 0, 1.0, d)
             inv_g = (1.0 / safe).astype(dtype)
             return dm.scatter_vector(inv_g, "rows")
-        inv = np.tile(np.eye(bx), (csr.n_rows, 1, 1))
-        for i in range(csr.n_rows):
-            try:
-                inv[i] = np.linalg.inv(d[i])
-            except np.linalg.LinAlgError:
-                pass
+        # batched inverse with identity substituted for singular blocks
+        dets = np.linalg.det(d)
+        bad = ~np.isfinite(dets) | (dets == 0)
+        safe = np.where(bad[:, None, None], np.eye(bx), d)
+        inv = np.linalg.inv(safe)
+        inv[bad] = np.eye(bx)
         # stacked per shard: (D, Lr, bx, bx)
         out = np.tile(np.eye(bx), (dm.n_dev, dm.lr, 1, 1)).astype(dtype)
         for dev in range(dm.n_dev):
