@@ -249,6 +249,10 @@ class DistributedSolver:
                 work = ac
             self._build_coarse_dense(vec_dt)
 
+        if self.solver_name == "CHEBYSHEV":
+            # Jacobi-preconditioned Chebyshev: bounds on D^-1 A match the
+            # iterated operator (cheb_solver.cu mode-0 semantics)
+            self._cheb_solver_bounds = self._lambda_bounds(csr)
         self._build_step()
         if self.use_amg and amg_scope is not None and \
                 bool(self.cfg.get("print_grid_stats", amg_scope)):
@@ -580,8 +584,10 @@ class DistributedSolver:
         bicg = self.solver_name in ("BICGSTAB", "PBICGSTAB")
         gmres = self.solver_name in ("GMRES", "FGMRES")
         amg_alone = self.solver_name == "AMG"
+        pcgf = self.solver_name == "PCGF"
+        cheb = self.solver_name == "CHEBYSHEV"
         supported = ("PCG", "CG", "BICGSTAB", "PBICGSTAB", "GMRES",
-                     "FGMRES", "AMG")
+                     "FGMRES", "AMG", "PCGF", "CHEBYSHEV")
         if self.solver_name not in supported:
             raise NotImplementedError(
                 f"DistributedSolver does not implement "
@@ -715,6 +721,39 @@ class DistributedSolver:
                 x = x + z
                 r = r - spmv0(mat, z)
                 return (x, r), comms.dist_nrm2(r, ax)
+            if cheb:
+                # mirror of the single-chip ChebyshevSolver.solve_iteration
+                # (cheb_solver.cu) with the Jacobi-preconditioned operator
+                x, r, p, alpha, it = state
+                lam_max, lam_min = self._cheb_solver_bounds
+                d_ = 0.5 * (lam_max + lam_min)
+                c_ = 0.5 * (lam_max - lam_min)
+                z = apply_invd(args[0][3], r)
+                alpha_new = jnp.where(
+                    it == 0, 1.0 / d_,
+                    jnp.where(it == 1, 1.0 / (d_ - c_ * c_ / (2.0 * d_)),
+                              1.0 / (d_ - alpha * c_ * c_ / 4.0)))
+                beta = jnp.where(it == 0, 0.0,
+                                 jnp.where(it == 1, 0.5 * (c_ / d_) ** 2,
+                                           (alpha * c_ / 2.0) ** 2))
+                p = z + beta * p
+                x = x + alpha_new * p
+                r = r - alpha_new * spmv0(mat, p)
+                return (x, r, p, alpha_new, it + 1), \
+                    comms.dist_nrm2(r, ax)
+            if pcgf:
+                # flexible PCG, Polak-Ribiere correction (pcgf_solver.cu)
+                x, pv, r, z, rz = state
+                q = spmv0(mat, pv)
+                alpha = rz / comms.dist_dot(pv, q, ax)
+                x = x + alpha * pv
+                r_new = r - alpha * q
+                z_new = precond(r_new, args)
+                beta = comms.dist_dot(z_new, r_new - r, ax) / rz
+                pv = z_new + beta * pv
+                return (x, pv, r_new, z_new,
+                        comms.dist_dot(r_new, z_new, ax)), \
+                    comms.dist_nrm2(r_new, ax)
             if bicg:
                 x, r, r_star, pv, rho = state
                 p_hat = precond(pv, args)
@@ -753,9 +792,15 @@ class DistributedSolver:
             nrm = comms.dist_nrm2(r, ax)
             if amg_alone:
                 return (x, r), nrm
+            if cheb:
+                return (x, r, jnp.zeros_like(r),
+                        jnp.asarray(0.0, r.dtype),
+                        jnp.asarray(0, jnp.int32)), nrm
             if bicg:
                 return (x, r, r, r, comms.dist_dot(r, r, ax)), nrm
             z = precond(r, args)
+            if pcgf:
+                return (x, z, r, z, comms.dist_dot(r, z, ax)), nrm
             return (x, z, r, comms.dist_dot(r, z, ax)), nrm
 
         def _flatten(args):
@@ -816,7 +861,11 @@ class DistributedSolver:
                           P(), shard)
         elif amg_alone:
             state_spec = (shard, shard)
+        elif cheb:
+            state_spec = (shard, shard, shard, P(), P())
         elif bicg:
+            state_spec = (shard, shard, shard, shard, P())
+        elif pcgf:
             state_spec = (shard, shard, shard, shard, P())
         else:
             state_spec = (shard, shard, shard, P())

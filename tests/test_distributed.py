@@ -598,3 +598,41 @@ def test_distributed_scaling(mesh, rng):
         x, st = s.solve(b)
         rel = np.linalg.norm(b - 3 * A @ x) / np.linalg.norm(b)
         assert rel < 1e-4, ("resetup", scaling, rel)
+
+
+def test_distributed_pcgf_and_chebyshev(mesh, rng):
+    """Distributed PCGF (flexible CG) converges with an AMG
+    preconditioner; distributed CHEBYSHEV reproduces the single-chip
+    solver's residual path (both share the mode-0 D^-1 A window, so
+    standalone convergence is spectrum-limited by design)."""
+    a = amgx.gallery.poisson5pt(24, 24)
+    b = rng.standard_normal(a.n_rows)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "PCGF", "max_iters": 100, "tolerance": 1e-8,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "algorithm": "AGGREGATION", "selector": "SIZE_2",
+                           "smoother": "BLOCK_JACOBI",
+                           "relaxation_factor": 0.7, "presweeps": 1,
+                           "postsweeps": 1, "max_iters": 1,
+                           "min_coarse_rows": 16, "max_levels": 10,
+                           "cycle": "V"}}})
+    s = DistributedSolver(cfg, mesh)
+    s.setup(a)
+    x, st = s.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
+    assert st == 0 and rel < 1e-6 and s.last_iters <= 30
+
+    cs = ("solver=CHEBYSHEV, max_iters=50, tolerance=1e-8, "
+          "convergence=RELATIVE_INI, monitor_residual=1")
+    s1 = amgx.SolverFactory.allocate(amgx.AMGConfig(cs))
+    s1.setup(amgx.Matrix(a))
+    s1.solve(b)
+    s2 = DistributedSolver(amgx.AMGConfig(cs), mesh)
+    s2.setup(a)
+    s2.solve(b)
+    h1 = np.array(s1.res_history)
+    h2 = np.array(s2.res_history)
+    k = min(len(h1), len(h2))
+    assert np.abs(h1[:k] - h2[:k]).max() / h1[0] < 0.05
