@@ -586,8 +586,11 @@ class DistributedSolver:
         amg_alone = self.solver_name == "AMG"
         pcgf = self.solver_name == "PCGF"
         cheb = self.solver_name == "CHEBYSHEV"
+        idr = self.solver_name in ("IDR", "IDRMSYNC")
+        s_dim = int(self.cfg.get("subspace_dim_s", self.scope))
         supported = ("PCG", "CG", "BICGSTAB", "PBICGSTAB", "GMRES",
-                     "FGMRES", "AMG", "PCGF", "CHEBYSHEV")
+                     "FGMRES", "AMG", "PCGF", "CHEBYSHEV", "IDR",
+                     "IDRMSYNC")
         if self.solver_name not in supported:
             raise NotImplementedError(
                 f"DistributedSolver does not implement "
@@ -603,6 +606,19 @@ class DistributedSolver:
             getattr(a0, "dia_bands", None) is not None
             or getattr(a0, "band_strips", None) is not None)
         self._mat_args = self._mat_pytree(a0)
+        if idr:
+            # orthonormal shadow space, scattered to the shards' row layout
+            # (reference: idr_solver.cu shadow vectors); rides in the
+            # operand pytree so it shards with the matrix
+            rng = np.random.default_rng(42)
+            q, _ = np.linalg.qr(rng.standard_normal((a0.n_rows, s_dim)))
+            shadow = np.stack([np.asarray(a0.scatter_vector(q[:, i], "rows"))
+                               for i in range(s_dim)], axis=1)
+            self._mat_args = dict(
+                self._mat_args,
+                idr_P=jax.device_put(
+                    jnp.asarray(shadow.astype(self._vec_dt)),
+                    jax.sharding.NamedSharding(mesh, P(ax))))
         static0 = (getattr(a0, "dia_offsets", None),
                    getattr(a0, "margins", None),
                    getattr(a0, "band_meta", None))
@@ -741,6 +757,39 @@ class DistributedSolver:
                 r = r - alpha_new * spmv0(mat, p)
                 return (x, r, p, alpha_new, it + 1), \
                     comms.dist_nrm2(r, ax)
+            if idr:
+                # IDR(s) with bi-orthogonalization — mirror of the
+                # single-chip IDRSolver.solve_iteration (idr_solver.cu)
+                # with psum-reduced shadow projections
+                import jax.scipy.linalg as jsla
+                x, r, G, U, M, om = state
+                Ps = mat["idr_P"]
+                f = jax.lax.psum(Ps @ r, ax)
+                for k in range(s_dim):
+                    c_ = jsla.solve_triangular(M[k:, k:], f[k:],
+                                               lower=True)
+                    v = r - c_ @ G[k:]
+                    v = precond(v, args)
+                    u = c_ @ U[k:] + om * v
+                    g = spmv0(mat, u)
+                    for j in range(k):
+                        al = comms.dist_dot(Ps[j], g, ax) / M[j, j]
+                        g = g - al * G[j]
+                        u = u - al * U[j]
+                    G = G.at[k].set(g)
+                    U = U.at[k].set(u)
+                    M = M.at[k:, k].set(jax.lax.psum(Ps[k:] @ g, ax))
+                    beta = f[k] / M[k, k]
+                    r = r - beta * g
+                    x = x + beta * u
+                    if k + 1 < s_dim:
+                        f = f.at[k + 1:].add(-beta * M[k + 1:, k])
+                v = precond(r, args)
+                t = spmv0(mat, v)
+                om = comms.dist_dot(t, r, ax) / comms.dist_dot(t, t, ax)
+                x = x + om * v
+                r = r - om * t
+                return (x, r, G, U, M, om), comms.dist_nrm2(r, ax)
             if pcgf:
                 # flexible PCG, Polak-Ribiere correction (pcgf_solver.cu)
                 x, pv, r, z, rz = state
@@ -796,6 +845,12 @@ class DistributedSolver:
                 return (x, r, jnp.zeros_like(r),
                         jnp.asarray(0.0, r.dtype),
                         jnp.asarray(0, jnp.int32)), nrm
+            if idr:
+                L = r.shape[0]
+                return (x, r, jnp.zeros((s_dim, L), r.dtype),
+                        jnp.zeros((s_dim, L), r.dtype),
+                        jnp.eye(s_dim, dtype=r.dtype),
+                        jnp.asarray(1.0, r.dtype)), nrm
             if bicg:
                 return (x, r, r, r, comms.dist_dot(r, r, ax)), nrm
             z = precond(r, args)
@@ -863,6 +918,8 @@ class DistributedSolver:
             state_spec = (shard, shard)
         elif cheb:
             state_spec = (shard, shard, shard, P(), P())
+        elif idr:
+            state_spec = (shard, shard, shard, shard, P(), P())
         elif bicg:
             state_spec = (shard, shard, shard, shard, P())
         elif pcgf:

@@ -636,3 +636,19 @@ def test_distributed_pcgf_and_chebyshev(mesh, rng):
     h2 = np.array(s2.res_history)
     k = min(len(h1), len(h2))
     assert np.abs(h1[:k] - h2[:k]).max() / h1[0] < 0.05
+
+
+def test_distributed_idr(mesh, rng):
+    """Distributed IDR(s) (idr_solver.cu): shadow projections psum-reduced,
+    small M/f replicated; IDRMSYNC aliases the same fused program."""
+    a = amgx.gallery.poisson5pt(20, 20)
+    b = rng.standard_normal(a.n_rows)
+    for name, s_dim in (("IDR", 4), ("IDRMSYNC", 8)):
+        cfg = amgx.AMGConfig(
+            f"solver={name}, subspace_dim_s={s_dim}, max_iters=200, "
+            "tolerance=1e-8, convergence=RELATIVE_INI, monitor_residual=1")
+        s = DistributedSolver(cfg, mesh)
+        s.setup(a)
+        x, st = s.solve(b)
+        rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
+        assert st == 0 and rel < 1e-6
