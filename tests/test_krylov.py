@@ -165,3 +165,27 @@ def test_fine_level_reordering(rng):
     s = amgx.SolverFactory.allocate(cfg)
     s.setup(amgx.Matrix(a))
     assert s._perm is None
+
+
+def test_fine_level_reordering_resetup(rng):
+    """replace_coefficients + resetup re-derives the RCM permutation from
+    the user's handle — vectors stay consistent across the boundary."""
+    import amgx_tpu as amgx
+    from amgx_tpu.ops.band import permute_square
+    a = amgx.gallery.poisson5pt(40, 40)
+    ash = permute_square(a, rng.permutation(a.n_rows))
+    b = rng.standard_normal(a.n_rows)
+    A0 = ash.to_scipy().copy()       # Matrix(ash) aliases ash — snapshot
+    m = amgx.Matrix(ash)
+    cfg = amgx.AMGConfig(
+        "solver=CG, max_iters=400, tolerance=1e-10, "
+        "convergence=RELATIVE_INI, monitor_residual=1")
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(m)
+    assert s._perm is not None
+    m.replace_coefficients(np.asarray(ash.data) * 2.0)
+    s.resetup()
+    x, st = s.solve(b)
+    rel = np.linalg.norm(b - 2 * A0 @ s.extract_vector(x)) / \
+        np.linalg.norm(b)
+    assert st == 0 and rel < 1e-8
