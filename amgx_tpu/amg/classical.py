@@ -342,33 +342,35 @@ def multipass_interpolation(csr: CSRMatrix, strong: np.ndarray,
     rows = np.repeat(np.arange(n), csr.row_nnz())
     cols = csr.indices.astype(np.int64)
     data = csr.data if csr.block_dim == (1, 1) else csr.data[:, 0, 0]
-    p = p1.to_scipy().tolil()
-    interped = np.asarray((np.abs(p1.to_scipy()) @
-                           np.ones(nc)) > 0) .ravel() | (cf_map >= 0)
+    p = p1.to_scipy().tocsr()
+    interped = np.asarray((np.abs(p) @ np.ones(nc)) > 0).ravel() | \
+        (cf_map >= 0)
+    in_b = cols < n
+    # frontier-at-a-time: each pass interpolates every remaining F row with
+    # an already-interpolated strong neighbour via ONE sparse product
+    # P_new = W @ P (W = row-normalized |a_ij| over those neighbours)
     for _ in range(max_passes):
-        todo = np.nonzero(~interped)[0]
-        if todo.size == 0:
+        if interped.all():
             break
-        progressed = False
-        pm = sp.csr_matrix(p)
-        for i in todo:
-            sel = (rows == i) & strong & (cols < n)
-            nb = cols[sel]
-            ok = nb[interped[nb]]
-            if ok.size == 0:
-                continue
-            w = np.abs(data[sel][interped[nb]])
-            w = w / w.sum()
-            row = sp.csr_matrix((1, nc))
-            for j, wj in zip(ok, w):
-                row = row + wj * pm[j]
-            p[i] = row
-            interped[i] = True
-            progressed = True
-        if not progressed:
+        cand = np.nonzero(strong & in_b & ~interped[rows])[0]
+        cand = cand[interped[cols[cand]]]
+        if cand.size == 0:
             break
-    out = sp.csr_matrix(p)
-    return CSRMatrix(n, nc, out.indptr, out.indices, out.data)
+        r_i, c_j = rows[cand], cols[cand]
+        w = np.abs(data[cand])
+        wsum = np.zeros(n)
+        np.add.at(wsum, r_i, w)
+        ready = wsum > 0
+        w = w / wsum[r_i]
+        wmat = sp.csr_matrix((w, (r_i, c_j)), shape=(n, n))
+        p_new = wmat @ p
+        keep = sp.diags((~ready).astype(np.float64))
+        take = sp.diags(ready.astype(np.float64))
+        p = (keep @ p + take @ p_new).tocsr()
+        interped |= ready
+    p.sum_duplicates()
+    p.eliminate_zeros()
+    return CSRMatrix(n, nc, p.indptr, p.indices, p.data)
 
 
 def distance2_interpolation(csr: CSRMatrix, strong: np.ndarray,

@@ -158,25 +158,38 @@ class DistributedSolver:
             min_rows = g("min_coarse_rows") if cons_lower > 0 else \
                 max(g("min_coarse_rows"),
                     2 * n_dev)            # keep >= 2 rows per shard
-            self.presweeps = max(1, g("presweeps"))
-            self.postsweeps = max(1, g("postsweeps"))
-            self.smooth_damp = g("relaxation_factor")
+            self.presweeps = max(0, g("presweeps"))
+            self.postsweeps = max(0, g("postsweeps"))
             self.cycle_type = g("cycle")
             # Chebyshev is the TPU-recommended smoother (SpMV + axpy only,
             # no colors/gathers; reference ships V-cheby configs). The
             # per-level lambda_max of D^-1 A is estimated at setup.
-            smoother_name, _ = self.cfg.get_pair("smoother", amg_scope)
+            # Smoother knobs come from the smoother's own (child) scope,
+            # matching reference scoped-config semantics (a plain-string
+            # "smoother" entry binds scope "default") and the single-chip
+            # SolverFactory.allocate path.
+            smoother_name, sm_scope = self.cfg.get_pair("smoother",
+                                                        amg_scope)
+            self.smooth_damp = self.cfg.get("relaxation_factor", sm_scope)
             self.cheby_smoothing = smoother_name in ("CHEBYSHEV",
                                                      "CHEBYSHEV_POLY")
-            self.cheby_order = max(1, g("chebyshev_polynomial_order"))
+            self.cheby_order = max(1, self.cfg.get(
+                "chebyshev_polynomial_order", sm_scope))
             self._cheby_bounds = []
             if self.cheby_smoothing:
                 self._cheby_bounds.append(self._lambda_bounds(csr))
             shard_local = str(self.cfg.get("distributed_aggregation",
                                            amg_scope)) == "SHARD_LOCAL"
             self._structure = []
+            dense_lu_rows = g("dense_lu_num_rows")
             work = csr
             while len(self.levels) < max_levels and work.n_rows > min_rows:
+                if dense_lu_rows and work.n_rows <= dense_lu_rows and \
+                        len(self.levels) > 1:
+                    # reference: stop coarsening once the dense-LU coarse
+                    # solve takes over (amg.cu dense_lu_num_rows gate) —
+                    # matches the single-chip hierarchy driver
+                    break
                 count_part = None
                 if algorithm == "AGGREGATION":
                     from ..amg.aggregation import select_aggregates, build_p_r
@@ -479,10 +492,11 @@ class DistributedSolver:
         return comms.dist_spmv(mat["cols"], mat["vals"], mat["pack"],
                                mat["halo"], v, ax)
 
-    def _vcycle(self, idx, b, x, lvl_args):
-        """One V-cycle, fully inside the SPMD program. lvl_args[i] =
+    def _vcycle(self, idx, b, x, lvl_args, cycle_type=None):
+        """One multigrid cycle, fully inside the SPMD program. lvl_args[i] =
         (a_args, p_args, r_args, inv_diag, coarse_dense)."""
         ax = self.axis
+        ctype = cycle_type or getattr(self, "cycle_type", "V")
         a_args, p_args, r_args, inv_diag, coarse = lvl_args[idx]
         static = self._level_static[idx]
 
@@ -497,10 +511,11 @@ class DistributedSolver:
                 i = jax.lax.axis_index(ax)
                 lr = b.shape[0]
                 return jax.lax.dynamic_slice(sol, (i * lr,), (lr,))
-            # fallback: damped Jacobi sweeps
-            for _ in range(4):
-                x = x + 0.8 * inv_diag * (b - spmv(a_args, x, static))
-            return x
+            # Exact-to-tolerance coarse solve (reference always solves the
+            # coarsest level exactly, cycles/cycle.h:53-59): Jacobi-
+            # preconditioned CG under lax.while_loop instead of a fixed
+            # handful of smoothing sweeps.
+            return self._coarse_cg(a_args, static, inv_diag, b, x)
         cheby = getattr(self, "cheby_smoothing", False)
         if cheby:
             x = self._cheby_smooth(a_args, static, inv_diag,
@@ -513,11 +528,14 @@ class DistributedSolver:
         r = b - spmv(a_args, x, static)
         rc = spmv(r_args, r)
         xc = jnp.zeros_like(rc)
-        xc = self._vcycle(idx + 1, rc, xc, lvl_args)
-        if getattr(self, "cycle_type", "V") in ("W", "F"):
-            # W/F cycles revisit the coarse level (reference: the W and F
-            # dispatchers, core/src/cycles)
-            xc = self._vcycle(idx + 1, rc, xc, lvl_args)
+        xc = self._vcycle(idx + 1, rc, xc, lvl_args, ctype)
+        if ctype == "W":
+            # W cycle: second identical coarse revisit (w_cycle.cu)
+            xc = self._vcycle(idx + 1, rc, xc, lvl_args, "W")
+        elif ctype == "F":
+            # F cycle: F-then-V at each coarse level (f_cycle.cu), matching
+            # the single-chip dispatcher in amg/cycles.py
+            xc = self._vcycle(idx + 1, rc, xc, lvl_args, "V")
         x = x + spmv(p_args, xc)
         if cheby:
             x = self._cheby_smooth(a_args, static, inv_diag,
@@ -527,6 +545,44 @@ class DistributedSolver:
             for _ in range(self.postsweeps):
                 x = x + self.smooth_damp * inv_diag * (b - spmv(a_args, x,
                                                                 static))
+        return x
+
+    def _coarse_cg(self, a_args, static, inv_diag, b, x,
+                   tol: float = 1e-10, max_iters: int = 200):
+        """Jacobi-preconditioned CG to tolerance for the coarsest level when
+        no replicated dense factorization exists (reference semantics:
+        Cycle_Base::solveExactly always solves the coarsest exactly)."""
+        ax = self.axis
+
+        def dot(u, v):
+            return jax.lax.psum(jnp.vdot(u, v), ax)
+
+        r = b - self._apply_mat(a_args, x, static)
+        z = inv_diag * r
+        p = z
+        rz = dot(r, z)
+        b2 = dot(b, b)
+        stop = tol * tol * jnp.maximum(b2, jnp.asarray(1e-300, b2.dtype))
+
+        def cond(st):
+            _, r, _, _, it = st
+            return jnp.logical_and(it < max_iters, dot(r, r).real > stop)
+
+        def body(st):
+            x, r, p, rz, it = st
+            q = self._apply_mat(a_args, p, static)
+            pq = dot(p, q)
+            alpha = jnp.where(pq != 0, rz / jnp.where(pq == 0, 1.0, pq), 0.0)
+            x = x + alpha * p
+            r = r - alpha * q
+            z = inv_diag * r
+            rz_new = dot(r, z)
+            beta = jnp.where(rz != 0, rz_new / jnp.where(rz == 0, 1.0, rz),
+                             0.0)
+            return x, r, z + beta * p, rz_new, it + 1
+
+        x, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (x, r, p, rz, jnp.asarray(0, jnp.int32)))
         return x
 
     def _mat_pytree(self, dm):

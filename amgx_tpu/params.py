@@ -136,7 +136,8 @@ def register_all_parameters() -> None:
       "neighbouring aggregates", allowed_range=(0, 2))
 
     # -- smoother knobs --------------------------------------------------------
-    P("relaxation_factor", float, 1.0, "smoother damping/relaxation factor")
+    P("relaxation_factor", float, 0.9, "smoother damping/relaxation factor "
+      "(reference default 0.9, core.cu:421)", allowed_range=(0.0, 2.0))
     P("smooth_with_0_initial_guess", int, 0,
       "skip the initial SpMV when x0 = 0", allowed_values=[0, 1])
     P("jacobi_iters", int, 1, "inner Jacobi iterations")

@@ -95,31 +95,46 @@ class MulticolorDILUSolver(Solver):
             self.E = jnp.asarray(e_pad.astype(vec_dt))
             self.invE = jnp.asarray(ie_pad.astype(vec_dt))
         else:
-            # blocked DILU: E_i are bx*bx blocks
+            # blocked DILU: E_i are bx*bx blocks. Vectorized per color:
+            # match entries (i,j) of A with (i,j) of A^T once, then each
+            # color's correction sum_j A_ij invE_j A_ji is one batched
+            # einsum + segment sum.
             diag = csr.diagonal().astype(np.float64)
             E = diag.copy()
             invE = np.zeros_like(E)
-            # transpose lookup for a_ji blocks
             at = csr.transpose()
-            at_lut = {}
-            rows_t = np.repeat(np.arange(at.n_rows), at.row_nnz())
-            for k, (i, j) in enumerate(zip(rows_t, at.indices)):
-                at_lut[(int(i), int(j))] = k
             rows_a = np.repeat(np.arange(n), csr.row_nnz())
+            rows_t = np.repeat(np.arange(at.n_rows), at.row_nnz())
+            in_range = csr.indices < n
+            keys_a = rows_a.astype(np.int64) * n + csr.indices
+            keys_t = rows_t.astype(np.int64) * n + at.indices
+            _, ka, kt = np.intersect1d(
+                np.where(in_range, keys_a, -1), keys_t,
+                return_indices=True, assume_unique=False)
+            ok = keys_a[ka] >= 0
+            ka, kt = ka[ok], kt[ok]
+            pi, pj = rows_a[ka], csr.indices[ka]        # pair (i, j)
+            aij = csr.data[ka].astype(np.float64)
+            # at.data[kt] holds (A^T)_ij = (A_ji)^T; transpose back
+            aji = np.swapaxes(at.data[kt].astype(np.float64), 1, 2)
             for c in range(nc):
-                for i in np.nonzero(col == c)[0]:
-                    s, e = csr.indptr[i], csr.indptr[i + 1]
-                    acc = diag[i].copy()
-                    for k in range(s, e):
-                        j = int(csr.indices[k])
-                        if j < n and col[j] < c and (i, j) in at_lut:
-                            aji = at.data[at_lut[(i, j)]].T
-                            acc = acc - csr.data[k] @ invE[j] @ aji
-                    E[i] = acc
-                    try:
-                        invE[i] = np.linalg.inv(acc)
-                    except np.linalg.LinAlgError:
-                        invE[i] = np.eye(bx)
+                rows_c = np.nonzero(col == c)[0]
+                if c > 0:
+                    sel = (col[pi] == c) & (col[pj] < c)
+                    if np.any(sel):
+                        contrib = np.einsum(
+                            "kab,kbc,kcd->kad", aij[sel], invE[pj[sel]],
+                            aji[sel])
+                        corr = np.zeros((n, bx, bx))
+                        np.add.at(corr, pi[sel], contrib)
+                        E[rows_c] = diag[rows_c] - corr[rows_c]
+                blocks = E[rows_c]
+                sing = np.abs(np.linalg.det(blocks)) < \
+                    np.finfo(np.float64).tiny
+                safe = np.where(sing[:, None, None], np.eye(bx), blocks)
+                inv_c = np.linalg.inv(safe)
+                inv_c[sing] = np.eye(bx)
+                invE[rows_c] = inv_c
             e_pad = np.tile(np.eye(bx), (self.n_pad, 1, 1))
             ie_pad = np.tile(np.eye(bx), (self.n_pad, 1, 1))
             e_pad[:n], ie_pad[:n] = E, invE

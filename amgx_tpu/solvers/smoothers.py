@@ -47,11 +47,13 @@ def _inv_diag_arrays(csr, vec_dtype, n_pad, l1: bool = False):
         # add the per-component L1 sums onto the block diagonal
         d = d + np.einsum("ni,ij->nij", l1sum, np.eye(bx))
     inv = np.tile(np.eye(bx), (n_pad, 1, 1))
-    for i in range(n):
-        try:
-            inv[i] = np.linalg.inv(d[i])
-        except np.linalg.LinAlgError:
-            inv[i] = np.eye(bx)
+    # batched inverse on the (n, bx, bx) stack; singular blocks fall back
+    # to identity (reference clamps zero pivots, block_jacobi_solver.cu)
+    sing = ~np.isfinite(np.linalg.cond(d)) | \
+        (np.abs(np.linalg.det(d)) < np.finfo(np.float64).tiny)
+    dd = np.where(sing[:, None, None], np.eye(bx), d)
+    inv[:n] = np.linalg.inv(dd)
+    inv[:n][sing] = np.eye(bx)
     return jnp.asarray(inv.astype(vec_dtype))
 
 

@@ -14,35 +14,70 @@
 #include <algorithm>
 #include <utility>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
 
-// Gustavson row-by-row symbolic pass: fills c_indptr, returns total nnz.
+// Gustavson symbolic pass: fills c_indptr, returns total nnz. Row-parallel
+// (the reference's csr_multiply hash SpGEMM is massively parallel on GPU;
+// here rows are distributed over host threads with per-thread markers).
 int64_t spgemm_nnz(int64_t n_rows_a, int64_t n_cols_b,
                    const int64_t* a_indptr, const int32_t* a_indices,
                    const int64_t* b_indptr, const int32_t* b_indices,
                    int64_t* c_indptr) {
-    std::vector<int64_t> marker(static_cast<size_t>(n_cols_b), -1);
     c_indptr[0] = 0;
-    int64_t nnz = 0;
-    for (int64_t i = 0; i < n_rows_a; ++i) {
-        int64_t row_nnz = 0;
-        for (int64_t ka = a_indptr[i]; ka < a_indptr[i + 1]; ++ka) {
-            const int32_t k = a_indices[ka];
-            for (int64_t kb = b_indptr[k]; kb < b_indptr[k + 1]; ++kb) {
-                const int32_t j = b_indices[kb];
-                if (marker[j] != i) {
-                    marker[j] = i;
-                    ++row_nnz;
+#ifdef _OPENMP
+#pragma omp parallel
+    {
+        std::vector<int64_t> marker(static_cast<size_t>(n_cols_b), -1);
+#pragma omp for schedule(dynamic, 256)
+        for (int64_t i = 0; i < n_rows_a; ++i) {
+            int64_t row_nnz = 0;
+            for (int64_t ka = a_indptr[i]; ka < a_indptr[i + 1]; ++ka) {
+                const int32_t k = a_indices[ka];
+                for (int64_t kb = b_indptr[k]; kb < b_indptr[k + 1]; ++kb) {
+                    const int32_t j = b_indices[kb];
+                    if (marker[j] != i) {
+                        marker[j] = i;
+                        ++row_nnz;
+                    }
                 }
             }
+            c_indptr[i + 1] = row_nnz;
         }
-        nnz += row_nnz;
+    }
+#else
+    {
+        std::vector<int64_t> marker(static_cast<size_t>(n_cols_b), -1);
+        for (int64_t i = 0; i < n_rows_a; ++i) {
+            int64_t row_nnz = 0;
+            for (int64_t ka = a_indptr[i]; ka < a_indptr[i + 1]; ++ka) {
+                const int32_t k = a_indices[ka];
+                for (int64_t kb = b_indptr[k]; kb < b_indptr[k + 1]; ++kb) {
+                    const int32_t j = b_indices[kb];
+                    if (marker[j] != i) {
+                        marker[j] = i;
+                        ++row_nnz;
+                    }
+                }
+            }
+            c_indptr[i + 1] = row_nnz;
+        }
+    }
+#endif
+    // serial prefix sum (memory-bound, cheap)
+    int64_t nnz = 0;
+    for (int64_t i = 0; i < n_rows_a; ++i) {
+        nnz += c_indptr[i + 1];
         c_indptr[i + 1] = nnz;
     }
     return nnz;
 }
 
-// Numeric pass: fills c_indices (sorted per row) and c_data.
+// Numeric pass: fills c_indices (sorted per row) and c_data. Row-parallel
+// with per-thread dense accumulators.
 void spgemm_fill(int64_t n_rows_a, int64_t n_cols_b,
                  const int64_t* a_indptr, const int32_t* a_indices,
                  const double* a_data,
@@ -50,47 +85,55 @@ void spgemm_fill(int64_t n_rows_a, int64_t n_cols_b,
                  const double* b_data,
                  const int64_t* c_indptr, int32_t* c_indices,
                  double* c_data) {
-    std::vector<int64_t> next(static_cast<size_t>(n_cols_b), -2);
-    std::vector<double> sums(static_cast<size_t>(n_cols_b), 0.0);
-    for (int64_t i = 0; i < n_rows_a; ++i) {
-        int64_t head = -1;
-        int64_t length = 0;
-        for (int64_t ka = a_indptr[i]; ka < a_indptr[i + 1]; ++ka) {
-            const int32_t k = a_indices[ka];
-            const double va = a_data[ka];
-            for (int64_t kb = b_indptr[k]; kb < b_indptr[k + 1]; ++kb) {
-                const int32_t j = b_indices[kb];
-                sums[j] += va * b_data[kb];
-                if (next[j] == -2) {  // first touch this row
-                    next[j] = head;
-                    head = j;
-                    ++length;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int64_t> next(static_cast<size_t>(n_cols_b), -2);
+        std::vector<double> sums(static_cast<size_t>(n_cols_b), 0.0);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 256)
+#endif
+        for (int64_t i = 0; i < n_rows_a; ++i) {
+            int64_t head = -1;
+            int64_t length = 0;
+            for (int64_t ka = a_indptr[i]; ka < a_indptr[i + 1]; ++ka) {
+                const int32_t k = a_indices[ka];
+                const double va = a_data[ka];
+                for (int64_t kb = b_indptr[k]; kb < b_indptr[k + 1]; ++kb) {
+                    const int32_t j = b_indices[kb];
+                    sums[j] += va * b_data[kb];
+                    if (next[j] == -2) {  // first touch this row
+                        next[j] = head;
+                        head = j;
+                        ++length;
+                    }
                 }
             }
-        }
-        int64_t out = c_indptr[i];
-        for (int64_t cnt = 0; cnt < length; ++cnt) {
-            c_indices[out] = static_cast<int32_t>(head);
-            c_data[out] = sums[head];
-            ++out;
-            const int64_t tmp = next[head];
-            next[head] = -2;
-            sums[head] = 0.0;
-            head = tmp;
-        }
-        // sort the row's (index, value) pairs ascending by column
-        const int64_t s = c_indptr[i], e = c_indptr[i + 1];
-        for (int64_t p = s + 1; p < e; ++p) {  // insertion sort: rows short
-            const int32_t ci = c_indices[p];
-            const double cv = c_data[p];
-            int64_t q = p - 1;
-            while (q >= s && c_indices[q] > ci) {
-                c_indices[q + 1] = c_indices[q];
-                c_data[q + 1] = c_data[q];
-                --q;
+            int64_t out = c_indptr[i];
+            for (int64_t cnt = 0; cnt < length; ++cnt) {
+                c_indices[out] = static_cast<int32_t>(head);
+                c_data[out] = sums[head];
+                ++out;
+                const int64_t tmp = next[head];
+                next[head] = -2;
+                sums[head] = 0.0;
+                head = tmp;
             }
-            c_indices[q + 1] = ci;
-            c_data[q + 1] = cv;
+            // sort the row's (index, value) pairs ascending by column
+            const int64_t s = c_indptr[i], e = c_indptr[i + 1];
+            for (int64_t p = s + 1; p < e; ++p) {  // insertion sort
+                const int32_t ci = c_indices[p];
+                const double cv = c_data[p];
+                int64_t q = p - 1;
+                while (q >= s && c_indices[q] > ci) {
+                    c_indices[q + 1] = c_indices[q];
+                    c_data[q + 1] = c_data[q];
+                    --q;
+                }
+                c_indices[q + 1] = ci;
+                c_data[q + 1] = cv;
+            }
         }
     }
 }

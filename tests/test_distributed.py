@@ -652,3 +652,33 @@ def test_distributed_idr(mesh, rng):
         x, st = s.solve(b)
         rel = np.linalg.norm(b - a.to_scipy() @ x) / np.linalg.norm(b)
         assert st == 0 and rel < 1e-6
+
+
+@pytest.mark.parametrize("cycle", ["V", "W", "F"])
+def test_cycle_parity_vs_single_chip(mesh, rng, cycle):
+    """Distributed V/W/F cycles reproduce the single-chip cycle dispatchers
+    (reference: core/src/cycles/{v,w,f}_cycle.cu). Global aggregation so
+    both sides build the identical hierarchy; the iterate paths then must
+    agree to fp tolerance. Guards the F = F-then-V semantics in
+    distributed/solve.py against regressing to W."""
+    a = amgx.gallery.poisson5pt(20, 20)
+    b = rng.standard_normal(a.n_rows)
+    body = {
+        "solver": "AMG", "max_iters": 5, "tolerance": 1e-30,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main", "algorithm": "AGGREGATION", "selector": "SIZE_2",
+        "smoother": {"solver": "BLOCK_JACOBI", "scope": "jac",
+                     "relaxation_factor": 0.7},
+        "presweeps": 1, "postsweeps": 1, "min_coarse_rows": 16,
+        "max_levels": 4, "cycle": cycle,
+        "distributed_aggregation": "GLOBAL"}
+    s1 = amgx.SolverFactory.allocate(
+        amgx.AMGConfig({"config_version": 2, "solver": dict(body)}))
+    s1.setup(amgx.Matrix(a))
+    x1, _ = s1.solve(b)
+    sd = DistributedSolver(
+        amgx.AMGConfig({"config_version": 2, "solver": dict(body)}), mesh)
+    sd.setup(a)
+    xd, _ = sd.solve(b)
+    assert np.allclose(s1.extract_vector(x1), xd, atol=1e-8), \
+        f"{cycle}-cycle iterate diverged from single-chip"
