@@ -432,12 +432,16 @@ class Matrix:
                 self._device_op = csr_to_dense_op(self.csr, dtype=mat_dt)
             elif spmv_impl in ("AUTO", "PALLAS") and (bx, bx) == (1, 1):
                 # fastest-first: DIA (stencil shift-FMA) -> tile-aligned
-                # band strips (MXU) -> padded-ELL gather fallback
+                # band strips (MXU) -> lane-binned gather (general
+                # sparsity, TPU) -> padded-ELL gather fallback
                 from .ops.spmv import csr_to_dia
                 from .ops.band import csr_to_band
                 op = csr_to_dia(self.csr, dtype=mat_dt)
                 if op is None:
                     op = csr_to_band(self.csr, dtype=mat_dt)
+                if op is None and jax.default_backend() == "tpu":
+                    from .ops.gather_spmv import csr_to_gather
+                    op = csr_to_gather(self.csr, dtype=mat_dt)
                 self._device_op = op if op is not None else \
                     csr_to_ell(self.csr, dtype=mat_dt)
             else:

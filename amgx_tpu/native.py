@@ -55,6 +55,13 @@ class _NativeLib:
         self._h.greedy_color.restype = ctypes.c_int32
         self._h.greedy_color.argtypes = [ctypes.c_int64, i64p, i32p, i64p,
                                          i32p]
+        try:
+            self._h.gather_pack.restype = None
+            self._h.gather_pack.argtypes = [ctypes.c_int64, i64p, i32p,
+                                            i32p, i32p]
+            self._has_gather_pack = True
+        except AttributeError:
+            self._has_gather_pack = False
 
     def csr_spgemm(self, a, b):
         from .matrix import CSRMatrix
@@ -110,6 +117,22 @@ class _NativeLib:
             indices.ctypes.data_as(i32p), data.ctypes.data_as(f64p),
             rank.ctypes.data_as(i64p), order.ctypes.data_as(i64p))
         return data
+
+    def gather_pack(self, pair_ptr, rl, cl):
+        """Tile-row assignment for the gather-SpMV format; returns the
+        per-edge slot array (see csrc gather_pack)."""
+        import ctypes
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        pair_ptr = np.ascontiguousarray(pair_ptr, np.int64)
+        rl = np.ascontiguousarray(rl, np.int32)
+        cl = np.ascontiguousarray(cl, np.int32)
+        s_out = np.zeros(rl.shape[0], np.int32)
+        self._h.gather_pack(
+            len(pair_ptr) - 1, pair_ptr.ctypes.data_as(i64p),
+            rl.ctypes.data_as(i32p), cl.ctypes.data_as(i32p),
+            s_out.ctypes.data_as(i32p))
+        return s_out
 
     def greedy_color(self, indptr, indices, order):
         import ctypes

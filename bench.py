@@ -112,6 +112,52 @@ def phase_spmv_ell(n_side: int, inner: int, reps: int):
                       "gnnz_per_s": a.nnz / best / 1e9}))
 
 
+def phase_spmv_gather(n_side: int, inner: int, reps: int):
+    """General-sparsity path: randomly permuted 3-D Poisson (layout ladder
+    cannot reorder it back — this is the pure lane-binned gather kernel).
+    Effective GB/s accounts CSR-equivalent traffic (8 B/nnz + vectors)."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    import amgx_tpu as amgx
+    from amgx_tpu.matrix import CSRMatrix
+    from amgx_tpu.ops.gather_spmv import csr_to_gather
+    dtype = np.float32
+    a = amgx.gallery.poisson7pt(n_side, n_side, n_side, dtype=dtype)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(a.n_rows)
+    s = a.to_scipy().tocsr()[perm][:, perm].tocsr()
+    csr = CSRMatrix(a.n_rows, a.n_rows, s.indptr, s.indices,
+                    s.data.astype(dtype))
+    t0 = time.perf_counter()
+    gm = csr_to_gather(csr, dtype=dtype)
+    setup_t = time.perf_counter() - t0
+    scale = np.asarray(0.12, dtype)
+
+    def many(v):
+        return jax.lax.fori_loop(0, inner,
+                                 lambda i, u: gm.apply(u) * scale, v)
+
+    g = jax.jit(many)
+    x = jnp.asarray(rng.standard_normal(csr.n_rows).astype(dtype))
+    y = g(x)
+    y.block_until_ready()
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        g(x).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / inner)
+    nbytes = csr.nnz * 8 + 2 * csr.n_rows * 4      # CSR-equivalent traffic
+    raw_bytes = (gm.slots * 12 + gm.n_panels * csr.n_cols * 4 +
+                 2 * csr.n_rows * 4)
+    print(json.dumps({"n": csr.n_rows, "nnz": csr.nnz, "time_s": best,
+                      "gbps": nbytes / best / 1e9,
+                      "raw_gbps": raw_bytes / best / 1e9,
+                      "gnnz_per_s": csr.nnz / best / 1e9,
+                      "slots_per_nnz": gm.slots / csr.nnz,
+                      "setup_s": setup_t}))
+
+
 def phase_amg(n_side: int):
     import amgx_tpu as amgx
     dtype = np.float32
@@ -217,16 +263,16 @@ def main():
     kind = dev.get("kind", "unknown")
     on_tpu = dev.get("platform") == "tpu"
     if on_tpu:
-        dia_args, ell_args, amg_args = (128, 50, 4), (96, 30, 3), (48,)
-        deadlines = (900, 700, 900)
+        dia_args, gat_args, amg_args = (128, 50, 4), (96, 20, 3), (48,)
+        deadlines = (900, 900, 900)
     else:
-        dia_args, ell_args, amg_args = (24, 10, 2), (24, 10, 2), (16,)
+        dia_args, gat_args, amg_args = (24, 10, 2), (24, 10, 2), (16,)
         deadlines = (300, 300, 420)
     spmv_dia = _run_phase("spmv_dia", dia_args, deadlines[0])
-    spmv_ell = _run_phase("spmv_ell", ell_args, deadlines[1])
+    spmv_gather = _run_phase("spmv_gather", gat_args, deadlines[1])
     amg = _run_phase("amg", amg_args, deadlines[2])
     scaling = _run_phase("scaling", (32 if on_tpu else 12, 8), 900)
-    candidates = [r for r in (spmv_dia, spmv_ell) if "gbps" in r]
+    candidates = [r for r in (spmv_dia, spmv_gather) if "gbps" in r]
     sol = _hbm_gbps(kind)
     if candidates:
         best = max(candidates, key=lambda r: r["gbps"])
@@ -241,7 +287,7 @@ def main():
         "vs_baseline": vsb,
         "detail": {"device": kind, "hbm_sol_gbps": sol,
                    "tpu_unreachable": bool(dev.get("tpu_unreachable")),
-                   "spmv_dia": spmv_dia, "spmv_ell": spmv_ell,
+                   "spmv_dia": spmv_dia, "spmv_gather": spmv_gather,
                    "amg_pcg": amg, "scaling": scaling},
     }))
 
@@ -255,7 +301,7 @@ if __name__ == "__main__":
         name = sys.argv[2]
         args = [int(a) for a in sys.argv[3:]]
         {"device": phase_device, "spmv_dia": phase_spmv_dia,
-         "spmv_ell": phase_spmv_ell, "amg": phase_amg,
-         "scaling": phase_scaling}[name](*args)
+         "spmv_ell": phase_spmv_ell, "spmv_gather": phase_spmv_gather,
+         "amg": phase_amg, "scaling": phase_scaling}[name](*args)
     else:
         main()

@@ -187,6 +187,38 @@ void ilu0_factor(int64_t n, const int64_t* indptr, const int32_t* indices,
     }
 }
 
+// Slot packing for the lane-binned gather SpMV format
+// (amgx_tpu/ops/gather_spmv.py). Edges are grouped by (panel, window)
+// pair; within a pair each edge takes the lowest tile row where both its
+// row-lane and its column-lane are still unused (per-lane occupancy
+// bitsets) — greedy bipartite edge colouring, depth ~ max lane degree
+// for shuffled input.
+void gather_pack(int64_t n_pairs, const int64_t* pair_ptr,
+                 const int32_t* rl, const int32_t* cl, int32_t* s_out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+    for (int64_t p = 0; p < n_pairs; ++p) {
+        const int64_t cnt = pair_ptr[p + 1] - pair_ptr[p];
+        const int64_t words = cnt / 64 + 2;  // depth can't exceed cnt+1
+        std::vector<uint64_t> used_r(static_cast<size_t>(128 * words), 0);
+        std::vector<uint64_t> used_c(static_cast<size_t>(128 * words), 0);
+        for (int64_t e = pair_ptr[p]; e < pair_ptr[p + 1]; ++e) {
+            const int64_t r = rl[e], c = cl[e];
+            const uint64_t* mr = &used_r[static_cast<size_t>(r * words)];
+            const uint64_t* mc = &used_c[static_cast<size_t>(c * words)];
+            int64_t w = 0;
+            while ((mr[w] | mc[w]) == ~0ULL) ++w;
+            const uint64_t both = mr[w] | mc[w];
+            const int bit = __builtin_ctzll(~both);
+            const int64_t s = w * 64 + bit;
+            s_out[e] = static_cast<int32_t>(s);
+            used_r[static_cast<size_t>(r * words) + w] |= 1ULL << bit;
+            used_c[static_cast<size_t>(c * words) + w] |= 1ULL << bit;
+        }
+    }
+}
+
 // Greedy graph coloring in a caller-supplied order; returns #colors.
 int32_t greedy_color(int64_t n, const int64_t* indptr,
                      const int32_t* indices, const int64_t* order,
