@@ -20,26 +20,42 @@ import jax
 import jax.numpy as jnp
 
 
-def halo_exchange(x_local, pack_idx, halo_from, axis: str = "x"):
+def halo_exchange(x_local, pack_idx, halo_from, axis: str = "x",
+                  perms=None):
     """Return the halo values this shard needs.
 
-    x_local   (L,)    — owned vector slots
-    pack_idx  (Bmax,) — our B2L map: slots we contribute
-    halo_from (Hmax,) — flat indices into the (D*Bmax) exchanged table
+    Neighbour mode (``perms`` is a static tuple of ppermute permutations,
+    one per shard-offset ring — the reference's per-neighbour
+    MPI_Isend/Irecv, comms_mpi_hostbuffer_stream.cu:637-761):
+      pack_idx  (n_R, Bmax) — per-ring B2L maps: slots we send on ring k
+      halo_from (Hmax,)     — flat indices into the concatenated received
+                              buffers (k * Bmax + pos)
+    Each ring is one collective-permute over ICI: traffic is O(boundary),
+    not O(P * Bmax) like the all_gather fallback.
+
+    All-gather mode (perms is None — used for dense neighbourhoods):
+      pack_idx  (Bmax,)  — our B2L map: slots we contribute
+      halo_from (Hmax,)  — flat indices into the (D*Bmax) exchanged table
     """
+    if perms is not None:
+        recvs = [jax.lax.ppermute(x_local[pack_idx[k]], axis, perm)
+                 for k, perm in enumerate(perms)]
+        table = jnp.concatenate(recvs) if len(recvs) > 1 else recvs[0]
+        return table[halo_from]
     buf = x_local[pack_idx]                       # pack     (Bmax,)
     table = jax.lax.all_gather(buf, axis)         # exchange (D, Bmax)
     return table.reshape(-1)[halo_from]           # unpack   (Hmax,)
 
 
-def extended_vector(x_local, pack_idx, halo_from, axis: str = "x"):
+def extended_vector(x_local, pack_idx, halo_from, axis: str = "x",
+                    perms=None):
     """[owned | halo] concatenation the local ELL columns index into."""
-    halo = halo_exchange(x_local, pack_idx, halo_from, axis)
+    halo = halo_exchange(x_local, pack_idx, halo_from, axis, perms)
     return jnp.concatenate([x_local, halo])
 
 
 def dist_spmv(cols, vals, pack_idx, halo_from, x_local, axis: str = "x",
-              interior_split: int = 0):
+              interior_split: int = 0, perms=None):
     """One shard of y = A x with halo exchange (reference: multiply.cu:
     113-197).
 
@@ -50,9 +66,9 @@ def dist_spmv(cols, vals, pack_idx, halo_from, x_local, axis: str = "x",
     interior compute — the reference's async-halo + interior-SpMV pattern
     without streams."""
     if interior_split <= 0:
-        xe = extended_vector(x_local, pack_idx, halo_from, axis)
+        xe = extended_vector(x_local, pack_idx, halo_from, axis, perms)
         return jnp.sum(vals * xe[cols], axis=1)
-    halo = halo_exchange(x_local, pack_idx, halo_from, axis)
+    halo = halo_exchange(x_local, pack_idx, halo_from, axis, perms)
     y_int = jnp.sum(vals[:interior_split] * x_local[cols[:interior_split]],
                     axis=1)
     xe = jnp.concatenate([x_local, halo])
@@ -63,13 +79,13 @@ def dist_spmv(cols, vals, pack_idx, halo_from, x_local, axis: str = "x",
 
 def dist_spmv_structured(offsets, bands, margins, hv_top, hc_top, hv_bot,
                          hc_bot, pack_idx, halo_from, x_local,
-                         axis: str = "x"):
+                         axis: str = "x", perms=None):
     """Shard SpMV for stencil partitions: the owned part runs the no-gather
     DIA shift-FMA (per-chip speed-of-light path); only the margin rows near
     shard edges touch the exchanged halo (reference: interior/boundary
     kernel split, multiply.cu:113-197 — here the interior is also
     layout-optimal)."""
-    halo = halo_exchange(x_local, pack_idx, halo_from, axis)
+    halo = halo_exchange(x_local, pack_idx, halo_from, axis, perms)
     y = jnp.zeros_like(x_local)
     for k, off in enumerate(offsets):
         y = y + bands[k] * jnp.roll(x_local, -off)
@@ -85,7 +101,8 @@ def dist_spmv_structured(offsets, bands, margins, hv_top, hc_top, hv_bot,
 
 
 def dist_spmv_band(strips, base_hw, meta, hv_top, hc_top, hv_bot, hc_bot,
-                   pack_idx, halo_from, x_local, axis: str = "x"):
+                   pack_idx, halo_from, x_local, axis: str = "x",
+                   perms=None):
     """Shard SpMV for banded (non-stencil) owned parts: per-tile MXU
     matmuls via the band-strip layout (ops/band.py) — the distributed
     analog of the single-chip BandMatrix path; halo entries live in margin
@@ -93,7 +110,7 @@ def dist_spmv_band(strips, base_hw, meta, hv_top, hc_top, hv_bot, hc_bot,
     is static."""
     from ..ops.band import BandMatrix, band_spmv, band_spmv_pallas
     hw, x_pad, lr_pad, m_top, m_bot = meta
-    halo = halo_exchange(x_local, pack_idx, halo_from, axis)
+    halo = halo_exchange(x_local, pack_idx, halo_from, axis, perms)
     lr = x_local.shape[0]
     xw = jnp.pad(x_local, (0, x_pad - lr)) if x_pad > lr else \
         x_local[:x_pad]
@@ -112,13 +129,19 @@ def dist_spmv_band(strips, base_hw, meta, hv_top, hc_top, hv_bot, hc_bot,
 
 
 def dist_spmv_block(cols, vals, pack_idx, halo_from, x_local, by: int,
-                    axis: str = "x"):
+                    axis: str = "x", perms=None):
     """Blocked (BSR) shard SpMV: x_local is flat (L*by,); vals are
     (Lr, W, bx, by); halo exchange moves whole column blocks."""
     xb = x_local.reshape(-1, by)                    # (L, by)
-    buf = xb[pack_idx]                              # (Bmax, by)
-    table = jax.lax.all_gather(buf, axis)           # (D, Bmax, by)
-    halo = table.reshape(-1, by)[halo_from]         # (Hmax, by)
+    if perms is not None:
+        recvs = [jax.lax.ppermute(xb[pack_idx[k]], axis, perm)
+                 for k, perm in enumerate(perms)]
+        table = jnp.concatenate(recvs) if len(recvs) > 1 else recvs[0]
+        halo = table[halo_from]                     # (Hmax, by)
+    else:
+        buf = xb[pack_idx]                          # (Bmax, by)
+        table = jax.lax.all_gather(buf, axis)       # (D, Bmax, by)
+        halo = table.reshape(-1, by)[halo_from]     # (Hmax, by)
     xe = jnp.concatenate([xb, halo], axis=0)        # (L+Hmax, by)
     gathered = xe[cols]                             # (Lr, W, by)
     y = jnp.einsum("rwij,rwj->ri", vals, gathered,

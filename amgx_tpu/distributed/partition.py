@@ -250,6 +250,63 @@ class DistEllMatrix:
                 pos[grp] = np.searchsorted(pack_lists[o], hg[grp])
             halo_from[d, :hg.size] = owners * bmax + pos
 
+        # neighbour (collective-permute) exchange tables: one ring per
+        # shard-offset (reference: per-neighbour MPI_Isend/Irecv,
+        # comms_mpi_hostbuffer_stream.cu:637-761). 1-D contiguous
+        # partitions of local operators touch only a few offsets, so the
+        # fine-level exchange rides |R| ppermutes with O(boundary) traffic
+        # instead of an O(P*Bmax) all_gather; dense neighbourhoods
+        # (|R| > 4) keep the all_gather form.
+        offs_all = set()
+        for d, info in enumerate(per_dev):
+            hg = info["halo_g"]
+            if hg.size:
+                owners = col_part.owner_of(hg)
+                offs_all.update(((owners - d) % n_dev).tolist())
+        offs_all.discard(0)
+        ring_offs = tuple(sorted(offs_all))
+        nbr_perms = None
+        pack_nbr = halo_nbr = None
+        if ring_offs and len(ring_offs) <= 4 and n_dev > 1:
+            # per ring r: owner o sends to receiver (o - r) mod n_dev
+            pack_sets = [[np.zeros(0, np.int64)] * n_dev for _ in ring_offs]
+            for k, r in enumerate(ring_offs):
+                for o in range(n_dev):
+                    d_recv = (o - r) % n_dev
+                    hg = per_dev[d_recv]["halo_g"]
+                    if hg.size:
+                        owners = col_part.owner_of(hg)
+                        pack_sets[k][o] = np.unique(hg[owners == o])
+            bmax_n = _round_up(max(1, max(p.size for row in pack_sets
+                                          for p in row)), 8)
+            pack_nbr = np.zeros((n_dev, len(ring_offs), bmax_n), np.int32)
+            for k, r in enumerate(ring_offs):
+                for o in range(n_dev):
+                    pl_ = pack_sets[k][o]
+                    if pl_.size:
+                        slot = pl_ - col_part.offsets[o]
+                        if reorder:
+                            slot = ranks[o][slot]
+                        pack_nbr[o, k, :pl_.size] = slot
+            halo_nbr = np.zeros((n_dev, hmax), np.int32)
+            for d, info in enumerate(per_dev):
+                hg = info["halo_g"]
+                if not hg.size:
+                    continue
+                owners = col_part.owner_of(hg)
+                pos = np.empty(hg.size, np.int64)
+                ring_of = np.empty(hg.size, np.int64)
+                for k, r in enumerate(ring_offs):
+                    o = (d + r) % n_dev
+                    grp = owners == o
+                    if grp.any():
+                        pos[grp] = np.searchsorted(pack_sets[k][o], hg[grp])
+                        ring_of[grp] = k
+                halo_nbr[d, :hg.size] = ring_of * bmax_n + pos
+            nbr_perms = tuple(
+                tuple((o, (o - r) % n_dev) for o in range(n_dev))
+                for r in ring_offs)
+
         # ELL assembly with the halo slot base rewritten to lc (already) and
         # halo slots offset into the concatenated [x_local | halo] vector
         w = 1
@@ -284,6 +341,9 @@ class DistEllMatrix:
         # exchange at all (e.g. block-diagonal P/R from shard-local
         # aggregation): their SpMV is collective-free
         dm.halo_free = all(info["halo_g"].size == 0 for info in per_dev)
+        dm.nbr_perms = nbr_perms
+        dm.pack_nbr = None if pack_nbr is None else jnp.asarray(pack_nbr)
+        dm.halo_nbr = None if halo_nbr is None else jnp.asarray(halo_nbr)
         dm.dia_bands = None
         dm.dia_offsets = None
         dm.band_strips = None
@@ -419,6 +479,9 @@ class DistEllMatrix:
         self.pack_idx = jax.device_put(self.pack_idx, s)
         self.halo_from = jax.device_put(self.halo_from, s)
         self.interior_rows = jax.device_put(self.interior_rows, s)
+        if getattr(self, "pack_nbr", None) is not None:
+            self.pack_nbr = jax.device_put(self.pack_nbr, s)
+            self.halo_nbr = jax.device_put(self.halo_nbr, s)
         if getattr(self, "dia_bands", None) is not None:
             self.dia_bands = jax.device_put(self.dia_bands, s)
         if getattr(self, "band_strips", None) is not None:

@@ -470,27 +470,28 @@ class DistributedSolver:
         return apply, (dm.cols, dm.vals, dm.pack_idx, dm.halo_from)
 
     def _apply_mat(self, mat, v, static=None):
-        """Apply one operand pytree (ELL, structured DIA, or band form)."""
+        """Apply one operand pytree (ELL, structured DIA, or band form).
+        ``static`` = (dia_offsets, margins, band_meta, nbr_perms)."""
         ax = self.axis
         if "pack" not in mat:
             # halo-free operator (shard-local P/R): no collective at all
             return jnp.sum(mat["vals"] * v[mat["cols"]], axis=1)
+        offsets, margins, band_meta, perms = \
+            static if static is not None else (None, None, None, None)
         if "bands" in mat:
-            offsets, margins, _ = static
             return comms.dist_spmv_structured(
                 offsets, mat["bands"], margins,
                 mat.get("halo_vals_top"), mat.get("halo_cols_top"),
                 mat.get("halo_vals_bot"), mat.get("halo_cols_bot"),
-                mat["pack"], mat["halo"], v, ax)
+                mat["pack"], mat["halo"], v, ax, perms=perms)
         if "strips" in mat:
-            _, _, band_meta = static
             return comms.dist_spmv_band(
                 mat["strips"], mat["base"], band_meta,
                 mat.get("halo_vals_top"), mat.get("halo_cols_top"),
                 mat.get("halo_vals_bot"), mat.get("halo_cols_bot"),
-                mat["pack"], mat["halo"], v, ax)
+                mat["pack"], mat["halo"], v, ax, perms=perms)
         return comms.dist_spmv(mat["cols"], mat["vals"], mat["pack"],
-                               mat["halo"], v, ax)
+                               mat["halo"], v, ax, perms=perms)
 
     def _vcycle(self, idx, b, x, lvl_args, cycle_type=None):
         """One multigrid cycle, fully inside the SPMD program. lvl_args[i] =
@@ -525,8 +526,9 @@ class DistributedSolver:
             for _ in range(self.presweeps):
                 x = x + self.smooth_damp * inv_diag * (b - spmv(a_args, x,
                                                                 static))
+        p_perms, r_perms = self._pr_perms[idx]
         r = b - spmv(a_args, x, static)
-        rc = spmv(r_args, r)
+        rc = spmv(r_args, r, (None, None, None, r_perms))
         xc = jnp.zeros_like(rc)
         xc = self._vcycle(idx + 1, rc, xc, lvl_args, ctype)
         if ctype == "W":
@@ -536,7 +538,7 @@ class DistributedSolver:
             # F cycle: F-then-V at each coarse level (f_cycle.cu), matching
             # the single-chip dispatcher in amg/cycles.py
             xc = self._vcycle(idx + 1, rc, xc, lvl_args, "V")
-        x = x + spmv(p_args, xc)
+        x = x + spmv(p_args, xc, (None, None, None, p_perms))
         if cheby:
             x = self._cheby_smooth(a_args, static, inv_diag,
                                    self._cheby_bounds[idx], b, x,
@@ -587,11 +589,15 @@ class DistributedSolver:
 
     def _mat_pytree(self, dm):
         """Operand pytree for one operator; structured (DIA + margin) form
-        when the layout was detected at partition time."""
+        when the layout was detected at partition time. When neighbour
+        (ppermute) exchange tables exist, "pack"/"halo" carry those and the
+        static permutation rings ride in _level_static."""
+        nbr = getattr(dm, "nbr_perms", None) is not None
+        pack = dm.pack_nbr if nbr else dm.pack_idx
+        halo = dm.halo_nbr if nbr else dm.halo_from
         if getattr(dm, "dia_bands", None) is not None and \
                 dm.block_dim == (1, 1):
-            mat = {"pack": dm.pack_idx, "halo": dm.halo_from,
-                   "bands": dm.dia_bands}
+            mat = {"pack": pack, "halo": halo, "bands": dm.dia_bands}
             for nm in ("halo_vals_top", "halo_cols_top", "halo_vals_bot",
                        "halo_cols_bot"):
                 v = getattr(dm, nm, None)
@@ -600,7 +606,7 @@ class DistributedSolver:
             return mat
         if getattr(dm, "band_strips", None) is not None and \
                 dm.block_dim == (1, 1):
-            mat = {"pack": dm.pack_idx, "halo": dm.halo_from,
+            mat = {"pack": pack, "halo": halo,
                    "strips": dm.band_strips, "base": dm.band_base}
             for nm in ("halo_vals_top", "halo_cols_top", "halo_vals_bot",
                        "halo_cols_bot"):
@@ -610,16 +616,21 @@ class DistributedSolver:
             return mat
         if getattr(dm, "halo_free", False) and dm.block_dim == (1, 1):
             return {"cols": dm.cols, "vals": dm.vals}
-        return {"cols": dm.cols, "vals": dm.vals, "pack": dm.pack_idx,
-                "halo": dm.halo_from}
+        return {"cols": dm.cols, "vals": dm.vals, "pack": pack,
+                "halo": halo}
 
     def _level_args(self):
-        # static layout metadata per level (offsets/margins/band meta can't
-        # live in the traced pytree)
+        # static layout metadata per level (offsets/margins/band meta and
+        # the ppermute rings can't live in the traced pytree)
         self._level_static = [
             (getattr(lvl.a, "dia_offsets", None),
              getattr(lvl.a, "margins", None),
-             getattr(lvl.a, "band_meta", None)) for lvl in self.levels]
+             getattr(lvl.a, "band_meta", None),
+             getattr(lvl.a, "nbr_perms", None)) for lvl in self.levels]
+        self._pr_perms = [
+            (None if lvl.p is None else getattr(lvl.p, "nbr_perms", None),
+             None if lvl.r is None else getattr(lvl.r, "nbr_perms", None))
+            for lvl in self.levels]
         out = []
         for lvl in self.levels:
             a_args = self._mat_pytree(lvl.a)
@@ -677,7 +688,8 @@ class DistributedSolver:
                     jax.sharding.NamedSharding(mesh, P(ax))))
         static0 = (getattr(a0, "dia_offsets", None),
                    getattr(a0, "margins", None),
-                   getattr(a0, "band_meta", None))
+                   getattr(a0, "band_meta", None),
+                   getattr(a0, "nbr_perms", None))
 
         def spmv0(mat, v):
             if "pack" not in mat:           # halo-free (e.g. 1 active shard)
@@ -687,10 +699,11 @@ class DistributedSolver:
             if by > 1:
                 return comms.dist_spmv_block(mat["cols"], mat["vals"],
                                              mat["pack"], mat["halo"], v,
-                                             by, ax)
+                                             by, ax, perms=static0[3])
             return comms.dist_spmv(mat["cols"], mat["vals"], mat["pack"],
                                    mat["halo"], v, ax,
-                                   interior_split=split0)
+                                   interior_split=split0,
+                                   perms=static0[3])
 
         def apply_invd(invd, r):
             if bx > 1:

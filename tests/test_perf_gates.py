@@ -1,0 +1,123 @@
+"""Performance regression gates: structural assertions on compiled HLO.
+
+These pin the collective/gather structure of the hot programs so wins from
+the neighbour-permute exchange, the shard-local transfer operators, and
+the gather-free DIA/band layouts can't silently rot (cheap, CPU-stable —
+the quantities asserted are properties of the lowered program, not of the
+hardware)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+import amgx_tpu as amgx
+from amgx_tpu.distributed import DistEllMatrix, DistributedSolver
+from amgx_tpu.distributed import comms
+from amgx_tpu.distributed.solve import make_mesh
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= N_DEV
+    return make_mesh(N_DEV)
+
+
+def _compiled_text(f, *args):
+    return jax.jit(f).lower(*args).compile().as_text()
+
+
+def test_fine_spmv_uses_collective_permute(mesh):
+    """The fine-level stencil SpMV must exchange halos via neighbour
+    collective-permute rings, emitting NO all-gather (VERDICT r1 item 4;
+    reference: per-neighbour Isend/Irecv,
+    comms_mpi_hostbuffer_stream.cu:637-761)."""
+    a = amgx.gallery.poisson7pt(12, 12, 12)
+    dm = DistEllMatrix.from_global(a, N_DEV, mesh=mesh)
+    assert dm.nbr_perms is not None and len(dm.nbr_perms) <= 2
+
+    def spmv(cols, vals, pack, halo, xv):
+        return comms.dist_spmv(cols[0], vals[0], pack[0], halo[0],
+                               xv[0], "x", perms=dm.nbr_perms)[None]
+
+    f = jax.shard_map(spmv, mesh=mesh, in_specs=(P("x"),) * 5,
+                      out_specs=P("x"))
+    x = dm.scatter_vector(np.ones(a.n_rows), "cols", mesh)
+    txt = _compiled_text(f, dm.cols, dm.vals, dm.pack_nbr, dm.halo_nbr, x)
+    assert "all-gather" not in txt, "fine-level SpMV emits all-gather"
+    assert "collective-permute" in txt
+
+
+def test_fine_spmv_numerics_match_allgather(mesh):
+    """Neighbour exchange computes the identical product as the all_gather
+    exchange (and as scipy)."""
+    rng = np.random.default_rng(3)
+    a = amgx.gallery.poisson7pt(10, 10, 10)
+    dm = DistEllMatrix.from_global(a, N_DEV, mesh=mesh)
+    x = rng.standard_normal(a.n_rows)
+    xd = dm.scatter_vector(x, "cols", mesh)
+
+    def run(pack, halo, perms):
+        def spmv(cols, vals, pk, hl, xv):
+            return comms.dist_spmv(cols[0], vals[0], pk[0], hl[0],
+                                   xv[0], "x", perms=perms)[None]
+        f = jax.jit(jax.shard_map(spmv, mesh=mesh, in_specs=(P("x"),) * 5,
+                                  out_specs=P("x")))
+        return dm.gather_vector(f(dm.cols, dm.vals, pack, halo, xd),
+                                "rows")
+
+    y_ag = run(dm.pack_idx, dm.halo_from, None)
+    y_nb = run(dm.pack_nbr, dm.halo_nbr, dm.nbr_perms)
+    ref = a.to_scipy() @ x
+    np.testing.assert_allclose(np.asarray(y_nb)[: a.n_rows], ref,
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(y_nb), np.asarray(y_ag),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_fused_solve_collective_budget(mesh):
+    """The fused PCG+AMG program's all-gather count must stay bounded:
+    with shard-local aggregation only consolidation metadata and the
+    replicated coarse solve may all-gather — the level SpMVs ride
+    collective-permute / stay collective-free."""
+    a = amgx.gallery.poisson7pt(12, 12, 12)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "PCG", "max_iters": 20, "tolerance": 1e-8,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "algorithm": "AGGREGATION", "selector": "SIZE_2",
+                           "smoother": "BLOCK_JACOBI",
+                           "relaxation_factor": 0.7,
+                           "presweeps": 1, "postsweeps": 1, "max_iters": 1,
+                           "min_coarse_rows": 16, "max_levels": 10,
+                           "cycle": "V"}}})
+    s = DistributedSolver(cfg, mesh)
+    s.setup(a)
+    b_d = s.levels[0].a.scatter_vector(
+        np.ones(a.n_rows, s._vec_dt), "rows", mesh, s.axis)
+    x_d = s.levels[0].a.scatter_vector(
+        np.zeros(a.n_rows, s._vec_dt), "rows", mesh, s.axis)
+    txt = s._jit_solve_fused.lower(
+        s._mat_args, s._flat_args, b_d, x_d).compile().as_text()
+    n_ag = txt.count("all-gather(") + txt.count("all-gather-start(")
+    # one coarse-solve all_gather inside the V-cycle (+ slack for XLA
+    # variants); the level SpMVs must not contribute
+    assert n_ag <= 4, f"all-gather count regressed: {n_ag}"
+    assert "collective-permute" in txt
+
+
+def test_dia_spmv_has_no_gather():
+    """The single-chip DIA (stencil) path must lower without gather ops —
+    it is shift-FMA by construction."""
+    from amgx_tpu.ops.spmv import csr_to_dia, dia_spmv
+    a = amgx.gallery.poisson7pt(10, 10, 10)
+    dia = csr_to_dia(a)
+    x = jnp.ones(dia.n_pad)
+    txt = _compiled_text(lambda v: dia_spmv(dia, v), x)
+    assert "gather(" not in txt and " gather" not in txt, \
+        "DIA SpMV lowered with a gather"
