@@ -142,24 +142,24 @@ def pmis_select(csr: CSRMatrix, strong: np.ndarray, seed: int = 0,
     isolated = (np.asarray(sym.sum(axis=1)).ravel() == 0)
     state[isolated & (lam == 0)] = -1
     indptr, indices = sym.indptr, sym.indices
-    while (state == 0).any():
-        und = state == 0
+    rows_e = np.repeat(np.arange(n), np.diff(indptr))   # edge sources (once)
+    und = state == 0
+    while und.any():
         # local max among undecided neighbors -> C
-        rows = np.repeat(np.arange(n), np.diff(indptr))
-        mask = und[rows] & und[indices]
+        mask = und[rows_e] & und[indices]
         nb_max = np.full(n, -np.inf)
         if mask.any():
-            np.maximum.at(nb_max, rows[mask], w[indices[mask]])
+            np.maximum.at(nb_max, rows_e[mask], w[indices[mask]])
         winners = und & (w > nb_max)
         if not winners.any():
             winners = und.copy()
             winners[np.nonzero(und)[0][1:]] = False
         state[winners] = 1
-        # undecided neighbors of new C points become F
-        new_c = np.nonzero(winners)[0]
-        for i in new_c:
-            nb = indices[indptr[i]:indptr[i + 1]]
-            state[nb[state[nb] == 0]] = -1
+        # undecided neighbors of new C points become F (vectorized over the
+        # edge list: sym is symmetric so winner-sourced edges reach them all)
+        tgt = indices[winners[rows_e]]
+        state[tgt[state[tgt] == 0]] = -1
+        und = state == 0
     cf_map = np.full(n, FINE, np.int64)
     c_idx = np.nonzero(state == 1)[0]
     cf_map[c_idx] = np.arange(c_idx.size)

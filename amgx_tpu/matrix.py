@@ -96,17 +96,21 @@ class CSRMatrix:
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
-        order = np.lexsort((cols, rows))
-        rows, cols, vals = rows[order], cols[order], vals[order]
-        if sum_duplicates and rows.size:
-            key = rows * n_cols + cols
-            uniq, first = np.unique(key, return_index=True)
-            if uniq.size != rows.size:
-                seg = np.searchsorted(key, uniq)
-                summed = np.add.reduceat(vals, seg, axis=0)
-                rows = rows[first]
-                cols = cols[first]
-                vals = summed
+        # single stable sort on the combined (row, col) key — one pass
+        # instead of lexsort's two plus np.unique's third
+        key = rows * np.int64(n_cols) + cols
+        order = np.argsort(key, kind="stable")
+        key, vals = key[order], vals[order]
+        if sum_duplicates and key.size:
+            newgrp = np.empty(key.size, np.bool_)
+            newgrp[0] = True
+            np.not_equal(key[1:], key[:-1], out=newgrp[1:])
+            if not newgrp.all():
+                first = np.nonzero(newgrp)[0]
+                vals = np.add.reduceat(vals, first, axis=0)
+                key = key[first]
+        rows = key // n_cols
+        cols = key - rows * n_cols
         indptr = np.zeros(n_rows + 1, dtype=np.int64)
         np.add.at(indptr, rows + 1, 1)
         np.cumsum(indptr, out=indptr)
