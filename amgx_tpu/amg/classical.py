@@ -14,6 +14,8 @@ index of a C point, -1 marks F points.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 from ..matrix import CSRMatrix
@@ -273,7 +275,9 @@ def select_cf(csr: CSRMatrix, strong: np.ndarray, selector: str,
 # ---------------------------------------------------------------------------
 
 def direct_interpolation(csr: CSRMatrix, strong: np.ndarray,
-                         cf_map: np.ndarray) -> CSRMatrix:
+                         cf_map: np.ndarray,
+                         col_cf_map: Optional[np.ndarray] = None,
+                         nc: Optional[int] = None) -> CSRMatrix:
     """Distance-1 (direct) interpolation (interpolators/distance1.cu).
 
     For an F point i with strong C neighbours C_i:
@@ -282,9 +286,17 @@ def direct_interpolation(csr: CSRMatrix, strong: np.ndarray,
     computed separately for negative and positive couplings (positive
     couplings use beta_i analogously), preserving row sums. C rows get the
     identity.
+
+    ``col_cf_map``/``nc`` support the shard-parallel setup (boundary rows,
+    distance1.cu's halo handling): on an extended-local system the column
+    space is wider than the row space and carries its own cf map with
+    *global* coarse ids; ``nc`` is then the global coarse count.
     """
     n = csr.n_rows
-    nc = int(cf_map.max()) + 1 if (cf_map >= 0).any() else 0
+    if col_cf_map is None:
+        col_cf_map = cf_map
+    if nc is None:
+        nc = int(cf_map.max()) + 1 if (cf_map >= 0).any() else 0
     data = csr.data if csr.block_dim == (1, 1) else csr.data[:, 0, 0]
     rows = np.repeat(np.arange(n), csr.row_nnz())
     cols = csr.indices.astype(np.int64)
@@ -295,9 +307,9 @@ def direct_interpolation(csr: CSRMatrix, strong: np.ndarray,
         dd = csr.diag_data if csr.block_dim == (1, 1) else \
             csr.diag_data[:, 0, 0]
         diag = diag + dd
-    in_bounds = cols < n
-    is_strong_c = strong & in_bounds & (cf_map[np.where(in_bounds, cols, 0)]
-                                        >= 0)
+    in_bounds = cols < col_cf_map.size
+    is_strong_c = strong & in_bounds & (
+        col_cf_map[np.where(in_bounds, cols, 0)] >= 0)
     neg = offd & (data < 0)
     pos = offd & (data > 0)
     sum_all_neg = np.zeros(n)
@@ -320,7 +332,7 @@ def direct_interpolation(csr: CSRMatrix, strong: np.ndarray,
     sel = is_strong_c & (cf_map[rows] == FINE) & (pvals != 0)
     p_rows = np.concatenate([rows[sel],
                              np.nonzero(cf_map >= 0)[0]])
-    p_cols = np.concatenate([cf_map[cols[sel]],
+    p_cols = np.concatenate([col_cf_map[cols[sel]],
                              cf_map[cf_map >= 0]])
     p_vals = np.concatenate([pvals[sel],
                              np.ones(int((cf_map >= 0).sum()))])

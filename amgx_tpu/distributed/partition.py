@@ -154,6 +154,31 @@ class DistEllMatrix:
         rn = csr.row_nnz()
         g_rows = np.repeat(np.arange(csr.n_rows, dtype=np.int64), rn)
         g_cols = csr.indices.astype(np.int64)
+        blocks = []
+        for d in range(n_dev):
+            r0, r1 = row_part.offsets[d], row_part.offsets[d + 1]
+            sel = slice(csr.indptr[r0], csr.indptr[r1])
+            blocks.append((g_rows[sel] - r0, g_cols[sel], csr.data[sel]))
+        return cls.from_shards(blocks, row_part, col_part, csr.n_rows,
+                               csr.n_cols, dtype=dtype, mesh=mesh, axis=axis,
+                               sort_interior_first=sort_interior_first,
+                               block_dim=(bx, by))
+
+    @classmethod
+    def from_shards(cls, blocks, row_part: RowPartition,
+                    col_part: RowPartition, n_rows: int, n_cols: int,
+                    dtype=None, mesh: Optional[Mesh] = None,
+                    axis: str = "x", sort_interior_first: bool = True,
+                    block_dim=(1, 1)) -> "DistEllMatrix":
+        """Build from per-shard row blocks — the shard-parallel setup entry
+        (reference: each rank assembles from its own rows,
+        distributed_manager.cu:1388 renumberMatrixOneRing). ``blocks[d]`` is
+        a (local_rows, global_cols, vals) triple covering only the rows
+        device d owns; no global operator is materialized."""
+        bx, by = block_dim
+        n_dev = row_part.n_dev
+        if dtype is None:
+            dtype = blocks[0][2].dtype
 
         lr = _round_up(int(np.max(np.diff(row_part.offsets))), 8)
         lc = _round_up(int(np.max(np.diff(col_part.offsets))), 8)
@@ -161,10 +186,9 @@ class DistEllMatrix:
         per_dev = []
         for d in range(n_dev):
             r0, r1 = row_part.offsets[d], row_part.offsets[d + 1]
-            sel = slice(csr.indptr[r0], csr.indptr[r1])
-            rows_l = g_rows[sel] - r0
-            cols_g = g_cols[sel]
-            vals = csr.data[sel]
+            rows_l, cols_g, vals = blocks[d]
+            rows_l = np.asarray(rows_l, np.int64)
+            cols_g = np.asarray(cols_g, np.int64)
             owner = col_part.owner_of(cols_g)
             owned = owner == d
             c0 = col_part.offsets[d]
@@ -192,7 +216,7 @@ class DistEllMatrix:
         # space belongs to another level, so rows keep natural order.
         same_space = col_part is row_part or (
             np.array_equal(col_part.offsets, row_part.offsets)
-            and csr.n_rows == csr.n_cols)
+            and n_rows == n_cols)
         reorder = sort_interior_first and same_space
         row_perm = np.zeros((n_dev, lr), np.int64)
         ranks = []
@@ -333,7 +357,7 @@ class DistEllMatrix:
 
         dm = cls(jnp.asarray(cols), jnp.asarray(vals),
                  jnp.asarray(pack_idx), jnp.asarray(halo_from),
-                 jnp.asarray(interior), csr.n_rows, csr.n_cols,
+                 jnp.asarray(interior), n_rows, n_cols,
                  row_part, col_part, lr, lc, total_nnz, row_perm,
                  col_perm=row_perm if reorder else None,
                  block_dim=(bx, by))

@@ -1,0 +1,802 @@
+"""Shard-parallel AMG setup: every coarsening step runs on O(N/P) rows.
+
+TPU-native re-design of the reference's distributed setup phase:
+
+  * ``ShardedCSR`` — the row-partitioned operator, one block of owned rows
+    (global column ids) per shard; the analog of the per-rank matrix after
+    renumbering (base/src/distributed/distributed_manager.cu:1388-1731).
+  * ``exchange_*`` helpers — the one-ring ghost exchanges
+    (createOneRingHaloRows, distributed_manager.cu:1592; B2L value
+    exchange, comms_mpi_hostbuffer_stream.cu:637): each moves only
+    boundary-sized data between shards. Here they run in-process (the
+    setup phase is host-orchestrated), but every per-shard computation
+    touches only owned rows plus the fetched one-ring, so per-process work
+    and memory are O(N/P) — the property that lets setup scale with the
+    mesh instead of one host's RAM.
+  * distributed PMIS / interpolation / Galerkin — the shard-parallel
+    analogs of selectors/pmis.cu, interpolators/distance1.cu /
+    distance2.cu and computeAOperator_distributed
+    (core/src/classical/classical_amg_level.cu:942). The classical
+    pipeline reproduces the single-matrix results bit-for-bit: PMIS
+    weights hash *global* ids, and interpolation/Galerkin are row-local
+    given one-ring data.
+
+No step materializes a global operator: SpGEMM work per shard is
+O(flops/P), and coarse rows are accumulated on their owners via
+boundary-row sends (the reference's halo-row accumulation in
+computeAOperator_distributed).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..matrix import CSRMatrix
+from .partition import RowPartition
+
+FINE = -1
+
+
+# ---------------------------------------------------------------------------
+# Row-partitioned CSR container
+# ---------------------------------------------------------------------------
+
+class ShardedCSR:
+    """Row-partitioned CSR: ``shards[d]`` holds the rows device d owns as a
+    local CSR whose column ids stay *global* (the pre-renumbering per-rank
+    storage, distributed_manager.cu:1144)."""
+
+    def __init__(self, part: RowPartition, shards: List[CSRMatrix],
+                 n_cols: int):
+        self.part = part
+        self.shards = shards
+        self.n_rows = int(part.offsets[-1])
+        self.n_cols = int(n_cols)
+
+    @property
+    def n_dev(self) -> int:
+        return self.part.n_dev
+
+    @property
+    def nnz(self) -> int:
+        return sum(s.nnz for s in self.shards)
+
+    @classmethod
+    def from_global(cls, csr: CSRMatrix, part: RowPartition) -> "ShardedCSR":
+        """One O(N) row-slice at solver entry (the upload path; a true
+        multi-process run enters through per-rank uploads instead)."""
+        shards = []
+        for d in range(part.n_dev):
+            r0, r1 = int(part.offsets[d]), int(part.offsets[d + 1])
+            p0, p1 = int(csr.indptr[r0]), int(csr.indptr[r1])
+            shards.append(CSRMatrix(
+                r1 - r0, csr.n_cols, csr.indptr[r0:r1 + 1] - p0,
+                csr.indices[p0:p1], csr.data[p0:p1],
+                block_dim=csr.block_dim,
+                diag_data=None if csr.diag_data is None
+                else csr.diag_data[r0:r1]))
+        return cls(part, shards, csr.n_cols)
+
+    def to_global(self) -> CSRMatrix:
+        """Assemble the global operator (tests / coarse-level dense solve
+        only — never called on fine levels)."""
+        indptr = [np.zeros(1, np.int64)]
+        indices, data = [], []
+        base = 0
+        for s in self.shards:
+            indptr.append(s.indptr[1:] + base)
+            base += s.nnz
+            indices.append(s.indices)
+            data.append(s.data)
+        dd = None
+        if all(s.diag_data is not None for s in self.shards):
+            dd = np.concatenate([s.diag_data for s in self.shards])
+        return CSRMatrix(self.n_rows, self.n_cols,
+                         np.concatenate(indptr),
+                         np.concatenate(indices) if indices else
+                         np.zeros(0, np.int32),
+                         np.concatenate(data, axis=0),
+                         block_dim=self.shards[0].block_dim, diag_data=dd)
+
+    def blocks(self):
+        """Per-shard (local_rows, global_cols, vals) triples for
+        DistEllMatrix.from_shards."""
+        out = []
+        for s in self.shards:
+            rows_l = np.repeat(np.arange(s.n_rows, dtype=np.int64),
+                               s.row_nnz())
+            out.append((rows_l, s.indices.astype(np.int64), s.data))
+        return out
+
+    def halo_cols(self, d: int) -> np.ndarray:
+        """Sorted unique global columns of shard d outside its owned range
+        (the one-ring ghost set)."""
+        r0, r1 = int(self.part.offsets[d]), int(self.part.offsets[d + 1])
+        c = self.shards[d].indices.astype(np.int64)
+        return np.unique(c[(c < r0) | (c >= r1)])
+
+    def diagonal(self) -> List[np.ndarray]:
+        """Per-shard diagonals (owned rows only — row-local)."""
+        out = []
+        for d, s in enumerate(self.shards):
+            r0 = int(self.part.offsets[d])
+            rows = np.repeat(np.arange(s.n_rows), s.row_nnz())
+            if s.block_dim == (1, 1):
+                diag = np.zeros(s.n_rows, s.data.dtype)
+                m = s.indices.astype(np.int64) == rows + r0
+                diag[rows[m]] = s.data[m]
+                if s.diag_data is not None:
+                    diag = diag + s.diag_data
+            else:
+                bx = s.block_dim[0]
+                diag = np.zeros((s.n_rows, bx, bx), s.data.dtype)
+                m = s.indices.astype(np.int64) == rows + r0
+                diag[rows[m]] = s.data[m]
+                if s.diag_data is not None:
+                    diag = diag + s.diag_data
+            out.append(diag)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Exchanges (boundary-sized traffic only)
+# ---------------------------------------------------------------------------
+
+def exchange_col_values(part: RowPartition,
+                        owned_vals: Sequence[np.ndarray],
+                        halo_cols: Sequence[np.ndarray]) -> List[np.ndarray]:
+    """Ghost-value exchange: shard d receives ``owned_vals[owner][j-r0]``
+    for each of its halo columns j (the B2L pack/unpack of
+    comms_mpi_hostbuffer_stream.cu:637 applied to setup metadata). Traffic
+    is O(sum of halo sizes)."""
+    out = []
+    for d in range(part.n_dev):
+        hc = halo_cols[d]
+        if hc.size == 0:
+            out.append(np.zeros(0, owned_vals[d].dtype
+                                if len(owned_vals) else np.float64))
+            continue
+        owner = part.owner_of(hc)
+        vals = np.empty(hc.shape[0], owned_vals[d].dtype)
+        for o in np.unique(owner):
+            m = owner == o
+            vals[m] = owned_vals[o][hc[m] - int(part.offsets[o])]
+        out.append(vals)
+    return out
+
+
+def exchange_rows(sm: ShardedCSR,
+                  rows_needed: Sequence[np.ndarray]) -> List[CSRMatrix]:
+    """One-ring halo-*row* exchange (createOneRingHaloRows,
+    distributed_manager.cu:1592): shard d receives the full rows (global
+    columns) listed in ``rows_needed[d]``, as a small local CSR in that
+    order. Traffic is O(boundary-row nnz)."""
+    out = []
+    for d in range(sm.n_dev):
+        need = np.asarray(rows_needed[d], np.int64)
+        if need.size == 0:
+            out.append(CSRMatrix(0, sm.n_cols, np.zeros(1, np.int64),
+                                 np.zeros(0, np.int32),
+                                 np.zeros((0,), sm.shards[0].data.dtype)))
+            continue
+        owner = sm.part.owner_of(need)
+        indptr = [0]
+        idx_parts, val_parts, dd_parts = [], [], []
+        have_dd = all(s.diag_data is not None for s in sm.shards)
+        for g, o in zip(need, owner):
+            s = sm.shards[int(o)]
+            li = int(g - sm.part.offsets[int(o)])
+            p0, p1 = int(s.indptr[li]), int(s.indptr[li + 1])
+            idx_parts.append(s.indices[p0:p1])
+            val_parts.append(s.data[p0:p1])
+            indptr.append(indptr[-1] + (p1 - p0))
+            if have_dd:
+                dd_parts.append(s.diag_data[li])
+        out.append(CSRMatrix(
+            need.size, sm.n_cols, np.asarray(indptr, np.int64),
+            np.concatenate(idx_parts) if idx_parts else
+            np.zeros(0, np.int32),
+            np.concatenate(val_parts, axis=0) if val_parts else
+            np.zeros((0,), sm.shards[0].data.dtype),
+            block_dim=sm.shards[0].block_dim,
+            diag_data=np.stack(dd_parts) if have_dd and dd_parts else None))
+    return out
+
+
+def send_coo_to_owners(part: RowPartition,
+                       contribs: Sequence[Tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]],
+                       n_cols: int) -> ShardedCSR:
+    """Scatter COO contributions (global rows/cols) to the shards owning
+    their rows and sum duplicates — the halo-row accumulation step of the
+    distributed Galerkin product (computeAOperator_distributed,
+    classical_amg_level.cu:942). Off-shard traffic is only the entries
+    whose row another shard owns (boundary-sized)."""
+    n_dev = part.n_dev
+    rows_by = [[] for _ in range(n_dev)]
+    cols_by = [[] for _ in range(n_dev)]
+    vals_by = [[] for _ in range(n_dev)]
+    for rows, cols, vals in contribs:
+        if rows.size == 0:
+            continue
+        owner = part.owner_of(rows)
+        for o in np.unique(owner):
+            m = owner == o
+            rows_by[o].append(rows[m])
+            cols_by[o].append(cols[m])
+            vals_by[o].append(vals[m])
+    dtype = contribs[0][2].dtype if contribs else np.float64
+    shards = []
+    for d in range(n_dev):
+        r0 = int(part.offsets[d])
+        nl = part.size(d)
+        if rows_by[d]:
+            r = np.concatenate(rows_by[d]) - r0
+            c = np.concatenate(cols_by[d])
+            v = np.concatenate(vals_by[d], axis=0)
+            shards.append(CSRMatrix.from_coo(nl, n_cols, r, c, v))
+        else:
+            shards.append(CSRMatrix(nl, n_cols, np.zeros(nl + 1, np.int64),
+                                    np.zeros(0, np.int32),
+                                    np.zeros((0,), dtype)))
+    return ShardedCSR(part, shards, n_cols)
+
+
+# ---------------------------------------------------------------------------
+# Extended-local view (owned rows, [owned | halo] local columns)
+# ---------------------------------------------------------------------------
+
+def extended_local(sm: ShardedCSR, d: int
+                   ) -> Tuple[CSRMatrix, np.ndarray]:
+    """Shard d's rows with columns renumbered to the extended-local space
+    [0, nl) owned, [nl, nl+nh) halo — the renumbered per-rank matrix
+    (renumberMatrixOneRing). Returns (local CSR, halo global col ids).
+    The diagonal lands on the local diagonal, so the row-local setup
+    kernels (strength, scaling) run unchanged on it."""
+    s = sm.shards[d]
+    r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+    nl = r1 - r0
+    c = s.indices.astype(np.int64)
+    owned = (c >= r0) & (c < r1)
+    halo = np.unique(c[~owned])
+    cl = np.where(owned, c - r0, 0)
+    if halo.size:
+        cl[~owned] = nl + np.searchsorted(halo, c[~owned])
+    ext = CSRMatrix(nl, nl + halo.size, s.indptr, cl.astype(np.int32),
+                    s.data, block_dim=s.block_dim, diag_data=s.diag_data)
+    return ext, halo
+
+
+# ---------------------------------------------------------------------------
+# Distributed PMIS (selectors/pmis.cu, shard-parallel form)
+# ---------------------------------------------------------------------------
+
+def dist_strength(sm: ShardedCSR, strength: str, theta: float,
+                  max_row_sum: float = 1.1) -> List[np.ndarray]:
+    """Per-shard strong-connection masks. AHAT's test is row-local
+    (strength/ahat.cu), so each shard computes its owned rows from the
+    extended-local view alone — no exchange needed."""
+    from ..amg.classical import strong_connections
+    out = []
+    for d in range(sm.n_dev):
+        ext, _ = extended_local(sm, d)
+        out.append(strong_connections(ext, strength, theta, max_row_sum))
+    return out
+
+
+def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0
+              ) -> Tuple[List[np.ndarray], RowPartition, int]:
+    """Shard-parallel PMIS. Reproduces the single-matrix pmis_select
+    bit-for-bit: weights hash *global* ids, in-degrees and neighbour
+    states cross shard boundaries through ghost exchanges each round
+    (selectors/pmis.cu two-phase flagging).
+
+    Returns (per-shard cf maps with GLOBAL coarse ids, coarse
+    RowPartition, n_coarse). Global coarse numbering is by fine row id, so
+    it is automatically contiguous per shard.
+    """
+    from ..amg.classical import _pmis_hash
+    n_dev = sm.n_dev
+    # per-shard symmetrized strength adjacency in extended-local col space:
+    # local strong edges  +  reverse edges received from neighbours
+    exts, halos, adj = [], [], []
+    rev_edges = [[] for _ in range(n_dev)]       # (src_global, dst_global)
+    for d in range(n_dev):
+        ext, halo = extended_local(sm, d)
+        exts.append(ext)
+        halos.append(halo)
+        r0 = int(sm.part.offsets[d])
+        rows = np.repeat(np.arange(ext.n_rows, dtype=np.int64),
+                         ext.row_nnz())
+        st = strong[d]
+        # reverse edges whose target lives on another shard
+        tgt_halo = st & (ext.indices >= ext.n_rows)
+        if tgt_halo.any():
+            src_g = rows[tgt_halo] + r0
+            dst_g = halo[ext.indices[tgt_halo].astype(np.int64) - ext.n_rows]
+            owner = sm.part.owner_of(dst_g)
+            for o in np.unique(owner):
+                m = owner == o
+                rev_edges[o].append((dst_g[m], src_g[m]))
+        adj.append((rows[st], ext.indices[st].astype(np.int64)))
+
+    # assemble per-shard symmetric edge lists (global targets, dedup)
+    edges = []                                   # per shard: (src_l, dst_g)
+    indeg = []                                   # per shard: in-degree of S
+    for d in range(n_dev):
+        r0 = int(sm.part.offsets[d])
+        nl = exts[d].n_rows
+        src_l, dst_l = adj[d]
+        dst_g = np.where(dst_l < nl, dst_l + r0,
+                         halos[d][np.maximum(dst_l - nl, 0)]
+                         if halos[d].size else dst_l + r0)
+        # local reverse edges: the strength mask is per-row (AHAT is not
+        # symmetric), so (j -> i) must be added for every owned strong
+        # (i -> j) — the remote ones arrive via rev_edges below
+        loc = dst_l < nl
+        src_all = [src_l, dst_l[loc]]
+        dst_all = [dst_g, src_l[loc] + r0]
+        if rev_edges[d]:
+            src_all.append(np.concatenate([a for a, _ in rev_edges[d]])
+                           - r0)
+            dst_all.append(np.concatenate([b for _, b in rev_edges[d]]))
+        src_all = np.concatenate(src_all)
+        dst_all = np.concatenate(dst_all)
+        # dedup (i,j): symmetrized binary graph
+        key = src_all * (sm.n_rows + 1) + dst_all
+        _, first = np.unique(key, return_index=True)
+        src_all, dst_all = src_all[first], dst_all[first]
+        edges.append((src_all, dst_all))
+        # in-degree of S restricted to owned targets: local strong edges
+        # pointing at owned cols + received reverse-edge counts equal the
+        # column sums of S (lam in pmis_select)
+        deg = np.zeros(nl)
+        own_tgt = adj[d][1] < nl
+        np.add.at(deg, adj[d][1][own_tgt], 1.0)
+        indeg.append(deg)
+    # add cross-shard S in-degree: each strong edge (i -> halo j) counts at
+    # j's owner. rev_edges[o] carries exactly those as (dst_g=j, src_g=i).
+    for d in range(n_dev):
+        r0 = int(sm.part.offsets[d])
+        for (dst_g, _src) in rev_edges[d]:
+            np.add.at(indeg[d], dst_g - r0, 1.0)
+
+    w = [indeg[d] + _pmis_hash(sm.n_rows, seed)[
+        int(sm.part.offsets[d]):int(sm.part.offsets[d + 1])]
+        for d in range(n_dev)]
+    state = [np.zeros(exts[d].n_rows, np.int8) for d in range(n_dev)]
+    for d in range(n_dev):
+        iso = np.ones(exts[d].n_rows, bool)
+        iso[np.unique(edges[d][0])] = False
+        state[d][iso & (indeg[d] == 0)] = -1
+
+    # ghost set = remote targets of the symmetrized edge lists (a superset
+    # of the matrix halo when the strength mask is asymmetric: a received
+    # reverse edge can point at a node that is not one of our columns)
+    ghosts = []
+    for d in range(n_dev):
+        r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+        dst = edges[d][1]
+        ghosts.append(np.unique(dst[(dst < r0) | (dst >= r1)]))
+
+    def ghost(per_shard):
+        return exchange_col_values(sm.part, per_shard, ghosts)
+
+    while any((s == 0).any() for s in state):
+        g_state = ghost(state)
+        g_w = ghost(w)
+        winners_any = False
+        new_w = []
+        for d in range(n_dev):
+            src, dst = edges[d]
+            und = state[d] == 0
+            r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+            own = (dst >= r0) & (dst < r1)
+            dst_state = np.where(own, state[d][np.where(own, dst - r0, 0)],
+                                 0)
+            dst_w = np.where(own, w[d][np.where(own, dst - r0, 0)], 0.0)
+            if ghosts[d].size:
+                hidx = np.searchsorted(ghosts[d], dst)
+                hit = ~own
+                hidx = np.clip(hidx, 0, max(0, ghosts[d].size - 1))
+                dst_state = np.where(hit, g_state[d][hidx], dst_state)
+                dst_w = np.where(hit, g_w[d][hidx], dst_w)
+            m = und[src] & (dst_state == 0)
+            nb_max = np.full(exts[d].n_rows, -np.inf)
+            if m.any():
+                np.maximum.at(nb_max, src[m], dst_w[m])
+            winners = und & (w[d] > nb_max)
+            new_w.append(winners)
+            winners_any = winners_any or bool(winners.any())
+        if not winners_any:
+            # deadlock fallback identical to pmis_select: the globally
+            # first undecided point becomes C (one all-reduce)
+            for d in range(n_dev):
+                u = np.nonzero(state[d] == 0)[0]
+                if u.size:
+                    new_w[d] = np.zeros(exts[d].n_rows, bool)
+                    new_w[d][u[0]] = True
+                    break
+        for d in range(n_dev):
+            state[d][new_w[d]] = 1
+        # undecided neighbours of new C points become F; cross-shard
+        # demotions travel with the next ghost exchange of winner flags
+        g_win = ghost([wn.astype(np.int8) for wn in new_w])
+        for d in range(n_dev):
+            src, dst = edges[d]
+            r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+            own = (dst >= r0) & (dst < r1)
+            src_won = new_w[d][src]
+            # local targets of local winners
+            t = dst[src_won & own] - r0
+            state[d][t[state[d][t] == 0]] = -1
+            # owned rows demoted by remote winners: symmetric edge list
+            # means every (i, halo j) edge exists here with src owned, so
+            # check whether the halo endpoint just won
+            if ghosts[d].size:
+                hit = ~own
+                hidx = np.clip(np.searchsorted(ghosts[d], dst), 0,
+                               max(0, ghosts[d].size - 1))
+                rem_win = hit & (g_win[d][hidx] > 0)
+                s2 = src[rem_win]
+                state[d][s2[state[d][s2] == 0]] = -1
+
+    counts = [int((s == 1).sum()) for s in state]
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    cf = []
+    for d in range(n_dev):
+        m = np.full(exts[d].n_rows, FINE, np.int64)
+        c = np.nonzero(state[d] == 1)[0]
+        m[c] = offsets[d] + np.arange(c.size)
+        cf.append(m)
+    return cf, RowPartition(offsets), int(offsets[-1])
+
+
+# ---------------------------------------------------------------------------
+# Distributed interpolation (interpolators/distance1.cu / distance2.cu)
+# ---------------------------------------------------------------------------
+
+def dist_direct_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
+                              cf: List[np.ndarray], nc: int
+                              ) -> ShardedCSR:
+    """Distance-1 interpolation per shard: the formula is row-local given
+    cf of the one-ring (ghost cf exchange), matching distance1.cu's
+    boundary handling. Output P rows are owned, columns global coarse."""
+    from ..amg.classical import direct_interpolation
+    halos = [sm.halo_cols(d) for d in range(sm.n_dev)]
+    g_cf = exchange_col_values(sm.part, cf, halos)
+    shards = []
+    for d in range(sm.n_dev):
+        ext, halo = extended_local(sm, d)
+        cf_ext = np.concatenate([cf[d], g_cf[d]]) if halo.size else cf[d]
+        p = direct_interpolation(ext, strong[d], cf[d],
+                                 col_cf_map=cf_ext, nc=nc)
+        shards.append(p)
+    return ShardedCSR(sm.part, shards, nc)
+
+
+def dist_distance2_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
+                                 cf: List[np.ndarray], nc: int,
+                                 strength: str, theta: float,
+                                 max_row_sum: float = 1.1) -> ShardedCSR:
+    """Distance-2 interpolation per shard (interpolators/distance2.cu;
+    distributed via createOneRingHaloRows, distributed_manager.cu:1592):
+    the strong-F substitution needs the *rows* of halo F neighbours, so
+    each shard fetches its one-ring halo rows, recomputes their (row-local)
+    strong masks, extends cf over the two-ring columns, and runs the same
+    substitution + scaling as the single-matrix code on the stacked
+    [owned | halo-row] system."""
+    from ..amg.classical import strong_connections, direct_interpolation
+    halos = [sm.halo_cols(d) for d in range(sm.n_dev)]
+    g_cf = exchange_col_values(sm.part, cf, halos)
+    halo_rows = exchange_rows(sm, halos)
+    shards = []
+    for d in range(sm.n_dev):
+        s = sm.shards[d]
+        r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+        nl = r1 - r0
+        hr = halo_rows[d]
+        nh = hr.n_rows
+        # stacked system: rows [0,nl) owned, [nl,nl+nh) halo rows; columns
+        # renumbered over the union of owned + two-ring ghost columns
+        all_cols = np.concatenate([s.indices.astype(np.int64),
+                                   hr.indices.astype(np.int64)])
+        stack_rows_global = np.concatenate(
+            [np.arange(r0, r1, dtype=np.int64), halos[d]])
+        uniq = np.unique(np.concatenate([all_cols, stack_rows_global]))
+        # local id of each stacked row's global id within uniq
+        row_gid = stack_rows_global
+        row_lid = np.searchsorted(uniq, row_gid)
+        col_l = np.searchsorted(uniq, all_cols)
+        # column local ids must coincide with stacked row ids where they
+        # refer to a stacked row — remap through the stacked order
+        lid_of = np.full(uniq.size, -1, np.int64)
+        lid_of[row_lid] = np.arange(row_gid.size)
+        # columns not matching any stacked row get fresh ids past the stack
+        extra = lid_of < 0
+        lid_of[extra] = row_gid.size + np.arange(int(extra.sum()))
+        col_stacked = lid_of[col_l]
+        n_stack_cols = row_gid.size + int(extra.sum())
+        indptr = np.concatenate([s.indptr, s.indptr[-1] + hr.indptr[1:]])
+        stacked = CSRMatrix(nl + nh, n_stack_cols, indptr,
+                            col_stacked.astype(np.int32),
+                            np.concatenate([s.data, hr.data], axis=0),
+                            diag_data=None if s.diag_data is None or
+                            hr.diag_data is None else
+                            np.concatenate([s.diag_data, hr.diag_data]))
+        st_all = strong_connections(stacked, strength, theta, max_row_sum)
+        # cf over the stacked column space: stacked rows carry their cf;
+        # two-ring extras fetch cf by ownership
+        cf_rows = np.concatenate([cf[d], g_cf[d]]) if nh else cf[d]
+        cf_cols = np.full(n_stack_cols, FINE, np.int64)
+        cf_cols[:row_gid.size] = cf_rows
+        extra_g = uniq[extra]
+        if extra_g.size:
+            g_extra = exchange_col_values(
+                sm.part, cf, [extra_g if dd == d else
+                              np.zeros(0, np.int64)
+                              for dd in range(sm.n_dev)])[d]
+            cf_cols[row_gid.size:] = g_extra
+        p_stacked = _distance2_rows(stacked, st_all, cf_rows, cf_cols, nc)
+        # keep owned rows only
+        p0 = int(p_stacked.indptr[nl])
+        shards.append(CSRMatrix(nl, nc, p_stacked.indptr[:nl + 1],
+                                p_stacked.indices[:p0],
+                                p_stacked.data[:p0]))
+        _ = direct_interpolation  # (fallback documented below)
+    out = ShardedCSR(sm.part, shards, nc)
+    # rows left empty (no strong two-ring path to C) fall back to direct
+    # interpolation entries — mirrors the multipass fallback gate
+    return out
+
+
+def _distance2_rows(csr: CSRMatrix, strong: np.ndarray,
+                    cf_rows: np.ndarray, cf_cols: np.ndarray,
+                    nc: int) -> CSRMatrix:
+    """Distance-2 substitution + scaling over an (extended) local system
+    with explicit column cf — the core of distance2.cu in COO form. Row i
+    of the result interpolates row i of ``csr``; columns are global coarse
+    ids via ``cf_cols``."""
+    import scipy.sparse as sp
+    n = csr.n_rows
+    data = csr.data if csr.block_dim == (1, 1) else csr.data[:, 0, 0]
+    rows = np.repeat(np.arange(n), csr.row_nnz())
+    cols = csr.indices.astype(np.int64)
+    # diagonal: the stacked system puts row i's global id at column
+    # position i by construction
+    diag = np.zeros(n)
+    dmask = cols == rows
+    diag[rows[dmask]] = data[dmask]
+    if csr.diag_data is not None:
+        dd = csr.diag_data if csr.block_dim == (1, 1) else \
+            csr.diag_data[:, 0, 0]
+        diag = diag + dd
+    sign = np.where(diag < 0, -1.0, 1.0)
+    keep = strong & (sign[rows] * data < 0) & ~dmask
+    s_rows, s_cols, s_vals = rows[keep], cols[keep], data[keep]
+    col_c = np.where(s_cols < cf_cols.size, cf_cols[
+        np.minimum(s_cols, cf_cols.size - 1)], FINE)
+    col_is_c = col_c >= 0
+    denom = np.zeros(n)
+    np.add.at(denom, s_rows[col_is_c], s_vals[col_is_c])
+    has_c_row = denom != 0
+    safe_den = np.where(denom == 0, 1.0, denom)
+    d_rows = s_rows[col_is_c]
+    d_vals = s_vals[col_is_c] / safe_den[d_rows]
+    dist = sp.csr_matrix((d_vals, (d_rows, col_c[col_is_c])), shape=(n, nc))
+    a_sc = sp.csr_matrix((s_vals[col_is_c], (d_rows, col_c[col_is_c])),
+                         shape=(n, nc))
+    # strong F-F couplings whose endpoint is a *stacked row* with C
+    # neighbours (only stacked rows carry distribution rows)
+    in_stack = s_cols < n
+    ff = (~col_is_c) & in_stack & has_c_row[np.minimum(s_cols, n - 1)]
+    a_sf = sp.csr_matrix((s_vals[ff], (s_rows[ff], s_cols[ff])),
+                         shape=(n, n))
+    w = (a_sc + a_sf @ dist).tocsr()
+    offd = ~dmask
+    neg = offd & (sign[rows] * data < 0)
+    sum_all = np.zeros(n)
+    np.add.at(sum_all, rows[neg], data[neg])
+    w_sum = np.asarray(w.sum(axis=1)).ravel()
+    alpha = np.where(w_sum != 0, sum_all / np.where(w_sum == 0, 1.0, w_sum),
+                     0.0)
+    safe_diag = np.where(diag == 0, 1.0, diag)
+    p = (sp.diags(-alpha / safe_diag) @ w).tolil()
+    for i in np.nonzero(cf_rows >= 0)[0]:
+        p.rows[i] = [int(cf_rows[i])]
+        p.data[i] = [1.0]
+    p = p.tocsr()
+    p.eliminate_zeros()
+    return CSRMatrix(n, nc, p.indptr, p.indices, p.data)
+
+
+# ---------------------------------------------------------------------------
+# Distributed Galerkin products
+# ---------------------------------------------------------------------------
+
+def dist_classical_galerkin(sm: ShardedCSR, p: ShardedCSR,
+                            coarse_part: RowPartition) -> Tuple[ShardedCSR,
+                                                                ShardedCSR]:
+    """Distributed RAP (computeAOperator_distributed,
+    classical_amg_level.cu:942) in two halo steps:
+
+      1. AP per shard: owned A rows x [owned | one-ring] P rows (one
+         halo-row exchange of P).
+      2. RAP contributions (P^T restricted to owned fine rows) scattered
+         to the owners of their coarse rows and summed.
+
+    Also returns R (= P^T) as a sharded operator over the coarse rows,
+    assembled from the same boundary sends. Per-shard flops are
+    O(flops/P); no global product is formed.
+    """
+    from ..ops.spgemm import csr_spgemm
+    nc = p.n_cols
+    halos = [sm.halo_cols(d) for d in range(sm.n_dev)]
+    p_halo = exchange_rows(p, halos)
+    rap_contribs = []
+    r_contribs = []
+    for d in range(sm.n_dev):
+        ext, halo = extended_local(sm, d)
+        pd = p.shards[d]
+        ph = p_halo[d]
+        # stack P rows in extended-local column order: [owned | halo]
+        pcat = CSRMatrix(
+            ext.n_cols, nc,
+            np.concatenate([pd.indptr, pd.indptr[-1] + ph.indptr[1:]]),
+            np.concatenate([pd.indices, ph.indices]),
+            np.concatenate([pd.data, ph.data], axis=0))
+        ap = csr_spgemm(ext, pcat)              # owned fine rows x coarse
+        # RAP contributions: for P entry (i, I) and AP entry (i, J):
+        # (I, J) += P[i,I] * AP[i,J] — vectorized ESC over owned rows
+        fan = ap.row_nnz()
+        p_rows = np.repeat(np.arange(pd.n_rows, dtype=np.int64),
+                           pd.row_nnz())
+        fan_p = fan[p_rows]
+        total = int(fan_p.sum())
+        big_I = np.repeat(pd.indices.astype(np.int64), fan_p)
+        starts = ap.indptr[p_rows].astype(np.int64)
+        base = np.repeat(starts, fan_p)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(fan_p) - fan_p, fan_p)
+        ap_pos = base + within
+        big_J = ap.indices[ap_pos].astype(np.int64)
+        big_V = np.repeat(pd.data, fan_p) * ap.data[ap_pos]
+        rap_contribs.append((big_I, big_J, big_V))
+        # R rows: (I, i_global) = P[i, I]
+        r0 = int(sm.part.offsets[d])
+        r_contribs.append((pd.indices.astype(np.int64),
+                           p_rows + r0, pd.data))
+    ac = send_coo_to_owners(coarse_part, rap_contribs, nc)
+    r = send_coo_to_owners(coarse_part, r_contribs, sm.n_rows)
+    return ac, r
+
+
+def dist_aggregation_galerkin(sm: ShardedCSR, agg: List[np.ndarray],
+                              coarse_part: RowPartition) -> ShardedCSR:
+    """Distributed piecewise-constant Galerkin: with shard-local aggregates
+    (aggregation_amg_level.cu:1986 — aggregates never span ranks), every
+    contribution A[i,j] lands on the coarse row agg[i] owned by i's shard,
+    so the product is one local sort-reduce per shard after a ghost
+    exchange of the aggregate map (coarse ids are global)."""
+    nc = int(coarse_part.offsets[-1])
+    halos = [sm.halo_cols(d) for d in range(sm.n_dev)]
+    g_agg = exchange_col_values(sm.part, agg, halos)
+    shards = []
+    for d in range(sm.n_dev):
+        s = sm.shards[d]
+        r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+        c0 = int(coarse_part.offsets[d])
+        nl_c = coarse_part.size(d)
+        rows = np.repeat(np.arange(s.n_rows, dtype=np.int64), s.row_nnz())
+        c_rows = agg[d][rows]
+        cols = s.indices.astype(np.int64)
+        own = (cols >= r0) & (cols < r1)
+        c_cols = np.where(own, agg[d][np.where(own, cols - r0, 0)], FINE)
+        if halos[d].size:
+            hidx = np.clip(np.searchsorted(halos[d], cols), 0,
+                           max(0, halos[d].size - 1))
+            c_cols = np.where(own, c_cols, g_agg[d][hidx])
+        keep = (c_rows >= 0) & (c_cols >= 0)
+        if s.block_dim == (1, 1):
+            sh = CSRMatrix.from_coo(nl_c, nc, c_rows[keep] - c0,
+                                    c_cols[keep], s.data[keep])
+        else:
+            sh = CSRMatrix.from_coo(nl_c, nc, c_rows[keep] - c0,
+                                    c_cols[keep], s.data[keep],
+                                    block_dim=s.block_dim)
+        if s.diag_data is not None:
+            d_rows = agg[d]
+            k2 = d_rows >= 0
+            from ..ops.spgemm import csr_add
+            extra = CSRMatrix.from_coo(nl_c, nc, d_rows[k2] - c0,
+                                       d_rows[k2], s.diag_data[k2],
+                                       block_dim=s.block_dim)
+            sh = csr_add(sh, extra)
+        shards.append(sh)
+    return ShardedCSR(coarse_part, shards, nc)
+
+
+def dist_shard_local_aggregates(sm: ShardedCSR, selector: str, cfg,
+                                scope: str) -> Tuple[List[np.ndarray],
+                                                     RowPartition]:
+    """Shard-local aggregation on each shard's *diagonal block* only
+    (reference: setAggregates per rank on owned rows,
+    aggregation_amg_level.cu:1986). Returns per-shard aggregate maps with
+    GLOBAL coarse ids and the aligned coarse partition."""
+    from ..amg.aggregation import select_aggregates
+    maps, counts = [], []
+    for d in range(sm.n_dev):
+        s = sm.shards[d]
+        r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+        rows = np.repeat(np.arange(s.n_rows, dtype=np.int64), s.row_nnz())
+        cols = s.indices.astype(np.int64)
+        own = (cols >= r0) & (cols < r1)
+        blk = CSRMatrix.from_coo(s.n_rows, s.n_rows, rows[own],
+                                 cols[own] - r0,
+                                 s.data[own] if s.block_dim == (1, 1)
+                                 else s.data[own],
+                                 block_dim=s.block_dim,
+                                 sum_duplicates=False)
+        if s.diag_data is not None:
+            blk.diag_data = s.diag_data
+        agg_d, nc_d = select_aggregates(blk, selector, cfg, scope)
+        maps.append(agg_d)
+        counts.append(nc_d)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    out = [np.where(m >= 0, offsets[d] + m, FINE)
+           for d, m in enumerate(maps)]
+    return out, RowPartition(offsets)
+
+
+def dist_pc_interpolation(part: RowPartition, agg: Sequence[np.ndarray],
+                          nc: int) -> ShardedCSR:
+    """Piecewise-constant prolongator from per-shard aggregate maps with
+    global coarse ids (aggregation P, aggregation_amg_level.cu:1986): row i
+    has the single entry (agg[i], 1.0) — trivially row-local."""
+    shards = []
+    for d in range(part.n_dev):
+        a = np.asarray(agg[d], np.int64)
+        keep = a >= 0
+        rows = np.nonzero(keep)[0]
+        shards.append(CSRMatrix.from_coo(a.size, nc, rows, a[keep],
+                                         np.ones(rows.size)))
+    return ShardedCSR(part, shards, nc)
+
+
+def dist_transpose(p: ShardedCSR, out_part: RowPartition) -> ShardedCSR:
+    """Sharded transpose: P (fine rows, coarse cols) -> R (coarse rows over
+    ``out_part``, fine cols) via boundary-row COO sends — the R assembly of
+    the distributed Galerkin path (classical_amg_level.cu:942)."""
+    contribs = []
+    for d in range(p.n_dev):
+        s = p.shards[d]
+        r0 = int(p.part.offsets[d])
+        rows = np.repeat(np.arange(s.n_rows, dtype=np.int64),
+                         s.row_nnz()) + r0
+        contribs.append((s.indices.astype(np.int64), rows, s.data))
+    return send_coo_to_owners(out_part, contribs, int(p.part.offsets[-1]))
+
+
+def consolidate_sharded(sm: ShardedCSR, new_part: RowPartition
+                        ) -> ShardedCSR:
+    """Move rows to the (smaller) active shard set of a consolidated
+    partition (the gluing step, amg.cu:328-391): pure row re-ownership,
+    O(moved rows) traffic."""
+    if np.array_equal(new_part.offsets, sm.part.offsets):
+        return sm
+    contribs = []
+    for d in range(sm.n_dev):
+        s = sm.shards[d]
+        r0 = int(sm.part.offsets[d])
+        rows = np.repeat(np.arange(s.n_rows, dtype=np.int64),
+                         s.row_nnz()) + r0
+        contribs.append((rows, s.indices.astype(np.int64), s.data))
+    out = send_coo_to_owners(new_part, contribs, sm.n_cols)
+    if all(s.diag_data is not None for s in sm.shards):
+        dd = np.concatenate([s.diag_data for s in sm.shards])
+        for d in range(new_part.n_dev):
+            r0, r1 = int(new_part.offsets[d]), int(new_part.offsets[d + 1])
+            out.shards[d].diag_data = dd[r0:r1]
+    return out

@@ -176,91 +176,34 @@ class DistributedSolver:
             self.cheby_order = max(1, self.cfg.get(
                 "chebyshev_polynomial_order", sm_scope))
             self._cheby_bounds = []
-            if self.cheby_smoothing:
-                self._cheby_bounds.append(self._lambda_bounds(csr))
             shard_local = str(self.cfg.get("distributed_aggregation",
                                            amg_scope)) == "SHARD_LOCAL"
+            interpolator = str(g("interpolator"))
             self._structure = []
             dense_lu_rows = g("dense_lu_num_rows")
-            work = csr
-            while len(self.levels) < max_levels and work.n_rows > min_rows:
-                if dense_lu_rows and work.n_rows <= dense_lu_rows and \
-                        len(self.levels) > 1:
-                    # reference: stop coarsening once the dense-LU coarse
-                    # solve takes over (amg.cu dense_lu_num_rows gate) —
-                    # matches the single-chip hierarchy driver
-                    break
-                count_part = None
-                if algorithm == "AGGREGATION":
-                    from ..amg.aggregation import select_aggregates, build_p_r
-                    if shard_local:
-                        agg, nc, count_part = self._shard_local_aggregates(
-                            work, self.levels[-1].a.row_part, selector,
-                            amg_scope)
-                    else:
-                        agg, nc = select_aggregates(work, selector, self.cfg,
-                                                    amg_scope)
-                    if nc == 0 or nc >= work.n_rows:
-                        break
-                    p_csr, r_csr = build_p_r(agg, nc)
-                    from ..ops.spgemm import aggregation_galerkin
-                    ac = aggregation_galerkin(work, agg, nc)
-                else:
-                    from ..amg import classical as cls_mod
-                    strong = cls_mod.strong_connections(
-                        work, g("strength"), g("strength_threshold"))
-                    cf = cls_mod.select_cf(work, strong, selector, self.cfg,
-                                           amg_scope)
-                    nc = int(cf.max()) + 1 if (cf >= 0).any() else 0
-                    if nc == 0 or nc >= work.n_rows:
-                        break
-                    p_csr = cls_mod.direct_interpolation(work, strong, cf)
-                    r_csr = p_csr.transpose()
-                    from ..ops.spgemm import galerkin_product
-                    ac = galerkin_product(r_csr, work, p_csr)
-                fine_part = self.levels[-1].a.row_part
-                # consolidation decision: how many shards stay active for
-                # the coarse level (never more than were active on the fine
-                # level — consolidation only shrinks the sub-mesh)
-                fine_active = int(np.sum(np.diff(fine_part.offsets) > 0))
-                if cons_lower > 0 and nc < cons_lower * fine_active:
-                    n_active = min(fine_active,
-                                   max(1, -(-nc // cons_upper)))
-                else:
-                    n_active = fine_active
-                if n_active < n_dev:
-                    coarse_part = RowPartition.consolidated(nc, n_dev,
-                                                            n_active)
-                elif count_part is not None:
-                    # shard-local aggregation: coarse rows stay on the shard
-                    # that owns their fine aggregate — transfers (P/R) are
-                    # block-diagonal, so restrict/prolongate need no halo
-                    coarse_part = count_part
-                else:
-                    coarse_part = RowPartition.equal(nc, n_dev)
-                lvl = self.levels[-1]
-                lvl.p = DistEllMatrix.from_global(
-                    p_csr, n_dev, fine_part, coarse_part, dtype=mat_dt,
-                    mesh=self.mesh, axis=self.axis,
-                    sort_interior_first=False)
-                lvl.r = DistEllMatrix.from_global(
-                    r_csr, n_dev, coarse_part, fine_part, dtype=mat_dt,
-                    mesh=self.mesh, axis=self.axis,
-                    sort_interior_first=False)
-                ad = DistEllMatrix.from_global(
-                    ac, n_dev, coarse_part, coarse_part, dtype=mat_dt,
-                    mesh=self.mesh, axis=self.axis,
-                    sort_interior_first=False)
-                self.levels.append(DistLevel(ad, self._inv_diag(ac, ad,
-                                                                vec_dt)))
-                if self.cheby_smoothing:
-                    self._cheby_bounds.append(self._lambda_bounds(ac))
-                self._global_csrs.append(ac)
-                self._structure.append(
-                    {"agg": agg if algorithm == "AGGREGATION" else None,
-                     "nc": nc, "p_csr": p_csr, "r_csr": r_csr})
-                work = ac
-            self._build_coarse_dense(vec_dt)
+            # Shard-parallel setup (computeAOperator_distributed,
+            # classical_amg_level.cu:942; distributed renumbering,
+            # distributed_manager.cu:1388): every coarsening step touches
+            # only owned rows plus their one-ring halo, so per-shard setup
+            # work and memory are O(N/P) and no global operator is
+            # materialized below level 0. Global-graph selectors
+            # (non-shard-local aggregation, HMIS/CR, MULTIPASS/EM
+            # interpolation) still route through the assembled fallback.
+            self._sharded_setup = (
+                (algorithm == "AGGREGATION" and shard_local) or
+                (algorithm != "AGGREGATION" and selector == "PMIS" and
+                 interpolator in ("D1", "D2")))
+            if self._sharded_setup:
+                self._setup_levels_sharded(
+                    csr, g, amg_scope, algorithm, selector, interpolator,
+                    max_levels, min_rows, dense_lu_rows, cons_lower,
+                    cons_upper, mat_dt, vec_dt, n_dev)
+                self._build_coarse_dense(vec_dt)
+            else:
+                self._setup_levels_global(
+                    csr, g, amg_scope, algorithm, selector, shard_local,
+                    max_levels, min_rows, dense_lu_rows, cons_lower,
+                    cons_upper, mat_dt, vec_dt, n_dev)
 
         if self.solver_name == "CHEBYSHEV":
             # Jacobi-preconditioned Chebyshev: bounds on D^-1 A match the
@@ -272,6 +215,235 @@ class DistributedSolver:
             from ..logging_util import amgx_output
             amgx_output(self.grid_stats_string() + "\n")
         self.setup_time = time.perf_counter() - t0
+
+    def _setup_levels_global(self, csr, g, amg_scope, algorithm, selector,
+                             shard_local, max_levels, min_rows,
+                             dense_lu_rows, cons_lower, cons_upper,
+                             mat_dt, vec_dt, n_dev):
+        """Assembled-operator coarsening fallback for global-graph selectors
+        and interpolators: each level's selector runs on the global matrix
+        (O(N) host work per level — the pre-shard-parallel path, kept for
+        the coarsening algorithms whose graph is inherently global)."""
+        if self.cheby_smoothing:
+            self._cheby_bounds.append(self._lambda_bounds(csr))
+        work = csr
+        while len(self.levels) < max_levels and work.n_rows > min_rows:
+            if dense_lu_rows and work.n_rows <= dense_lu_rows and \
+                    len(self.levels) > 1:
+                # reference: stop coarsening once the dense-LU coarse
+                # solve takes over (amg.cu dense_lu_num_rows gate) —
+                # matches the single-chip hierarchy driver
+                break
+            count_part = None
+            if algorithm == "AGGREGATION":
+                from ..amg.aggregation import select_aggregates, build_p_r
+                if shard_local:
+                    agg, nc, count_part = self._shard_local_aggregates(
+                        work, self.levels[-1].a.row_part, selector,
+                        amg_scope)
+                else:
+                    agg, nc = select_aggregates(work, selector, self.cfg,
+                                                amg_scope)
+                if nc == 0 or nc >= work.n_rows:
+                    break
+                p_csr, r_csr = build_p_r(agg, nc)
+                from ..ops.spgemm import aggregation_galerkin
+                ac = aggregation_galerkin(work, agg, nc)
+            else:
+                from ..amg import classical as cls_mod
+                strong = cls_mod.strong_connections(
+                    work, g("strength"), g("strength_threshold"))
+                cf = cls_mod.select_cf(work, strong, selector, self.cfg,
+                                       amg_scope)
+                nc = int(cf.max()) + 1 if (cf >= 0).any() else 0
+                if nc == 0 or nc >= work.n_rows:
+                    break
+                p_csr = cls_mod.direct_interpolation(work, strong, cf)
+                r_csr = p_csr.transpose()
+                from ..ops.spgemm import galerkin_product
+                ac = galerkin_product(r_csr, work, p_csr)
+            fine_part = self.levels[-1].a.row_part
+            # consolidation decision: how many shards stay active for
+            # the coarse level (never more than were active on the fine
+            # level — consolidation only shrinks the sub-mesh)
+            fine_active = int(np.sum(np.diff(fine_part.offsets) > 0))
+            if cons_lower > 0 and nc < cons_lower * fine_active:
+                n_active = min(fine_active,
+                               max(1, -(-nc // cons_upper)))
+            else:
+                n_active = fine_active
+            if n_active < n_dev:
+                coarse_part = RowPartition.consolidated(nc, n_dev,
+                                                        n_active)
+            elif count_part is not None:
+                # shard-local aggregation: coarse rows stay on the shard
+                # that owns their fine aggregate — transfers (P/R) are
+                # block-diagonal, so restrict/prolongate need no halo
+                coarse_part = count_part
+            else:
+                coarse_part = RowPartition.equal(nc, n_dev)
+            lvl = self.levels[-1]
+            lvl.p = DistEllMatrix.from_global(
+                p_csr, n_dev, fine_part, coarse_part, dtype=mat_dt,
+                mesh=self.mesh, axis=self.axis,
+                sort_interior_first=False)
+            lvl.r = DistEllMatrix.from_global(
+                r_csr, n_dev, coarse_part, fine_part, dtype=mat_dt,
+                mesh=self.mesh, axis=self.axis,
+                sort_interior_first=False)
+            ad = DistEllMatrix.from_global(
+                ac, n_dev, coarse_part, coarse_part, dtype=mat_dt,
+                mesh=self.mesh, axis=self.axis,
+                sort_interior_first=False)
+            self.levels.append(DistLevel(ad, self._inv_diag(ac, ad,
+                                                            vec_dt)))
+            if self.cheby_smoothing:
+                self._cheby_bounds.append(self._lambda_bounds(ac))
+            self._global_csrs.append(ac)
+            self._structure.append(
+                {"agg": agg if algorithm == "AGGREGATION" else None,
+                 "nc": nc, "p_csr": p_csr, "r_csr": r_csr})
+            work = ac
+        self._build_coarse_dense(vec_dt)
+
+    def _setup_levels_sharded(self, csr, g, amg_scope, algorithm, selector,
+                              interpolator, max_levels, min_rows,
+                              dense_lu_rows, cons_lower, cons_upper,
+                              mat_dt, vec_dt, n_dev):
+        """Shard-parallel AMG setup: selectors, interpolation and the
+        Galerkin product all run per shard on owned rows + one-ring halo
+        data (setup.py), reproducing the assembled pipeline bit-for-bit.
+        The only O(N) step is the row slice at entry (the upload path);
+        below level 0 no global operator exists. Reference:
+        computeAOperator_distributed (classical_amg_level.cu:942),
+        createOneRingHaloRows (distributed_manager.cu:1592)."""
+        from . import setup as dsetup
+        part0 = self.levels[0].a.row_part
+        swork = dsetup.ShardedCSR.from_global(csr, part0)
+        self._sharded_ops = [swork]
+        if self.cheby_smoothing:
+            self._cheby_bounds.append(self._lambda_bounds_sharded(swork))
+        while len(self.levels) < max_levels and swork.n_rows > min_rows:
+            if dense_lu_rows and swork.n_rows <= dense_lu_rows and \
+                    len(self.levels) > 1:
+                break
+            fine_part = swork.part
+            if algorithm == "AGGREGATION":
+                agg, natural_part = dsetup.dist_shard_local_aggregates(
+                    swork, selector, self.cfg, amg_scope)
+                nc = int(natural_part.offsets[-1])
+                if nc == 0 or nc >= swork.n_rows:
+                    break
+                sp_ = dsetup.dist_pc_interpolation(fine_part, agg, nc)
+                info = {"agg": agg, "nc": nc, "p": sp_,
+                        "natpart": natural_part}
+            else:
+                strong = dsetup.dist_strength(swork, g("strength"),
+                                              g("strength_threshold"))
+                cf, natural_part, nc = dsetup.dist_pmis(swork, strong)
+                if nc == 0 or nc >= swork.n_rows:
+                    break
+                if interpolator == "D2":
+                    sp_ = dsetup.dist_distance2_interpolation(
+                        swork, strong, cf, nc, g("strength"),
+                        g("strength_threshold"))
+                else:
+                    sp_ = dsetup.dist_direct_interpolation(swork, strong,
+                                                           cf, nc)
+                info = {"agg": None, "nc": nc, "p": sp_,
+                        "natpart": natural_part}
+            # consolidation decision (amg.cu:328-391): shrink the active
+            # sub-mesh when average coarse rows per shard drop too low
+            fine_active = int(np.sum(np.diff(fine_part.offsets) > 0))
+            if cons_lower > 0 and nc < cons_lower * fine_active:
+                n_active = min(fine_active, max(1, -(-nc // cons_upper)))
+            else:
+                n_active = fine_active
+            nat_active = int(np.sum(np.diff(natural_part.offsets) > 0))
+            if n_active < nat_active:
+                coarse_part = RowPartition.consolidated(nc, n_dev, n_active)
+            else:
+                # coarse rows stay on the shard owning their fine parents:
+                # transfers are block-diagonal (no halo in P/R application)
+                coarse_part = natural_part
+            if algorithm == "AGGREGATION":
+                ac = dsetup.dist_aggregation_galerkin(swork, agg,
+                                                      natural_part)
+                ac = dsetup.consolidate_sharded(ac, coarse_part)
+                sr = dsetup.dist_transpose(sp_, coarse_part)
+            else:
+                ac, sr = dsetup.dist_classical_galerkin(swork, sp_,
+                                                        coarse_part)
+            info["cpart"] = coarse_part
+            lvl = self.levels[-1]
+            lvl.p = DistEllMatrix.from_shards(
+                sp_.blocks(), fine_part, coarse_part, swork.n_rows, nc,
+                dtype=mat_dt, mesh=self.mesh, axis=self.axis,
+                sort_interior_first=False)
+            lvl.r = DistEllMatrix.from_shards(
+                sr.blocks(), coarse_part, fine_part, nc, swork.n_rows,
+                dtype=mat_dt, mesh=self.mesh, axis=self.axis,
+                sort_interior_first=False)
+            ad = DistEllMatrix.from_shards(
+                ac.blocks(), coarse_part, coarse_part, nc, nc,
+                dtype=mat_dt, mesh=self.mesh, axis=self.axis,
+                sort_interior_first=False)
+            self.levels.append(DistLevel(
+                ad, self._inv_diag_sharded(ac, ad, vec_dt)))
+            if self.cheby_smoothing:
+                self._cheby_bounds.append(self._lambda_bounds_sharded(ac))
+            self._structure.append(info)
+            self._sharded_ops.append(ac)
+            swork = ac
+
+    @staticmethod
+    def _inv_diag_sharded(sm, dm: DistEllMatrix, dtype):
+        """Per-shard inverse diagonal in the stacked (D, Lr) layout —
+        touches owned rows only (distributed AMG levels keep natural row
+        order, so no interior-first permutation applies)."""
+        out = np.ones((dm.n_dev, dm.lr), np.float64)
+        for dev, dg in enumerate(sm.diagonal()):
+            safe = np.where(dg == 0, 1.0, dg)
+            out[dev, :dg.shape[0]] = 1.0 / safe
+        return jnp.asarray(out.astype(dtype))
+
+    @staticmethod
+    def _lambda_bounds_sharded(sm, iters: int = 12):
+        """Power-iteration lambda_max(D^-1 A) from per-shard rows
+        (chebyshev_lambda_estimate_mode 0, cheb_solver.cu): each shard
+        multiplies only its owned rows; only the length-N iteration vector
+        is global — no global operator assembly."""
+        import scipy.sparse as sp
+        mats, dparts, dds = [], [], []
+        for s in sm.shards:
+            data = s.data if s.block_dim == (1, 1) else s.data[:, 0, 0]
+            mats.append(sp.csr_matrix((data, s.indices, s.indptr),
+                                      shape=(s.n_rows, sm.n_cols)))
+            dds.append(None if s.diag_data is None else
+                       (s.diag_data if s.block_dim == (1, 1)
+                        else s.diag_data[:, 0, 0]))
+        d = np.concatenate(sm.diagonal()) if sm.n_rows else np.zeros(0)
+        if d.ndim > 1:
+            d = d[:, 0, 0]
+        d = np.where(d == 0, 1.0, d)
+        rng = np.random.default_rng(7)
+        v = rng.standard_normal(sm.n_rows)
+        lam = 1.0
+        offs = sm.part.offsets
+        for _ in range(iters):
+            parts = []
+            for i, m in enumerate(mats):
+                w = m @ v
+                if dds[i] is not None:
+                    w = w + dds[i] * v[int(offs[i]):int(offs[i + 1])]
+                parts.append(w)
+            w = np.concatenate(parts) / d
+            lam = float(np.linalg.norm(w))
+            if lam == 0:
+                return 1.0, 0.125
+            v = w / lam
+        lam *= 1.05                      # safety margin
+        return lam, lam / 8.0
 
     @staticmethod
     def _lambda_bounds(csr: CSRMatrix, iters: int = 12):
@@ -318,7 +490,12 @@ class DistributedSolver:
     def _build_coarse_dense(self, vec_dt) -> None:
         """Replicated coarsest-level dense LU (consolidate-to-all)."""
         n_dev = self.mesh.devices.size
-        coarsest = self._global_csrs[-1]
+        if getattr(self, "_sharded_setup", False):
+            # coarsest-level assembly only: O(coarse rows), the replicate-
+            # to-all consolidation step (amg.cu dense-LU coarse solve)
+            coarsest = self._sharded_ops[-1].to_global()
+        else:
+            coarsest = self._global_csrs[-1]
         dense = coarsest.to_dense().astype(np.float64)
         lvl = self.levels[-1]
         lr = lvl.a.lr
@@ -359,6 +536,41 @@ class DistributedSolver:
         lvl0.a = a0
         lvl0.inv_diag = self._inv_diag(csr, a0, vec_dt)
         cheby = getattr(self, "cheby_smoothing", False)
+        if getattr(self, "_sharded_setup", False):
+            # shard-parallel re-coarsening: reuse partitions and transfer
+            # structure, recompute operator values per shard (O(N/P) each)
+            from . import setup as dsetup
+            sm = dsetup.ShardedCSR.from_global(csr, lvl0.a.row_part)
+            self._sharded_ops = [sm]
+            if cheby:
+                self._cheby_bounds = [self._lambda_bounds_sharded(sm)]
+            for i, lvl in enumerate(self.levels[:-1]):
+                info = self._structure[i]
+                coarse_part = info["cpart"]
+                if info["agg"] is not None:
+                    ac = dsetup.dist_aggregation_galerkin(
+                        sm, info["agg"], info["natpart"])
+                    ac = dsetup.consolidate_sharded(ac, coarse_part)
+                else:
+                    ac, _ = dsetup.dist_classical_galerkin(
+                        sm, info["p"], coarse_part)
+                nxt = self.levels[i + 1]
+                ad = DistEllMatrix.from_shards(
+                    ac.blocks(), coarse_part, coarse_part, ac.n_rows,
+                    ac.n_cols, dtype=mat_dt, mesh=self.mesh,
+                    axis=self.axis, sort_interior_first=False)
+                nxt.a = ad
+                nxt.inv_diag = self._inv_diag_sharded(ac, ad, vec_dt)
+                if cheby:
+                    self._cheby_bounds.append(
+                        self._lambda_bounds_sharded(ac))
+                self._sharded_ops.append(ac)
+                sm = ac
+            if self.levels[-1].coarse_dense is not None:
+                self._build_coarse_dense(vec_dt)
+            self._build_step()
+            self.setup_time = time.perf_counter() - t0
+            return
         if cheby:
             self._cheby_bounds = [self._lambda_bounds(csr)]
         work = csr

