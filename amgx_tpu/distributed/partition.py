@@ -497,27 +497,28 @@ class DistEllMatrix:
             else None
 
     def shard(self, mesh: Mesh, axis: str = "x") -> None:
+        from .multihost import reput
         s = NamedSharding(mesh, P(axis))
-        self.cols = jax.device_put(self.cols, s)
-        self.vals = jax.device_put(self.vals, s)
-        self.pack_idx = jax.device_put(self.pack_idx, s)
-        self.halo_from = jax.device_put(self.halo_from, s)
-        self.interior_rows = jax.device_put(self.interior_rows, s)
+        self.cols = reput(self.cols, s)
+        self.vals = reput(self.vals, s)
+        self.pack_idx = reput(self.pack_idx, s)
+        self.halo_from = reput(self.halo_from, s)
+        self.interior_rows = reput(self.interior_rows, s)
         if getattr(self, "pack_nbr", None) is not None:
-            self.pack_nbr = jax.device_put(self.pack_nbr, s)
-            self.halo_nbr = jax.device_put(self.halo_nbr, s)
+            self.pack_nbr = reput(self.pack_nbr, s)
+            self.halo_nbr = reput(self.halo_nbr, s)
         if getattr(self, "dia_bands", None) is not None:
-            self.dia_bands = jax.device_put(self.dia_bands, s)
+            self.dia_bands = reput(self.dia_bands, s)
         if getattr(self, "band_strips", None) is not None:
-            self.band_strips = jax.device_put(self.band_strips, s)
-            self.band_base = jax.device_put(self.band_base, s)
+            self.band_strips = reput(self.band_strips, s)
+            self.band_base = reput(self.band_base, s)
         if getattr(self, "dia_bands", None) is not None or \
                 getattr(self, "band_strips", None) is not None:
             for name in ("halo_vals_top", "halo_cols_top",
                          "halo_vals_bot", "halo_cols_bot"):
                 v = getattr(self, name, None)
                 if v is not None:
-                    setattr(self, name, jax.device_put(v, s))
+                    setattr(self, name, reput(v, s))
 
     # -- vector scatter/gather -------------------------------------------------
 
@@ -544,16 +545,18 @@ class DistEllMatrix:
                 out[d, :c1 - c0] = v[c0:c1]
         if bdim > 1:
             out = out.reshape(n_dev, lpad * bdim)
-        arr = jnp.asarray(out)
         if mesh is not None:
-            arr = jax.device_put(arr, NamedSharding(mesh, P(axis)))
-        return arr
+            # direct host->sharding placement: multi-process safe (each
+            # process materializes only its addressable shards)
+            return jax.device_put(out, NamedSharding(mesh, P(axis)))
+        return jnp.asarray(out)
 
     def gather_vector(self, arr, space: str = "rows") -> np.ndarray:
+        from .multihost import to_host
         part = self.row_part if space == "rows" else self.col_part
         perm = self.row_perm if space == "rows" else self.col_perm
         bdim = self.block_dim[0] if space == "rows" else self.block_dim[1]
-        a = np.asarray(arr)
+        a = to_host(arr)
         n = self.n_rows if space == "rows" else self.n_cols
         if bdim > 1:
             a = a.reshape(self.n_dev, -1, bdim)

@@ -136,7 +136,9 @@ class DistributedSolver:
                 csr, n_dev, row_part, dtype=mat_dt, mesh=self.mesh,
                 axis=self.axis, sort_interior_first=True)
             self._split0 = int(np.asarray(a0.interior_rows).min())
-        self.levels = [DistLevel(a0, self._inv_diag(csr, a0, vec_dt))]
+        self.levels = [DistLevel(a0, self._inv_diag(csr, a0, vec_dt,
+                                                    self.mesh,
+                                                    self.axis))]
         self._global_csrs = [csr]
 
         if self.use_amg and csr.block_dim != (1, 1):
@@ -295,8 +297,8 @@ class DistributedSolver:
                 ac, n_dev, coarse_part, coarse_part, dtype=mat_dt,
                 mesh=self.mesh, axis=self.axis,
                 sort_interior_first=False)
-            self.levels.append(DistLevel(ad, self._inv_diag(ac, ad,
-                                                            vec_dt)))
+            self.levels.append(DistLevel(ad, self._inv_diag(
+                ac, ad, vec_dt, self.mesh, self.axis)))
             if self.cheby_smoothing:
                 self._cheby_bounds.append(self._lambda_bounds(ac))
             self._global_csrs.append(ac)
@@ -389,7 +391,8 @@ class DistributedSolver:
                 dtype=mat_dt, mesh=self.mesh, axis=self.axis,
                 sort_interior_first=False)
             self.levels.append(DistLevel(
-                ad, self._inv_diag_sharded(ac, ad, vec_dt)))
+                ad, self._inv_diag_sharded(ac, ad, vec_dt, self.mesh,
+                                           self.axis)))
             if self.cheby_smoothing:
                 self._cheby_bounds.append(self._lambda_bounds_sharded(ac))
             self._structure.append(info)
@@ -397,7 +400,8 @@ class DistributedSolver:
             swork = ac
 
     @staticmethod
-    def _inv_diag_sharded(sm, dm: DistEllMatrix, dtype):
+    def _inv_diag_sharded(sm, dm: DistEllMatrix, dtype, mesh=None,
+                          axis: str = "x"):
         """Per-shard inverse diagonal in the stacked (D, Lr) layout —
         touches owned rows only (distributed AMG levels keep natural row
         order, so no interior-first permutation applies)."""
@@ -405,7 +409,11 @@ class DistributedSolver:
         for dev, dg in enumerate(sm.diagonal()):
             safe = np.where(dg == 0, 1.0, dg)
             out[dev, :dg.shape[0]] = 1.0 / safe
-        return jnp.asarray(out.astype(dtype))
+        out = out.astype(dtype)
+        if mesh is not None:
+            from .multihost import put_sharded
+            return put_sharded(out, mesh, axis)
+        return jnp.asarray(out)
 
     @staticmethod
     def _lambda_bounds_sharded(sm, iters: int = 12):
@@ -512,8 +520,10 @@ class DistributedSolver:
         full[sub] = dense[np.ix_(gmap[ok], gmap[ok])]
         import scipy.linalg as sla
         lu, piv = sla.lu_factor(full)
-        lvl.coarse_dense = (jnp.asarray(lu.astype(vec_dt)),
-                            jnp.asarray(piv.astype(np.int32)))
+        from .multihost import put_replicated
+        lvl.coarse_dense = (put_replicated(lu.astype(vec_dt), self.mesh),
+                            put_replicated(piv.astype(np.int32),
+                                           self.mesh))
 
     def resetup(self, csr: Optional[CSRMatrix] = None) -> None:
         """Coefficients changed, structure kept (reference:
@@ -534,7 +544,8 @@ class DistributedSolver:
             csr, n_dev, lvl0.a.row_part, dtype=mat_dt, mesh=self.mesh,
             axis=self.axis, sort_interior_first=self._split0 > 0)
         lvl0.a = a0
-        lvl0.inv_diag = self._inv_diag(csr, a0, vec_dt)
+        lvl0.inv_diag = self._inv_diag(csr, a0, vec_dt, self.mesh,
+                                       self.axis)
         cheby = getattr(self, "cheby_smoothing", False)
         if getattr(self, "_sharded_setup", False):
             # shard-parallel re-coarsening: reuse partitions and transfer
@@ -560,7 +571,8 @@ class DistributedSolver:
                     ac.n_cols, dtype=mat_dt, mesh=self.mesh,
                     axis=self.axis, sort_interior_first=False)
                 nxt.a = ad
-                nxt.inv_diag = self._inv_diag_sharded(ac, ad, vec_dt)
+                nxt.inv_diag = self._inv_diag_sharded(
+                    ac, ad, vec_dt, self.mesh, self.axis)
                 if cheby:
                     self._cheby_bounds.append(
                         self._lambda_bounds_sharded(ac))
@@ -589,7 +601,8 @@ class DistributedSolver:
                 ac, n_dev, coarse_part, coarse_part, dtype=mat_dt,
                 mesh=self.mesh, axis=self.axis, sort_interior_first=False)
             nxt.a = ad
-            nxt.inv_diag = self._inv_diag(ac, ad, vec_dt)
+            nxt.inv_diag = self._inv_diag(ac, ad, vec_dt, self.mesh,
+                                          self.axis)
             if cheby:
                 self._cheby_bounds.append(self._lambda_bounds(ac))
             work = ac
@@ -626,13 +639,14 @@ class DistributedSolver:
         return agg, base, RowPartition(np.asarray(offsets, np.int64))
 
     @staticmethod
-    def _inv_diag(csr: CSRMatrix, dm: DistEllMatrix, dtype):
+    def _inv_diag(csr: CSRMatrix, dm: DistEllMatrix, dtype, mesh=None,
+                  axis: str = "x"):
         d = csr.diagonal().astype(np.float64)
         bx = csr.block_dim[0]
         if bx == 1:
             safe = np.where(d == 0, 1.0, d)
             inv_g = (1.0 / safe).astype(dtype)
-            return dm.scatter_vector(inv_g, "rows")
+            return dm.scatter_vector(inv_g, "rows", mesh, axis)
         # batched inverse with identity substituted for singular blocks
         dets = np.linalg.det(d)
         bad = ~np.isfinite(dets) | (dets == 0)
@@ -644,6 +658,9 @@ class DistributedSolver:
         for dev in range(dm.n_dev):
             r0, r1 = dm.row_part.offsets[dev], dm.row_part.offsets[dev + 1]
             out[dev, :r1 - r0] = inv[r0:r1]
+        if mesh is not None:
+            from .multihost import put_sharded
+            return put_sharded(out, mesh, axis)
         return jnp.asarray(out)
 
     # -- stats (reference: amg.cu getGridStatisticsString; distributed runs
@@ -896,7 +913,7 @@ class DistributedSolver:
             self._mat_args = dict(
                 self._mat_args,
                 idr_P=jax.device_put(
-                    jnp.asarray(shadow.astype(self._vec_dt)),
+                    shadow.astype(self._vec_dt),
                     jax.sharding.NamedSharding(mesh, P(ax))))
         static0 = (getattr(a0, "dia_offsets", None),
                    getattr(a0, "margins", None),
