@@ -74,22 +74,29 @@ def pairwise_match(w, max_iters: int = 15, max_unassigned: float = 0.05,
     tie = _hash_tiebreak(n, seed)
     rows = np.repeat(np.arange(n), np.diff(indptr))
     vals = data + tie[indices]              # deterministic tiebreak
+    # edge weights never change across handshake iterations — only the
+    # unaggregated mask does. Sort edges once (rows ascending, weights
+    # descending; lexsort is stable so ties keep storage order) and do an
+    # O(nnz) masked first-per-row scan each iteration.
+    order = np.lexsort((-vals, rows))
+    rs, cs = rows[order], indices[order]
     for it in range(max_iters):
         un = agg < 0
         n_un = int(un.sum())
         if n_un == 0 or n_un <= max_unassigned * n:
             break
-        # strongest unaggregated neighbour per unaggregated node:
-        # vectorized per-row argmax over masked entries — sort rows
-        # ascending with values descending, take the first entry per row
+        # strongest unaggregated neighbour per unaggregated node: first
+        # surviving edge per row in the presorted order. Aggregated nodes
+        # never come back, so dead edges are dropped for good — the scan
+        # shrinks geometrically with the matching.
         cand = np.full(n, -1, np.int64)
-        ok = un[indices] & un[rows]
+        ok = un[rs] & un[cs]
         if not ok.any():
             break
-        order = np.lexsort((-vals[ok], rows[ok]))
-        rsel, csel = rows[ok][order], indices[ok][order]
-        first = np.unique(rsel, return_index=True)[1]
-        cand[rsel[first]] = csel[first]
+        rs, cs = rs[ok], cs[ok]
+        first = np.flatnonzero(
+            np.r_[True, rs[1:] != rs[:-1]])
+        cand[rs[first]] = cs[first]
         # handshake: i and j pick each other
         i_idx = np.nonzero(cand >= 0)[0]
         j_idx = cand[i_idx]
@@ -118,15 +125,17 @@ def merge_singletons(w, agg: np.ndarray, singleton_ids: np.ndarray
     sizes = np.bincount(agg)
     is_single = sizes[agg] == 1
     indptr, indices, data = w.indptr, w.indices, w.data
-    for i in np.nonzero(is_single)[0]:
-        s, e = indptr[i], indptr[i + 1]
-        if s == e:
-            continue
-        nb = indices[s:e]
-        nb_w = data[s:e]
-        # target: strongest neighbour in a non-singleton aggregate (or any)
-        best = np.argmax(nb_w)
-        agg[i] = agg[nb[best]]
+    # strongest neighbour per singleton row, vectorized: sort edges by
+    # (row, weight desc) — stable, so ties resolve to the first stored
+    # entry exactly like np.argmax — and take the first edge per row.
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    order = np.lexsort((-data, rows))
+    rs, cs = rows[order], indices[order]
+    sel = is_single[rs]
+    rsel, csel = rs[sel], cs[sel]
+    if rsel.size:
+        first = np.flatnonzero(np.r_[True, rsel[1:] != rsel[:-1]])
+        agg[rsel[first]] = agg[csel[first]]
     return _compact(agg)[0]
 
 
