@@ -149,6 +149,25 @@ def dist_spmv_block(cols, vals, pack_idx, halo_from, x_local, by: int,
     return y.reshape(-1)
 
 
+def dist_block_spmv(cols, vals, pack_idx, halo_from, X_local,
+                    axis: str = "x", perms=None):
+    """Shard SpMV applied to a block of k vectors X_local (L, k) with ONE
+    halo exchange moving all k columns together (the reference's blocked
+    eigensolver matvecs, core/src/eigensolvers/; batching the exchange
+    amortizes the per-collective latency k-fold)."""
+    if perms is not None:
+        recvs = [jax.lax.ppermute(X_local[pack_idx[r]], axis, perm)
+                 for r, perm in enumerate(perms)]
+        table = jnp.concatenate(recvs) if len(recvs) > 1 else recvs[0]
+        halo = table[halo_from]                     # (Hmax, k)
+    else:
+        buf = X_local[pack_idx]                     # (Bmax, k)
+        table = jax.lax.all_gather(buf, axis)       # (D, Bmax, k)
+        halo = table.reshape(-1, X_local.shape[1])[halo_from]
+    xe = jnp.concatenate([X_local, halo], axis=0)   # (L+Hmax, k)
+    return jnp.einsum("rw,rwk->rk", vals, xe[cols])
+
+
 def dist_dot(a, b, axis: str = "x"):
     return jax.lax.psum(jnp.vdot(a, b), axis)
 

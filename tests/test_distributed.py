@@ -198,6 +198,51 @@ def test_distributed_pagerank(mesh):
     assert pr[2] == pr.max()
 
 
+def test_distributed_subspace_iteration(mesh):
+    """Distributed block power iteration matches dense eigenvalues
+    (reference: subspace_iteration_eigensolver.cu at MPI scale)."""
+    from amgx_tpu.distributed.eigen import DistributedEigenSolver
+    a = amgx.gallery.poisson5pt(16, 16)
+    ref = np.sort(np.linalg.eigvalsh(a.to_dense()))[::-1]
+    es = DistributedEigenSolver("SUBSPACE_ITERATION", mesh, max_iters=400,
+                                tolerance=1e-9, wanted=2)
+    es.setup(a)
+    evals, evecs = es.solve()
+    assert abs(evals[0] - ref[0]) / ref[0] < 1e-5
+    v = evecs[0]
+    r = a.to_scipy() @ v - evals[0] * v
+    assert np.linalg.norm(r) / (abs(evals[0]) * np.linalg.norm(v)) < 1e-3
+
+
+def test_distributed_lobpcg(mesh):
+    """Distributed LOBPCG finds the smallest eigenpair with Jacobi
+    preconditioning (reference: lobpcg_eigensolver.cu at MPI scale)."""
+    from amgx_tpu.distributed.eigen import DistributedEigenSolver
+    a = amgx.gallery.poisson5pt(12, 12)
+    ref = np.linalg.eigvalsh(a.to_dense())
+    es = DistributedEigenSolver("LOBPCG", mesh, max_iters=600,
+                                tolerance=1e-8, which="smallest",
+                                precond="JACOBI")
+    es.setup(a)
+    evals, evecs = es.solve()
+    assert abs(evals[0] - ref[0]) / abs(ref[0]) < 1e-4
+    v = evecs[0]
+    r = a.to_scipy() @ v - evals[0] * v
+    assert np.linalg.norm(r) / np.linalg.norm(v) < 1e-4 * abs(ref[-1])
+
+
+def test_distributed_lobpcg_matches_single_chip(mesh):
+    """Distributed and single-chip LOBPCG agree on the largest eigenvalue."""
+    from amgx_tpu.distributed.eigen import DistributedEigenSolver
+    a = amgx.gallery.poisson5pt(12, 12)
+    es = DistributedEigenSolver("LOBPCG", mesh, max_iters=500,
+                                tolerance=1e-9, which="largest")
+    es.setup(a)
+    evals, _ = es.solve()
+    ref = np.linalg.eigvalsh(a.to_dense()).max()
+    assert abs(evals[0] - ref) / ref < 1e-6
+
+
 def test_dist_spmv_overlap_split(mesh, rng):
     """The interior/boundary-split SpMV (comm/compute overlap path) matches
     the unsplit product (reference: multiply.cu:113-197)."""
