@@ -173,7 +173,9 @@ def dist_dot(a, b, axis: str = "x"):
 
 
 def dist_nrm2(a, axis: str = "x"):
-    return jnp.sqrt(jax.lax.psum(jnp.vdot(a, a), axis))
+    # vdot conjugates, so the psum is real for complex modes too; take
+    # .real so residual norms stay real-typed (while_loop comparisons)
+    return jnp.sqrt(jax.lax.psum(jnp.vdot(a, a), axis).real)
 
 
 def dist_nrm1(a, axis: str = "x"):

@@ -89,10 +89,6 @@ class DistributedSolver:
         self._scaler = None
         if scaling == "NONE":
             return csr
-        if csr.block_dim != (1, 1) or \
-                np.issubdtype(csr.data.dtype, np.complexfloating):
-            raise NotImplementedError(
-                "distributed scaling supports real scalar systems")
         from .. import scalers as _scalers
         from ..matrix import Matrix as _Matrix
         work = CSRMatrix(csr.n_rows, csr.n_cols, csr.indptr, csr.indices,
@@ -641,7 +637,9 @@ class DistributedSolver:
     @staticmethod
     def _inv_diag(csr: CSRMatrix, dm: DistEllMatrix, dtype, mesh=None,
                   axis: str = "x"):
-        d = csr.diagonal().astype(np.float64)
+        host_dt = np.complex128 if np.issubdtype(
+            csr.data.dtype, np.complexfloating) else np.float64
+        d = csr.diagonal().astype(host_dt)
         bx = csr.block_dim[0]
         if bx == 1:
             safe = np.where(d == 0, 1.0, d)
@@ -892,10 +890,6 @@ class DistributedSolver:
                 f"DistributedSolver does not implement "
                 f"'{self.solver_name}'; supported: {supported} "
                 f"(single-chip SolverFactory covers the full catalog)")
-        if gmres and np.issubdtype(np.dtype(self._vec_dt), np.complexfloating):
-            raise NotImplementedError(
-                "distributed GMRES/FGMRES uses real Givens rotations; use "
-                "the single-chip GMRES for complex modes")
         m_rst = int(self.cfg.get("gmres_n_restart", self.scope))
         a0 = self.levels[0].a
         structured = by == 1 and (
@@ -983,23 +977,29 @@ class DistributedSolver:
             V = V.at[i + 1].set(w / jnp.where(h_next == 0, 1.0, h_next))
             Z = Z.at[i].set(z)
 
+            # unitary Givens form (identical to the single-chip _GMRESBase:
+            #   x' = cs x + sn y,  y' = -conj(sn) x + conj(cs) y
+            # with cs = conj(hi)/denom, sn = conj(hn)/denom) — reduces to
+            # the plain real rotation for real modes, conjugates for Z/C
             def apply_rot(j, hcol):
                 hj, hj1 = hcol[j], hcol[j + 1]
                 c, sj = cs[j], sn[j]
                 return hcol.at[j].set(c * hj + sj * hj1) \
-                           .at[j + 1].set(-sj * hj + c * hj1)
+                           .at[j + 1].set(-jnp.conj(sj) * hj +
+                                          jnp.conj(c) * hj1)
             hcol = jax.lax.fori_loop(0, i, apply_rot, h)
             hcol = hcol.at[i + 1].set(h_next.astype(h.dtype))
             hi, hn = hcol[i], hcol[i + 1]
-            denom = jnp.sqrt(hi * hi + hn * hn)
-            safe = jnp.where(denom == 0, 1.0, denom)
-            c_new = jnp.where(denom == 0, 1.0, hi / safe)
-            s_new = jnp.where(denom == 0, 0.0, hn / safe)
-            hcol = hcol.at[i].set(denom).at[i + 1].set(0.0)
+            denom = jnp.sqrt((jnp.conj(hi) * hi + jnp.conj(hn) * hn).real)
+            safe = jnp.where(denom == 0, 1.0, denom).astype(h.dtype)
+            c_new = jnp.where(denom == 0, 1.0 + 0.0 * hi,
+                              jnp.conj(hi) / safe)
+            s_new = jnp.where(denom == 0, 0.0 * hi, jnp.conj(hn) / safe)
+            hcol = hcol.at[i].set(denom.astype(h.dtype)).at[i + 1].set(0.0)
             cs = cs.at[i].set(c_new)
             sn = sn.at[i].set(s_new)
             gi = g[i]
-            g = g.at[i].set(c_new * gi).at[i + 1].set(-s_new * gi)
+            g = g.at[i].set(c_new * gi).at[i + 1].set(-jnp.conj(s_new) * gi)
             R = R.at[:, i].set(hcol)
             nrm = jnp.abs(g[i + 1])
             k = i + 1
@@ -1264,10 +1264,11 @@ class DistributedSolver:
         a0 = self.levels[0].a
         scaler = getattr(self, "_scaler", None)
         if scaler is not None:
-            n = a0.n_rows
-            b = np.asarray(b, np.float64) * scaler._dl[:n]
+            # scale vectors live in scalar-row space (block rows expanded)
+            n = a0.n_rows * a0.block_dim[0]
+            b = np.asarray(b) * scaler._dl[:n]
             if x0 is not None:
-                x0 = np.asarray(x0, np.float64) / scaler._dr[:n]
+                x0 = np.asarray(x0) / scaler._dr[:n]
         b_d = a0.scatter_vector(np.asarray(b, self._vec_dt), "rows",
                                 self.mesh, self.axis)
         x_d = a0.scatter_vector(
@@ -1300,7 +1301,7 @@ class DistributedSolver:
         self.last_iters = it
         out = a0.gather_vector(x_out, "rows")
         if scaler is not None:
-            out = out * scaler._dr[:a0.n_rows]
+            out = out * scaler._dr[:a0.n_rows * a0.block_dim[0]]
         self.solve_time = time.perf_counter() - t0
         ini = self.res_history[0] if self.res_history else 1.0
         target = self.tolerance * (ini if "RELATIVE" in self.convergence

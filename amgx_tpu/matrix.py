@@ -376,6 +376,21 @@ def csr_to_dense_op(csr: CSRMatrix, dtype=None, tile: int = 8) -> DenseOperator:
 # Public Matrix handle
 # ---------------------------------------------------------------------------
 
+def _complex_mode(mode: str, data) -> str:
+    """Promote a real mode string to its complex twin when the uploaded
+    data is complex (a convenience over the reference, where the mode is
+    fixed at create time and complex data in a dDDI matrix is a user
+    error): dDDI -> dZZI, dFFI -> dCCI."""
+    dt = np.asarray(data).dtype
+    if not np.issubdtype(dt, np.complexfloating):
+        return mode
+    m = mode.replace("16", "")
+    if len(m) == 4 and m[2] not in ("Z", "C"):
+        z = "C" if dt == np.complex64 else "Z"
+        return m[0] + z + z + m[3]
+    return mode
+
+
 class Matrix:
     """Public matrix handle mirroring the AMGX matrix object lifecycle
     (reference: AMGX_matrix_create/upload_all, amgx_c.cu:2955).
@@ -386,7 +401,8 @@ class Matrix:
     """
 
     def __init__(self, csr: Optional[CSRMatrix] = None, mode: str = "dDDI"):
-        self.mode = mode
+        self.mode = _complex_mode(mode, csr.data) if csr is not None \
+            else mode
         self.csr = csr
         self._device_op = None
         self.coloring = None           # MatrixColoring attachment
@@ -406,6 +422,7 @@ class Matrix:
                              diag_data=None if diag_data is None
                              else np.asarray(diag_data).reshape(
                                  (n, bx, by) if (bx, by) != (1, 1) else (n,)))
+        self.mode = _complex_mode(self.mode, data)
         self._device_op = None
         self.initialized = True
 

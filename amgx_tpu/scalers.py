@@ -38,22 +38,32 @@ class Scaler:
 
     def _finalize(self, m, dl: np.ndarray, dr: np.ndarray) -> None:
         """Apply Dl A Dr to the host CSR in place and keep padded device
-        copies of the scale vectors."""
+        copies of the scale vectors. Block (BSR) rows scale uniformly by
+        their block-row factor; the vector-space copies are expanded to
+        scalar rows so rhs/solution transforms stay elementwise."""
         csr = m.csr
+        bx, by = csr.block_dim
         rows = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
         cols = csr.indices
         in_range = cols < dr.shape[0]
-        csr.data = csr.data * dl[rows] * np.where(in_range, dr[np.minimum(
+        scale = dl[rows] * np.where(in_range, dr[np.minimum(
             cols, dr.shape[0] - 1)], 1.0)
+        dscale = dl * dr
+        if (bx, by) != (1, 1):
+            scale = scale[:, None, None]
+            dscale = dscale[:, None, None]
+        csr.data = csr.data * scale
         if csr.diag_data is not None:
-            csr.diag_data = csr.diag_data * dl * dr
+            csr.diag_data = csr.diag_data * dscale
         m._device_op = None
         from .ops.blas import pad_to
-        n_pad = pad_to(csr.n_rows)
+        dl_s = np.repeat(dl, bx) if bx > 1 else dl
+        dr_s = np.repeat(dr, by) if by > 1 else dr
+        n_pad = pad_to(csr.n_rows * bx)
         dlp = np.ones(n_pad)
         drp = np.ones(n_pad)
-        dlp[:dl.shape[0]] = dl
-        drp[:dr.shape[0]] = dr
+        dlp[:dl_s.shape[0]] = dl_s
+        drp[:dr_s.shape[0]] = dr_s
         self._dl = dlp
         self._dr = drp
         self._dl_j = jnp.asarray(dlp)
@@ -64,9 +74,9 @@ class DiagonalSymmetricScaler(Scaler):
     """Dl = Dr = diag(A)^{-1/2} (scalers/diagonal_symmetric.cu)."""
 
     def setup(self, m) -> None:
-        d = np.abs(m.csr.diagonal().astype(np.float64))
+        d = np.abs(m.csr.diagonal()).astype(np.float64)
         if d.ndim > 1:
-            d = np.abs(d[:, 0, 0])
+            d = d[:, 0, 0]
         s = 1.0 / np.sqrt(np.where(d == 0, 1.0, d))
         self._finalize(m, s, s)
 

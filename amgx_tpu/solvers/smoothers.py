@@ -26,7 +26,9 @@ def _inv_diag_arrays(csr, vec_dtype, n_pad, l1: bool = False):
     """
     bx, by = csr.block_dim
     n = csr.n_rows
-    d = csr.diagonal().astype(np.float64)
+    host_dt = np.complex128 if np.issubdtype(
+        csr.data.dtype, np.complexfloating) else np.float64
+    d = csr.diagonal().astype(host_dt)
     if (bx, by) == (1, 1):
         if l1:
             rows = np.repeat(np.arange(n), csr.row_nnz())
@@ -34,7 +36,7 @@ def _inv_diag_arrays(csr, vec_dtype, n_pad, l1: bool = False):
             l1sum = np.zeros(n)
             np.add.at(l1sum, rows[off], np.abs(csr.data[off]))
             d = d + l1sum
-        inv = np.ones(n_pad, dtype=np.float64)
+        inv = np.ones(n_pad, dtype=host_dt)
         safe = np.where(d == 0, 1.0, d)
         inv[:n] = 1.0 / safe
         return jnp.asarray(inv.astype(vec_dtype))
@@ -46,7 +48,7 @@ def _inv_diag_arrays(csr, vec_dtype, n_pad, l1: bool = False):
                   np.abs(csr.data[off]).sum(axis=2))
         # add the per-component L1 sums onto the block diagonal
         d = d + np.einsum("ni,ij->nij", l1sum, np.eye(bx))
-    inv = np.tile(np.eye(bx), (n_pad, 1, 1))
+    inv = np.tile(np.eye(bx, dtype=host_dt), (n_pad, 1, 1))
     # batched inverse on the (n, bx, bx) stack; singular blocks fall back
     # to identity (reference clamps zero pivots, block_jacobi_solver.cu)
     sing = ~np.isfinite(np.linalg.cond(d)) | \

@@ -582,6 +582,97 @@ def test_gmres_matches_single_chip(mesh, rng):
     assert np.abs(s1.extract_vector(x1) - x8).max() < 1e-8
 
 
+def test_distributed_scaling_block_complex(mesh, rng):
+    """Distributed scalers beyond real scalar systems: BSR block rows
+    scale uniformly; complex systems scale by abs-based real vectors."""
+    from amgx_tpu.matrix import CSRMatrix
+    base = amgx.gallery.poisson5pt(10, 10)
+    coupling = rng.standard_normal((2, 2)) * 0.2
+    coupling = coupling @ coupling.T + np.eye(2)
+    scale = np.logspace(0, 3, base.n_rows)
+    rows = np.repeat(np.arange(base.n_rows), base.row_nnz())
+    data = np.einsum("k,ij->kij", base.data * scale[rows], coupling)
+    a = CSRMatrix(base.n_rows, base.n_cols, base.indptr, base.indices,
+                  data, block_dim=(2, 2))
+    A = a.to_scipy().copy()
+    b = np.ones(a.n_rows * 2)
+    cfg = amgx.AMGConfig(
+        "solver=BICGSTAB, scaling=BINORMALIZATION, max_iters=600, "
+        "tolerance=1e-10, convergence=RELATIVE_INI, monitor_residual=1")
+    s = DistributedSolver(cfg, mesh)
+    s.setup(a)
+    x, st = s.solve(b)
+    rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert st == 0 and rel < 1e-5
+    # complex: unbalanced rows with complex phases
+    c = amgx.gallery.poisson5pt(10, 10)
+    crows = np.repeat(np.logspace(0, 3, c.n_rows), c.row_nnz())
+    cdata = c.data * crows * np.exp(0.3j * rng.standard_normal(c.nnz))
+    ac = CSRMatrix(c.n_rows, c.n_cols, c.indptr, c.indices, cdata)
+    Ac = ac.to_scipy().copy()
+    bc = np.ones(ac.n_rows, np.complex128)
+    cfg = amgx.AMGConfig(
+        "solver=GMRES, scaling=DIAGONAL_SYMMETRIC, max_iters=300, "
+        "gmres_n_restart=50, mode=dZZI, tolerance=1e-10, "
+        "convergence=RELATIVE_INI, monitor_residual=1")
+    s = DistributedSolver(cfg, mesh)
+    s.setup(ac)
+    x, st = s.solve(bc)
+    rel = np.linalg.norm(bc - Ac @ x) / np.linalg.norm(bc)
+    assert st == 0 and rel < 1e-5
+    assert np.array_equal(ac.data, Ac.data)        # user matrix untouched
+
+
+def test_complex_gmres_matches_single_chip(mesh, rng):
+    """Complex-mode (dZZI) distributed GMRES: the unitary Givens form
+    conjugates (reference templates GMRES over complex modes,
+    gmres_solver.cu) and reproduces the single-chip iterate path."""
+    from amgx_tpu.matrix import CSRMatrix
+    p = amgx.gallery.poisson5pt(16, 16)
+    data = p.data.astype(np.complex128) + \
+        0.2j * rng.standard_normal(p.data.shape[0])
+    a = CSRMatrix(p.n_rows, p.n_cols, p.indptr, p.indices, data)
+    b = rng.standard_normal(a.n_rows) + \
+        1j * rng.standard_normal(a.n_rows)
+    cs = ("solver=GMRES, max_iters=150, gmres_n_restart=40, mode=dZZI, "
+          "preconditioner=BLOCK_JACOBI, tolerance=1e-10, "
+          "convergence=RELATIVE_INI, monitor_residual=1")
+    s1 = amgx.SolverFactory.allocate(amgx.AMGConfig(cs))
+    s1.setup(amgx.Matrix(a))
+    x1, st1 = s1.solve(b)
+    s8 = DistributedSolver(amgx.AMGConfig(cs), mesh)
+    s8.setup(a)
+    x8, st8 = s8.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ x8) / np.linalg.norm(b)
+    assert st8 == 0 and rel < 1e-8
+    assert np.abs(s1.extract_vector(x1) - x8).max() < 1e-7
+
+
+def test_complex_distributed_krylov(mesh, rng):
+    """Complex PCG / BiCGStab / FGMRES on the mesh (dZZI): conjugating
+    psum projections, real residual norms in the fused while_loop."""
+    import scipy.sparse as sp
+    p = amgx.gallery.poisson5pt(14, 14)
+    n = p.n_rows
+    herm = sp.random(n, n, density=0.01, random_state=3)
+    herm = herm + herm.T.conj()
+    A = (p.to_scipy().astype(np.complex128) +
+         0.2j * (sp.triu(herm, 1) - sp.triu(herm, 1).T)).tocsr()
+    from amgx_tpu.matrix import CSRMatrix
+    a = CSRMatrix(n, n, A.indptr, A.indices, A.data)   # Hermitian PD
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    for solver in ("PCG", "BICGSTAB", "FGMRES"):
+        cfg = amgx.AMGConfig(
+            f"solver={solver}, preconditioner=BLOCK_JACOBI, mode=dZZI, "
+            "max_iters=300, tolerance=1e-9, convergence=RELATIVE_INI, "
+            "monitor_residual=1")
+        s = DistributedSolver(cfg, mesh)
+        s.setup(a)
+        x, st = s.solve(b)
+        rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+        assert st == 0 and rel < 1e-7, (solver, rel)
+
+
 def test_distributed_chebyshev_smoothing(mesh, rng):
     """Chebyshev smoothing in the distributed V-cycle (the TPU-recommended
     smoother: SpMV + axpy only) beats damped Jacobi on iteration count

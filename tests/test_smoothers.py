@@ -137,6 +137,50 @@ def test_scalers():
         assert r / np.linalg.norm(b) < 1e-5, scaling
 
 
+def test_scalers_block_and_complex():
+    """Scalers on BSR (block rows scale uniformly by their block-row
+    factor, vector transforms expand to scalar rows) and on complex
+    systems (abs-based real scale vectors)."""
+    from amgx_tpu.matrix import CSRMatrix
+    rng = np.random.default_rng(5)
+    # block system with unbalanced block rows
+    base = amgx.gallery.poisson5pt(8, 8)
+    coupling = rng.standard_normal((2, 2)) * 0.2
+    coupling = coupling @ coupling.T + np.eye(2)
+    scale = np.logspace(0, 3, base.n_rows)
+    rows = np.repeat(np.arange(base.n_rows), base.row_nnz())
+    data = np.einsum("k,ij->kij", base.data * scale[rows], coupling)
+    a = CSRMatrix(base.n_rows, base.n_cols, base.indptr, base.indices,
+                  data, block_dim=(2, 2))
+    orig = a.to_scipy().copy()
+    b = np.ones(a.n_rows * 2)
+    cfg = amgx.AMGConfig(
+        "solver=BICGSTAB, scaling=BINORMALIZATION, max_iters=600, "
+        "tolerance=1e-10, convergence=RELATIVE_INI, monitor_residual=1")
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a))
+    x, status = s.solve(b)
+    r = np.linalg.norm(b - orig @ s.extract_vector(x)) / np.linalg.norm(b)
+    assert status == amgx.SolveStatus.SUCCESS and r < 1e-5
+    # complex system, unbalanced rows
+    c = amgx.gallery.poisson5pt(8, 8)
+    crows = np.repeat(np.logspace(0, 3, c.n_rows), c.row_nnz())
+    cdata = c.data * crows * np.exp(0.3j * rng.standard_normal(c.nnz))
+    ac = CSRMatrix(c.n_rows, c.n_cols, c.indptr, c.indices, cdata)
+    origc = ac.to_scipy().copy()
+    bc = np.ones(ac.n_rows, np.complex128)
+    cfg = amgx.AMGConfig(
+        "solver=GMRES, scaling=DIAGONAL_SYMMETRIC, max_iters=300, "
+        "gmres_n_restart=50, mode=dZZI, tolerance=1e-10, "
+        "convergence=RELATIVE_INI, monitor_residual=1")
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(ac))
+    x, status = s.solve(bc)
+    r = np.linalg.norm(bc - origc @ s.extract_vector(x)) / \
+        np.linalg.norm(bc)
+    assert status == amgx.SolveStatus.SUCCESS and r < 1e-5
+
+
 def test_chebyshev_amg_smoother_converges():
     """CHEBYSHEV as the AMG in-cycle smoother: the mode-0 lambda bounds are
     taken on D^-1 A, so the unpreconditioned iteration must run
