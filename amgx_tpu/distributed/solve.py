@@ -137,15 +137,17 @@ class DistributedSolver:
                                                     self.axis))]
         self._global_csrs = [csr]
 
-        if self.use_amg and csr.block_dim != (1, 1):
-            raise NotImplementedError(
-                "distributed AMG supports scalar systems; block (BSR) "
-                "systems run through the single-chip solver or the "
-                "distributed Krylov solvers")
         if self.use_amg:
             g = lambda k: self.cfg.get(k, amg_scope)
             algorithm = g("algorithm")
             selector = g("selector")
+            if csr.block_dim != (1, 1) and algorithm != "AGGREGATION":
+                # reference parity: classical AMG handles 1x1 only
+                # (classical_amg_level.cu asserts block size 1); BSR coarsens
+                # by the block graph through the aggregation path
+                raise NotImplementedError(
+                    "distributed classical AMG is scalar-only; use "
+                    "algorithm=AGGREGATION for block (BSR) systems")
             max_levels = g("max_levels")
             # consolidation thresholds (reference: amg.cu:328-391 decision;
             # matrix_consolidation_lower/upper_threshold, core.cu):
@@ -187,7 +189,7 @@ class DistributedSolver:
             # materialized below level 0. Global-graph selectors
             # (non-shard-local aggregation, HMIS/CR, MULTIPASS/EM
             # interpolation) still route through the assembled fallback.
-            self._sharded_setup = (
+            self._sharded_setup = csr.block_dim == (1, 1) and (
                 (algorithm == "AGGREGATION" and shard_local) or
                 (algorithm != "AGGREGATION" and selector == "PMIS" and
                  interpolator in ("D1", "D2")))
@@ -281,12 +283,26 @@ class DistributedSolver:
             else:
                 coarse_part = RowPartition.equal(nc, n_dev)
             lvl = self.levels[-1]
+            bx = csr.block_dim[0]
+            if bx > 1:
+                # scalar transfer entries become identity-scaled blocks so
+                # block vectors move per component (mirror of the
+                # single-chip _transfer_to_device, hierarchy.py)
+                def _blk(t):
+                    vals = np.einsum("k,ij->kij",
+                                     t.data.astype(np.float64),
+                                     np.eye(bx))
+                    return CSRMatrix(t.n_rows, t.n_cols, t.indptr,
+                                     t.indices, vals, block_dim=(bx, bx))
+                p_dev, r_dev = _blk(p_csr), _blk(r_csr)
+            else:
+                p_dev, r_dev = p_csr, r_csr
             lvl.p = DistEllMatrix.from_global(
-                p_csr, n_dev, fine_part, coarse_part, dtype=mat_dt,
+                p_dev, n_dev, fine_part, coarse_part, dtype=mat_dt,
                 mesh=self.mesh, axis=self.axis,
                 sort_interior_first=False)
             lvl.r = DistEllMatrix.from_global(
-                r_csr, n_dev, coarse_part, fine_part, dtype=mat_dt,
+                r_dev, n_dev, coarse_part, fine_part, dtype=mat_dt,
                 mesh=self.mesh, axis=self.axis,
                 sort_interior_first=False)
             ad = DistEllMatrix.from_global(
@@ -454,11 +470,11 @@ class DistributedSolver:
         """Power-iteration estimate of lambda_max(D^-1 A) (reference:
         chebyshev_lambda_estimate_mode 0, cheb_solver.cu); lambda_min is
         the usual lambda_max/8 smoothing window."""
-        a = csr.to_scipy().tocsr()
+        a = csr.to_scipy().tocsr()      # scalar-expanded for BSR
         d = a.diagonal()
         d = np.where(d == 0, 1.0, d)
         rng = np.random.default_rng(7)
-        v = rng.standard_normal(csr.n_rows)
+        v = rng.standard_normal(a.shape[0])
         lam = 1.0
         for _ in range(iters):
             w = (a @ v) / d
@@ -480,13 +496,13 @@ class DistributedSolver:
         sigma = theta / delta
         rho = 1.0 / sigma
         r = b - self._apply_mat(a_args, x, static)
-        p = (inv_diag * r) / theta
+        p = self._invd_mul(inv_diag, r) / theta
         x = x + p
         for _ in range(order - 1):
             rho_new = 1.0 / (2.0 * sigma - rho)
             r = b - self._apply_mat(a_args, x, static)
             p = (rho_new * rho) * p + (2.0 * rho_new / delta) * \
-                (inv_diag * r)
+                self._invd_mul(inv_diag, r)
             x = x + p
             rho = rho_new
         return x
@@ -500,16 +516,19 @@ class DistributedSolver:
             coarsest = self._sharded_ops[-1].to_global()
         else:
             coarsest = self._global_csrs[-1]
-        dense = coarsest.to_dense().astype(np.float64)
+        host_dt = np.complex128 if np.issubdtype(
+            coarsest.data.dtype, np.complexfloating) else np.float64
+        dense = coarsest.to_dense().astype(host_dt)   # scalar-expanded
         lvl = self.levels[-1]
-        lr = lvl.a.lr
+        bx = lvl.a.block_dim[0]
+        lr = lvl.a.lr * bx            # scalar rows per shard slot
         n_pad = lr * n_dev
-        full = np.eye(n_pad)
+        full = np.eye(n_pad, dtype=host_dt)
         # rows live blocked per device: global slot = d * lr + local
         gmap = np.full(n_pad, -1, np.int64)
         for d in range(n_dev):
-            r0, r1 = lvl.a.row_part.offsets[d], \
-                lvl.a.row_part.offsets[d + 1]
+            r0, r1 = lvl.a.row_part.offsets[d] * bx, \
+                lvl.a.row_part.offsets[d + 1] * bx
             gmap[d * lr:(d * lr) + (r1 - r0)] = np.arange(r0, r1)
         ok = gmap >= 0
         sub = np.ix_(ok, ok)
@@ -617,16 +636,28 @@ class DistributedSolver:
         Returns (global agg map, n_coarse, coarse RowPartition aligned with
         the fine shards)."""
         from ..amg.aggregation import select_aggregates
-        a = csr.to_scipy().tocsr()
         agg = np.full(csr.n_rows, -1, np.int64)
         offsets = [0]
         base = 0
+        rn = csr.row_nnz()
         for d in range(part.n_dev):
             r0, r1 = int(part.offsets[d]), int(part.offsets[d + 1])
             if r1 > r0:
-                blk = a[r0:r1, r0:r1].tocsr()
-                bm = CSRMatrix(r1 - r0, r1 - r0, blk.indptr, blk.indices,
-                               blk.data)
+                # diagonal sub-block by direct (block-)CSR slicing — keeps
+                # BSR block values intact (scipy round trips would expand)
+                s, e = int(csr.indptr[r0]), int(csr.indptr[r1])
+                idx = csr.indices[s:e]
+                keep = (idx >= r0) & (idx < r1)
+                rows = np.repeat(np.arange(r1 - r0), rn[r0:r1])
+                counts = np.bincount(rows[keep], minlength=r1 - r0)
+                sub_indptr = np.concatenate(
+                    [[0], np.cumsum(counts)]).astype(csr.indptr.dtype)
+                bm = CSRMatrix(r1 - r0, r1 - r0, sub_indptr,
+                               (idx[keep] - r0).astype(csr.indices.dtype),
+                               csr.data[s:e][keep],
+                               block_dim=csr.block_dim,
+                               diag_data=None if csr.diag_data is None
+                               else csr.diag_data[r0:r1])
                 agg_d, nc_d = select_aggregates(bm, selector, self.cfg,
                                                 scope)
                 agg[r0:r1] = np.where(agg_d >= 0, base + agg_d, -1)
@@ -696,15 +727,38 @@ class DistributedSolver:
             return comms.dist_spmv(cols, vals, pack, halo, x, ax)
         return apply, (dm.cols, dm.vals, dm.pack_idx, dm.halo_from)
 
+    @staticmethod
+    def _invd_mul(invd, r):
+        """Apply a (stacked) inverse diagonal: elementwise for scalar,
+        batched block solve via einsum for BSR ((Lr, bx, bx) blocks on a
+        flat (Lr*bx,) vector)."""
+        if invd.ndim == 3:
+            bx = invd.shape[-1]
+            return jnp.einsum("rij,rj->ri", invd,
+                              r.reshape(-1, bx)).reshape(-1)
+        return invd * r
+
     def _apply_mat(self, mat, v, static=None):
-        """Apply one operand pytree (ELL, structured DIA, or band form).
-        ``static`` = (dia_offsets, margins, band_meta, nbr_perms)."""
+        """Apply one operand pytree (ELL, structured DIA, band, or BSR
+        block form). ``static`` = (dia_offsets, margins, band_meta,
+        nbr_perms)."""
         ax = self.axis
+        blocked = mat["vals"].ndim == 4 if "vals" in mat else False
         if "pack" not in mat:
             # halo-free operator (shard-local P/R): no collective at all
+            if blocked:
+                by = mat["vals"].shape[-1]
+                xb = v.reshape(-1, by)
+                return jnp.einsum("rwij,rwj->ri", mat["vals"],
+                                  xb[mat["cols"]]).reshape(-1)
             return jnp.sum(mat["vals"] * v[mat["cols"]], axis=1)
         offsets, margins, band_meta, perms = \
             static if static is not None else (None, None, None, None)
+        if blocked:
+            return comms.dist_spmv_block(mat["cols"], mat["vals"],
+                                         mat["pack"], mat["halo"], v,
+                                         mat["vals"].shape[-1], ax,
+                                         perms=perms)
         if "bands" in mat:
             return comms.dist_spmv_structured(
                 offsets, mat["bands"], margins,
@@ -751,8 +805,8 @@ class DistributedSolver:
                                    self.cheby_order)
         else:
             for _ in range(self.presweeps):
-                x = x + self.smooth_damp * inv_diag * (b - spmv(a_args, x,
-                                                                static))
+                x = x + self.smooth_damp * self._invd_mul(
+                    inv_diag, b - spmv(a_args, x, static))
         p_perms, r_perms = self._pr_perms[idx]
         r = b - spmv(a_args, x, static)
         rc = spmv(r_args, r, (None, None, None, r_perms))
@@ -772,8 +826,8 @@ class DistributedSolver:
                                    self.cheby_order)
         else:
             for _ in range(self.postsweeps):
-                x = x + self.smooth_damp * inv_diag * (b - spmv(a_args, x,
-                                                                static))
+                x = x + self.smooth_damp * self._invd_mul(
+                    inv_diag, b - spmv(a_args, x, static))
         return x
 
     def _coarse_cg(self, a_args, static, inv_diag, b, x,
@@ -787,7 +841,7 @@ class DistributedSolver:
             return jax.lax.psum(jnp.vdot(u, v), ax)
 
         r = b - self._apply_mat(a_args, x, static)
-        z = inv_diag * r
+        z = self._invd_mul(inv_diag, r)
         p = z
         rz = dot(r, z)
         b2 = dot(b, b)
@@ -804,7 +858,7 @@ class DistributedSolver:
             alpha = jnp.where(pq != 0, rz / jnp.where(pq == 0, 1.0, pq), 0.0)
             x = x + alpha * p
             r = r - alpha * q
-            z = inv_diag * r
+            z = self._invd_mul(inv_diag, r)
             rz_new = dot(r, z)
             beta = jnp.where(rz != 0, rz_new / jnp.where(rz == 0, 1.0, rz),
                              0.0)
@@ -841,7 +895,7 @@ class DistributedSolver:
                 if v is not None:
                     mat[nm] = v
             return mat
-        if getattr(dm, "halo_free", False) and dm.block_dim == (1, 1):
+        if getattr(dm, "halo_free", False):
             return {"cols": dm.cols, "vals": dm.vals}
         return {"cols": dm.cols, "vals": dm.vals, "pack": pack,
                 "halo": halo}
