@@ -188,9 +188,11 @@ class _SolverHandle:
                     self.dist_solver = DistributedSolver(
                         self.cfg, make_mesh(n_dev))
                     self.dist_solver.setup(m.csr, m.manager.row_part)
+                    self._pv_order = getattr(m, "_pv_order", None)
                     return
                 except NotImplementedError:
                     self.dist_solver = None
+        self._pv_order = getattr(m, "_pv_order", None)
         self.solver.setup(m)
 
     def resetup(self, m: Matrix):
@@ -200,16 +202,24 @@ class _SolverHandle:
             self.solver.resetup(m)
 
     def solve(self, b: _Vector, x: _Vector, zero_guess=False):
+        # vectors arrive in user row order; a partition-vector upload may
+        # have renumbered the matrix to contiguous-partition order
+        order = getattr(self, "_pv_order", None)
+        bd = b.data if order is None else np.asarray(b.data)[order]
+        x0 = None if zero_guess else (
+            x.data if order is None else np.asarray(x.data)[order])
         if self.dist_solver is not None:
-            sol, status = self.dist_solver.solve(
-                b.data, None if zero_guess else x.data)
-            x.data = np.asarray(sol)
-            self.status = status
-            return status
-        sol, status = self.solver.solve(
-            b.data, None if zero_guess else x.data,
-            zero_initial_guess=zero_guess)
-        x.data = self.solver.extract_vector(sol)
+            sol, status = self.dist_solver.solve(bd, x0)
+            sol = np.asarray(sol)
+        else:
+            raw, status = self.solver.solve(bd, x0,
+                                            zero_initial_guess=zero_guess)
+            sol = self.solver.extract_vector(raw)
+        if order is not None:
+            out = np.empty_like(sol)
+            out[order] = sol
+            sol = out
+        x.data = sol
         self.status = status
         return status
 
@@ -410,6 +420,7 @@ def AMGX_matrix_upload_distributed(m: Matrix, n_global: int, n_local: int,
                block_dim=(block_dimx, block_dimy),
                diag_data=None if diag_data is None else np.asarray(diag_data))
     n_dev = len(_jax.devices())
+    avail = n_dev
     row_part = None
     if dist is not None and dist.partition_offsets is not None:
         row_part = RowPartition(dist.partition_offsets)
@@ -418,12 +429,31 @@ def AMGX_matrix_upload_distributed(m: Matrix, n_global: int, n_local: int,
         n_dev = int(dist.partition_vector.max()) + 1
         row_part, order = RowPartition.from_partition_vector(
             dist.partition_vector, n_dev)
-        # permute rows to the contiguous ordering the partition implies
-        import scipy.sparse as sp
-        s = csr.to_scipy()[order][:, order] if (block_dimx, block_dimy) == \
-            (1, 1) else None
-        if s is not None:
-            csr = _CSR.from_scipy(s)
+        # permute rows to the contiguous ordering the partition implies;
+        # the order is kept on the matrix so solver entry/exit can map
+        # vectors between user and partition order (reference: the
+        # renumbering tables in DistributedManager, distributed_manager.cu)
+        if not np.array_equal(order, np.arange(order.size)):
+            if (block_dimx, block_dimy) != (1, 1):
+                raise ValueError(
+                    "non-contiguous partition vectors with BSR blocks are "
+                    "not supported; pre-sort rows by partition")
+            import scipy.sparse as sp
+            csr = _CSR.from_scipy(csr.to_scipy()[order][:, order])
+            m._pv_order = order
+        else:
+            m._pv_order = None
+    if row_part is not None and row_part.n_dev > avail:
+        # fine-level consolidation: more input partitions (ranks) than
+        # shards glue onto the available devices, consecutive partitions
+        # per shard (reference: matrix consolidation when ranks > GPUs,
+        # amgx_c.cu:1545-1700 consolidateAndUploadAll / root-partition
+        # gluing, resources.cu device sharing)
+        n_parts = row_part.n_dev
+        group = -(-n_parts // avail)
+        idx = list(range(0, n_parts, group)) + [n_parts]
+        row_part = RowPartition(np.asarray(row_part.offsets)[idx])
+        n_dev = row_part.n_dev
     m.csr = csr
     m.initialized = True
     m._device_op = None

@@ -127,6 +127,79 @@ def test_capi_distributed_solve_spmd():
     assert st == 0 and rel < 1e-6
 
 
+def test_capi_upload_consolidates_excess_partitions():
+    """Fine-level consolidation: a partition vector naming more partitions
+    (ranks) than the mesh has shards glues consecutive partitions onto the
+    available devices (reference: matrix consolidation when ranks > GPUs,
+    amgx_c.cu consolidateAndUploadAll)."""
+    import numpy as np
+    import jax
+    import amgx_tpu as amgx
+    from amgx_tpu import capi
+    a = amgx.gallery.poisson5pt(24, 24)
+    n_parts = 3 * len(jax.devices())           # 3 ranks per shard
+    pv = (np.arange(a.n_rows) * n_parts // a.n_rows).astype(np.int64)
+    rc, cfg = capi.AMGX_config_create(
+        "solver=PCG, preconditioner=BLOCK_JACOBI, max_iters=300, "
+        "tolerance=1e-8, convergence=RELATIVE_INI, monitor_residual=1")
+    rc, rsrc = capi.AMGX_resources_create_simple(cfg)
+    rc, M = capi.AMGX_matrix_create(rsrc, "dDDI")
+    rc, dist = capi.AMGX_distribution_create()
+    dist.set_partition_data("vector", pv)
+    capi.AMGX_matrix_upload_distributed(
+        M, a.n_rows, a.n_rows, a.nnz, 1, 1, a.indptr, a.indices, a.data,
+        None, dist)
+    assert M.manager.row_part.n_dev <= len(jax.devices())
+    rc, S = capi.AMGX_solver_create(rsrc, "dDDI", cfg)
+    capi.AMGX_solver_setup(S, M)
+    assert S.dist_solver is not None
+    rc, B = capi.AMGX_vector_create(rsrc, "dDDI")
+    rc, X = capi.AMGX_vector_create(rsrc, "dDDI")
+    b = np.ones(a.n_rows)
+    B.upload(a.n_rows, 1, b)
+    X.upload(a.n_rows, 1, np.zeros(a.n_rows))
+    st = capi.AMGX_solver_solve(S, B, X)
+    rc, xs = capi.AMGX_vector_download(X)
+    rel = np.linalg.norm(b - a.to_scipy() @ xs) / np.linalg.norm(b)
+    assert st == 0 and rel < 1e-6
+
+
+def test_capi_scattered_partition_vector_maps_vectors():
+    """A non-contiguous partition vector renumbers the matrix internally;
+    rhs/solution stay in USER row order at the API boundary (reference:
+    DistributedManager renumbering + inverse_renumbering,
+    distributed_manager.cu)."""
+    import numpy as np
+    import jax
+    import amgx_tpu as amgx
+    from amgx_tpu import capi
+    a = amgx.gallery.poisson5pt(20, 20)
+    n_dev = len(jax.devices())
+    pv = np.arange(a.n_rows) % n_dev            # round-robin: scattered
+    rc, cfg = capi.AMGX_config_create(
+        "solver=PCG, preconditioner=BLOCK_JACOBI, max_iters=400, "
+        "tolerance=1e-9, convergence=RELATIVE_INI, monitor_residual=1")
+    rc, rsrc = capi.AMGX_resources_create_simple(cfg)
+    rc, M = capi.AMGX_matrix_create(rsrc, "dDDI")
+    rc, dist = capi.AMGX_distribution_create()
+    dist.set_partition_data("vector", pv)
+    capi.AMGX_matrix_upload_distributed(
+        M, a.n_rows, a.n_rows, a.nnz, 1, 1, a.indptr, a.indices, a.data,
+        None, dist)
+    rc, S = capi.AMGX_solver_create(rsrc, "dDDI", cfg)
+    capi.AMGX_solver_setup(S, M)
+    rc, B = capi.AMGX_vector_create(rsrc, "dDDI")
+    rc, X = capi.AMGX_vector_create(rsrc, "dDDI")
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(a.n_rows)           # non-symmetric rhs so a
+    B.upload(a.n_rows, 1, b)                    # permutation mismatch shows
+    X.upload(a.n_rows, 1, np.zeros(a.n_rows))
+    st = capi.AMGX_solver_solve(S, B, X)
+    rc, xs = capi.AMGX_vector_download(X)
+    rel = np.linalg.norm(b - a.to_scipy() @ xs) / np.linalg.norm(b)
+    assert st == 0 and rel < 1e-6
+
+
 def test_capi_surface_complete():
     """Every function entry point in the reference amgx_c.h exists in
     capi (handles/typedefs/callback types excluded — Python objects
