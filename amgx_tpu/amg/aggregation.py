@@ -72,8 +72,15 @@ def pairwise_match(w, max_iters: int = 15, max_unassigned: float = 0.05,
     next_id = 0
     indptr, indices, data = w.indptr, w.indices, w.data
     tie = _hash_tiebreak(n, seed)
-    rows = np.repeat(np.arange(n), np.diff(indptr))
     vals = data + tie[indices]              # deterministic tiebreak
+    from ..native import lib as _native_lib
+    nl = _native_lib()
+    if nl is not None and data.dtype == np.float64:
+        out = nl.pairwise_match(indptr, indices, vals, max_iters,
+                                max_unassigned)
+        if out is not None:
+            return out[0]
+    rows = np.repeat(np.arange(n), np.diff(indptr))
     # edge weights never change across handshake iterations — only the
     # unaggregated mask does. Sort edges once (rows ascending, weights
     # descending; lexsort is stable so ties keep storage order) and do an

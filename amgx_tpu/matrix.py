@@ -96,6 +96,23 @@ class CSRMatrix:
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
+        if (sum_duplicates and vals.dtype == np.float64 and rows.size and
+                n_rows > 1024):
+            from .native import lib as _nl
+            nl = _nl()
+            if nl is not None:
+                bx, by = block_dim
+                out = nl.coo_to_csr(n_rows, rows, cols,
+                                    vals.reshape(rows.size, bx * by),
+                                    bx * by)
+                if out is not None:
+                    indptr, out_cols, out_vals = out
+                    if (bx, by) != (1, 1):
+                        out_vals = out_vals.reshape(-1, bx, by)
+                    else:
+                        out_vals = out_vals.reshape(-1)
+                    return cls(n_rows, n_cols, indptr, out_cols, out_vals,
+                               block_dim=block_dim)
         # single stable sort on the combined (row, col) key — one pass
         # instead of lexsort's two plus np.unique's third
         key = rows * np.int64(n_cols) + cols

@@ -62,6 +62,22 @@ class _NativeLib:
             self._has_gather_pack = True
         except AttributeError:
             self._has_gather_pack = False
+        try:
+            self._h.pairwise_match.restype = ctypes.c_int64
+            self._h.pairwise_match.argtypes = [
+                ctypes.c_int64, i64p, i32p, f64p,
+                ctypes.c_int64, ctypes.c_double, i64p]
+            self._has_pairwise = True
+        except AttributeError:
+            self._has_pairwise = False
+        try:
+            self._h.coo_to_csr.restype = ctypes.c_int64
+            self._h.coo_to_csr.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, i64p, i64p, f64p,
+                ctypes.c_int64, i64p, i32p, f64p]
+            self._has_coo = True
+        except AttributeError:
+            self._has_coo = False
 
     def csr_spgemm(self, a, b):
         from .matrix import CSRMatrix
@@ -133,6 +149,52 @@ class _NativeLib:
             rl.ctypes.data_as(i32p), cl.ctypes.data_as(i32p),
             s_out.ctypes.data_as(i32p))
         return s_out
+
+    def coo_to_csr(self, n_rows, rows, cols, vals, block):
+        """COO -> CSR with stable duplicate summing; `vals` is
+        (nnz, block) float64. Returns (indptr, indices, data(nnz', block))
+        or None when unavailable."""
+        if not self._has_coo:
+            return None
+        import ctypes
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        nnz = rows.shape[0]
+        rows = np.ascontiguousarray(rows, np.int64)
+        cols = np.ascontiguousarray(cols, np.int64)
+        vals = np.ascontiguousarray(vals, np.float64)
+        indptr = np.zeros(n_rows + 1, np.int64)
+        out_cols = np.zeros(nnz, np.int32)
+        out_vals = np.zeros((nnz, block), np.float64)
+        nnz2 = self._h.coo_to_csr(
+            n_rows, nnz, rows.ctypes.data_as(i64p),
+            cols.ctypes.data_as(i64p), vals.ctypes.data_as(f64p),
+            block, indptr.ctypes.data_as(i64p),
+            out_cols.ctypes.data_as(i32p), out_vals.ctypes.data_as(f64p))
+        return indptr, out_cols[:nnz2], out_vals[:nnz2]
+
+    def pairwise_match(self, indptr, indices, vals, max_iters,
+                       max_unassigned):
+        """Handshake pairwise matching; `vals` must carry the hash
+        tiebreak already (identical partner choice to the numpy path).
+        Returns (agg ids, n_aggregates) or None when unavailable."""
+        if not self._has_pairwise:
+            return None
+        import ctypes
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        n = len(indptr) - 1
+        indptr = np.ascontiguousarray(indptr, np.int64)
+        indices = np.ascontiguousarray(indices, np.int32)
+        vals = np.ascontiguousarray(vals, np.float64)
+        agg = np.zeros(n, np.int64)
+        n_agg = self._h.pairwise_match(
+            n, indptr.ctypes.data_as(i64p), indices.ctypes.data_as(i32p),
+            vals.ctypes.data_as(f64p), int(max_iters),
+            float(max_unassigned), agg.ctypes.data_as(i64p))
+        return agg, int(n_agg)
 
     def greedy_color(self, indptr, indices, order):
         import ctypes

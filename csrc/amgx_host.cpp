@@ -219,6 +219,119 @@ void gather_pack(int64_t n_pairs, const int64_t* pair_ptr,
     }
 }
 
+// COO -> CSR with stable duplicate summing (the setup phase's most common
+// reshape: Galerkin triple products and permutations emit COO). Counting
+// sort by row, per-row stable sort by column (rows over threads), then a
+// left-to-right merge of equal columns — the same addition order as the
+// numpy stable-argsort + reduceat fallback, so results are bitwise equal.
+// `block` = doubles per entry (bx*by). Returns deduplicated nnz.
+int64_t coo_to_csr(int64_t n_rows, int64_t nnz, const int64_t* rows,
+                   const int64_t* cols, const double* vals, int64_t block,
+                   int64_t* indptr, int32_t* out_cols, double* out_vals) {
+    std::vector<int64_t> start(static_cast<size_t>(n_rows) + 1, 0);
+    for (int64_t e = 0; e < nnz; ++e) ++start[static_cast<size_t>(rows[e]) + 1];
+    for (int64_t i = 0; i < n_rows; ++i) start[static_cast<size_t>(i) + 1] += start[static_cast<size_t>(i)];
+    std::vector<int64_t> perm(static_cast<size_t>(nnz));
+    {
+        std::vector<int64_t> pos(start.begin(), start.end() - 1);
+        for (int64_t e = 0; e < nnz; ++e)
+            perm[static_cast<size_t>(pos[static_cast<size_t>(rows[e])]++)] = e;
+    }
+    std::vector<int64_t> row_nnz(static_cast<size_t>(n_rows), 0);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 256)
+#endif
+    for (int64_t i = 0; i < n_rows; ++i) {
+        int64_t* p = perm.data() + start[static_cast<size_t>(i)];
+        const int64_t m = start[static_cast<size_t>(i) + 1] -
+                          start[static_cast<size_t>(i)];
+        std::stable_sort(p, p + m, [cols](int64_t a, int64_t b) {
+            return cols[a] < cols[b];
+        });
+        int64_t uniq = 0;
+        for (int64_t k = 0; k < m; ++k)
+            if (k == 0 || cols[p[k]] != cols[p[k - 1]]) ++uniq;
+        row_nnz[static_cast<size_t>(i)] = uniq;
+    }
+    indptr[0] = 0;
+    for (int64_t i = 0; i < n_rows; ++i)
+        indptr[i + 1] = indptr[i] + row_nnz[static_cast<size_t>(i)];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 256)
+#endif
+    for (int64_t i = 0; i < n_rows; ++i) {
+        const int64_t* p = perm.data() + start[static_cast<size_t>(i)];
+        const int64_t m = start[static_cast<size_t>(i) + 1] -
+                          start[static_cast<size_t>(i)];
+        int64_t o = indptr[i] - 1;
+        for (int64_t k = 0; k < m; ++k) {
+            const int64_t e = p[k];
+            if (k == 0 || cols[e] != cols[p[k - 1]]) {
+                ++o;
+                out_cols[o] = static_cast<int32_t>(cols[e]);
+                std::memcpy(out_vals + o * block, vals + e * block,
+                            static_cast<size_t>(block) * sizeof(double));
+            } else {
+                double* dst = out_vals + o * block;
+                const double* src = vals + e * block;
+                for (int64_t c = 0; c < block; ++c) dst[c] += src[c];
+            }
+        }
+    }
+    return indptr[n_rows];
+}
+
+// Handshake pairwise matching on a weight graph (reference:
+// size2_selector.cu matchEdges/agreeOnProposal). `vals` carries the edge
+// weights with the deterministic hash tiebreak already added, so native
+// and numpy paths pick identical partners (first stored maximum). agg is
+// filled with consecutive aggregate ids; returns the number of aggregates
+// (pairs first, leftover singletons appended).
+int64_t pairwise_match(int64_t n, const int64_t* indptr,
+                       const int32_t* indices, const double* vals,
+                       int64_t max_iters, double max_unassigned,
+                       int64_t* agg) {
+    for (int64_t i = 0; i < n; ++i) agg[i] = -1;
+    std::vector<int64_t> cand(static_cast<size_t>(n));
+    int64_t next_id = 0;
+    int64_t n_un = n;
+    for (int64_t it = 0; it < max_iters; ++it) {
+        if (n_un == 0 || static_cast<double>(n_un) <= max_unassigned *
+                             static_cast<double>(n)) break;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1024)
+#endif
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t best = -1;
+            double best_v = 0.0;
+            if (agg[i] < 0) {
+                for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+                    const int32_t j = indices[k];
+                    if (j == i || agg[j] >= 0) continue;
+                    if (best < 0 || vals[k] > best_v) {
+                        best = j;
+                        best_v = vals[k];
+                    }
+                }
+            }
+            cand[static_cast<size_t>(i)] = best;
+        }
+        int64_t progress = 0;
+        for (int64_t i = 0; i < n; ++i) {
+            const int64_t j = cand[static_cast<size_t>(i)];
+            if (j > i && cand[static_cast<size_t>(j)] == i) {
+                agg[i] = agg[j] = next_id++;
+                ++progress;
+            }
+        }
+        if (progress == 0) break;
+        n_un -= 2 * progress;
+    }
+    for (int64_t i = 0; i < n; ++i)
+        if (agg[i] < 0) agg[i] = next_id++;
+    return next_id;
+}
+
 // Greedy graph coloring in a caller-supplied order; returns #colors.
 int32_t greedy_color(int64_t n, const int64_t* indptr,
                      const int32_t* indices, const int64_t* order,
