@@ -417,7 +417,9 @@ class DistributedSolver:
         """Per-shard inverse diagonal in the stacked (D, Lr) layout —
         touches owned rows only (distributed AMG levels keep natural row
         order, so no interior-first permutation applies)."""
-        out = np.ones((dm.n_dev, dm.lr), np.float64)
+        host_dt = np.complex128 if np.issubdtype(
+            np.dtype(dtype), np.complexfloating) else np.float64
+        out = np.ones((dm.n_dev, dm.lr), host_dt)
         for dev, dg in enumerate(sm.diagonal()):
             safe = np.where(dg == 0, 1.0, dg)
             out[dev, :dg.shape[0]] = 1.0 / safe

@@ -102,6 +102,13 @@ class Solver:
         if isinstance(m, Matrix):
             m = self._maybe_reorder(m)
             self.m = m
+            if m.csr is not None:
+                # the system's complexness wins over a real config-default
+                # mode, so child solvers (smoothers, coarse solver) inherit
+                # complex arithmetic with the level matrix (reference: the
+                # mode is a template parameter threaded through allocation)
+                from ..matrix import _complex_mode
+                self.mode = _complex_mode(self.mode, m.csr.data)
             if self.needs_coloring and m.coloring is None \
                     and m.csr is not None:
                 from ..coloring import color_matrix

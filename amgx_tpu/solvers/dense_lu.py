@@ -26,10 +26,12 @@ class DenseLUSolver(Solver):
         if csr is None:
             raise ValueError("DENSE_LU_SOLVER needs a host CSR matrix")
         bx, _ = csr.block_dim
-        dense = csr.to_dense().astype(np.float64)
+        host_dt = np.complex128 if np.issubdtype(
+            csr.data.dtype, np.complexfloating) else np.float64
+        dense = csr.to_dense().astype(host_dt)
         n = dense.shape[0]
         n_pad = self.vec_len
-        full = np.eye(n_pad, dtype=np.float64)
+        full = np.eye(n_pad, dtype=host_dt)
         full[:n, :n] = dense
         # factorize in f64 on host for robustness, store factors in vec dtype
         import scipy.linalg as sla

@@ -694,6 +694,42 @@ def test_complex_gmres_matches_single_chip(mesh, rng):
     assert np.abs(s1.extract_vector(x1) - x8).max() < 1e-7
 
 
+def test_complex_distributed_amg(mesh, rng):
+    """Complex-mode (dZZI) distributed AMG: aggregation coarsening on
+    complex operators, complex inverse-diagonal smoothing, complex coarse
+    LU (reference: AMG templates over complex modes)."""
+    from amgx_tpu.matrix import CSRMatrix
+    p = amgx.gallery.poisson5pt(16, 16)
+    data = p.data.astype(np.complex128) * \
+        np.exp(0.2j * rng.standard_normal(p.nnz))
+    a = CSRMatrix(p.n_rows, p.n_cols, p.indptr, p.indices, data)
+    b = np.ones(a.n_rows, np.complex128)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "FGMRES", "max_iters": 100, "gmres_n_restart": 30,
+        "tolerance": 1e-9, "convergence": "RELATIVE_INI",
+        "monitor_residual": 1, "mode": "dZZI", "scope": "main",
+        "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "algorithm": "AGGREGATION",
+                           "selector": "SIZE_2",
+                           "smoother": "BLOCK_JACOBI", "presweeps": 1,
+                           "postsweeps": 1, "max_iters": 1,
+                           "min_coarse_rows": 16, "max_levels": 6,
+                           "cycle": "V"}}})
+    s1 = amgx.SolverFactory.allocate(cfg)
+    s1.setup(amgx.Matrix(a))
+    x1, st1 = s1.solve(b)
+    rel1 = np.linalg.norm(b - a.to_scipy() @ s1.extract_vector(x1)) / \
+        np.linalg.norm(b)
+    assert st1 == amgx.SolveStatus.SUCCESS and rel1 < 1e-7
+    sd = DistributedSolver(cfg, mesh)
+    sd.setup(a)
+    assert len(sd.levels) >= 2
+    x8, st8 = sd.solve(b)
+    rel8 = np.linalg.norm(b - a.to_scipy() @ x8) / np.linalg.norm(b)
+    assert st8 == 0 and rel8 < 1e-7
+    assert sd.last_iters <= 2 * max(1, s1.last_iters)
+
+
 def test_complex_distributed_krylov(mesh, rng):
     """Complex PCG / BiCGStab / FGMRES on the mesh (dZZI): conjugating
     psum projections, real residual norms in the fused while_loop."""
