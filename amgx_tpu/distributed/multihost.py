@@ -66,6 +66,29 @@ def to_host(arr) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
+def allgather_host(arr: np.ndarray) -> list:
+    """Gather a variable-length 1-D host array from every process; returns
+    the per-process arrays in process order (single process: ``[arr]``).
+
+    The reference's per-rank upload paths move rank-local CSR pieces with
+    MPI point-to-point (distributed_manager.cu:1144, distributed_io.cu);
+    here rank-local host data rides one byte-padded ``process_allgather``
+    (any dtype, lengths may differ per process)."""
+    arr = np.ascontiguousarray(arr)
+    if not is_multiprocess():
+        return [arr]
+    from jax.experimental import multihost_utils
+    raw = arr.view(np.uint8).reshape(-1)
+    nbytes = np.asarray(multihost_utils.process_allgather(
+        np.array([raw.size], np.int64)))                      # (P, 1)
+    cap = max(1, int(nbytes.max()))
+    pad = np.zeros(cap, np.uint8)
+    pad[:raw.size] = raw
+    allb = np.asarray(multihost_utils.process_allgather(pad))  # (P, cap)
+    return [allb[p, :int(nbytes[p, 0])].view(arr.dtype)
+            for p in range(allb.shape[0])]
+
+
 def reput(arr, sharding: NamedSharding):
     """Re-place an existing array (possibly local/committed) into a target
     sharding. Cross-process, device_put from device arrays is not always

@@ -953,13 +953,38 @@ class DistributedSolver:
             or getattr(a0, "band_strips", None) is not None)
         self._mat_args = self._mat_pytree(a0)
         if idr:
-            # orthonormal shadow space, scattered to the shards' row layout
-            # (reference: idr_solver.cu shadow vectors); rides in the
-            # operand pytree so it shards with the matrix
-            rng = np.random.default_rng(42)
-            q, _ = np.linalg.qr(rng.standard_normal((a0.n_rows, s_dim)))
-            shadow = np.stack([np.asarray(a0.scatter_vector(q[:, i], "rows"))
-                               for i in range(s_dim)], axis=1)
+            # Orthonormal shadow space in the shards' row layout
+            # (reference: idr_solver.cu shadow vectors). O(N/P) per
+            # process: each shard's (s, Lr) block is generated from a
+            # per-device seed (only addressable shards materialize),
+            # orthonormalized by distributed Cholesky-QR — partial s x s
+            # Grams are the only cross-process exchange.
+            import jax as _jax
+            import scipy.linalg as _sla
+            from .multihost import allgather_host, is_multiprocess
+            lv = a0.lr * bx
+            my_proc = _jax.process_index()
+            shadow = np.zeros((a0.n_dev, s_dim, lv), np.float64)
+            gram = np.zeros((s_dim, s_dim))
+            perm = getattr(a0, "row_perm", None)
+            blocks = {}
+            for d in range(a0.n_dev):
+                if self.mesh.devices.flat[d].process_index != my_proc:
+                    continue
+                blk = np.random.default_rng((42, d)).standard_normal(
+                    (s_dim, lv))
+                if perm is not None:
+                    blk[:, np.repeat(np.asarray(perm[d]) < 0, bx)] = 0.0
+                else:
+                    blk[:, a0.row_part.size(d) * bx:] = 0.0
+                blocks[d] = blk
+                gram += blk @ blk.T
+            if is_multiprocess():
+                gram = np.sum(allgather_host(gram.ravel()),
+                              axis=0).reshape(s_dim, s_dim)
+            lchol = np.linalg.cholesky(gram)
+            for d, blk in blocks.items():
+                shadow[d] = _sla.solve_triangular(lchol, blk, lower=True)
             self._mat_args = dict(
                 self._mat_args,
                 idr_P=jax.device_put(

@@ -66,5 +66,41 @@ x2, st2 = s2.solve(b)
 r2 = np.linalg.norm(b - A.to_scipy() @ np.asarray(x2)) / bnorm
 assert st2 == 0 and r2 < 1e-6, (st2, r2)
 
+# 3. per-rank-local C-API upload (reference contract: each rank passes
+#    ONLY its owned rows + local rhs, downloads its local solution;
+#    amgx_c.cu:1715, examples/amgx_mpi_capi.c:263-325)
+from amgx_tpu import capi  # noqa: E402
+from amgx_tpu.distributed.multihost import allgather_host  # noqa: E402
+
+A3 = amgx.gallery.poisson5pt(24, 24)
+n3 = A3.n_rows
+lo = pid * n3 // nproc
+hi = (pid + 1) * n3 // nproc
+sp3 = A3.to_scipy().tocsr()
+loc = sp3[lo:hi]
+b3 = np.ones(n3)
+
+_, cfg3 = capi.AMGX_config_create(
+    "config_version=2, solver=PCG, preconditioner=BLOCK_JACOBI, "
+    "max_iters=200, tolerance=1e-10, convergence=RELATIVE_INI, "
+    "monitor_residual=1")
+_, rsrc = capi.AMGX_resources_create_simple(cfg3)
+_, mh = capi.AMGX_matrix_create(rsrc, "dDDI")
+_, bh = capi.AMGX_vector_create(rsrc, "dDDI")
+_, xh = capi.AMGX_vector_create(rsrc, "dDDI")
+rc = capi.AMGX_matrix_upload_distributed(
+    mh, n3, hi - lo, loc.nnz, 1, 1, loc.indptr, loc.indices, loc.data)
+assert rc == capi.RC_OK
+capi.AMGX_vector_upload(bh, hi - lo, 1, b3[lo:hi])
+capi.AMGX_vector_set_zero(xh, hi - lo, 1)
+_, sh = capi.AMGX_solver_create(rsrc, "dDDI", cfg3)
+capi.AMGX_solver_setup(sh, mh)
+capi.AMGX_solver_solve_with_0_initial_guess(sh, bh, xh)
+_, x3loc = capi.AMGX_vector_download(xh)
+assert x3loc.shape[0] == hi - lo, x3loc.shape
+x3 = np.concatenate(allgather_host(x3loc))
+r3 = np.linalg.norm(b3 - sp3 @ x3) / np.linalg.norm(b3)
+assert sh.status == 0 and r3 < 1e-8, (sh.status, r3)
+
 print(f"MULTIHOST_OK pid={pid} amg_resid={r:.3e} pcg_resid={r2:.3e} "
-      f"amg_iters={s.last_iters}", flush=True)
+      f"amg_iters={s.last_iters} ranklocal_resid={r3:.3e}", flush=True)
