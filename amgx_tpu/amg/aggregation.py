@@ -72,10 +72,10 @@ def pairwise_match(w, max_iters: int = 15, max_unassigned: float = 0.05,
     next_id = 0
     indptr, indices, data = w.indptr, w.indices, w.data
     tie = _hash_tiebreak(n, seed)
-    vals = data + tie[indices]              # deterministic tiebreak
+    vals = np.asarray(data, np.float64) + tie[indices]  # det. tiebreak
     from ..native import lib as _native_lib
     nl = _native_lib()
-    if nl is not None and data.dtype == np.float64:
+    if nl is not None:
         out = nl.pairwise_match(indptr, indices, vals, max_iters,
                                 max_unassigned)
         if out is not None:
@@ -132,15 +132,21 @@ def merge_singletons(w, agg: np.ndarray, singleton_ids: np.ndarray
     sizes = np.bincount(agg)
     is_single = sizes[agg] == 1
     indptr, indices, data = w.indptr, w.indices, w.data
-    # strongest neighbour per singleton row, vectorized: sort edges by
+    # strongest neighbour per singleton row, vectorized: slice out only
+    # the singleton rows' edges (few after matching), sort those by
     # (row, weight desc) — stable, so ties resolve to the first stored
     # entry exactly like np.argmax — and take the first edge per row.
-    rows = np.repeat(np.arange(n), np.diff(indptr))
-    order = np.lexsort((-data, rows))
-    rs, cs = rows[order], indices[order]
-    sel = is_single[rs]
-    rsel, csel = rs[sel], cs[sel]
-    if rsel.size:
+    sing = np.flatnonzero(is_single)
+    cnt = (indptr[sing + 1] - indptr[sing]).astype(np.int64)
+    tot = int(cnt.sum())
+    if tot:
+        ptr = np.concatenate([[0], np.cumsum(cnt)])
+        pos = (np.arange(tot) - np.repeat(ptr[:-1], cnt)
+               + np.repeat(indptr[sing], cnt))
+        rsel = np.repeat(sing, cnt)
+        csel, dsel = indices[pos], data[pos]
+        order = np.lexsort((-dsel, rsel))
+        rsel, csel = rsel[order], csel[order]
         first = np.flatnonzero(np.r_[True, rsel[1:] != rsel[:-1]])
         agg[rsel[first]] = agg[csel[first]]
     return _compact(agg)[0]

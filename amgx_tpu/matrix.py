@@ -96,8 +96,8 @@ class CSRMatrix:
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
-        if (sum_duplicates and vals.dtype == np.float64 and rows.size and
-                n_rows > 1024):
+        if (sum_duplicates and vals.dtype in (np.float32, np.float64)
+                and rows.size and n_rows > 1024):
             from .native import lib as _nl
             nl = _nl()
             if nl is not None:
@@ -107,6 +107,7 @@ class CSRMatrix:
                                     bx * by)
                 if out is not None:
                     indptr, out_cols, out_vals = out
+                    out_vals = out_vals.astype(vals.dtype, copy=False)
                     if (bx, by) != (1, 1):
                         out_vals = out_vals.reshape(-1, bx, by)
                     else:
