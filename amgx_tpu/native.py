@@ -78,6 +78,14 @@ class _NativeLib:
             self._has_coo = True
         except AttributeError:
             self._has_coo = False
+        try:
+            self._h.agg_galerkin.restype = ctypes.c_int64
+            self._h.agg_galerkin.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, i64p, i32p, f64p, i64p,
+                i64p, i32p, f64p]
+            self._has_agg_galerkin = True
+        except AttributeError:
+            self._has_agg_galerkin = False
 
     def csr_spgemm(self, a, b):
         from .matrix import CSRMatrix
@@ -149,6 +157,29 @@ class _NativeLib:
             rl.ctypes.data_as(i32p), cl.ctypes.data_as(i32p),
             s_out.ctypes.data_as(i32p))
         return s_out
+
+    def agg_galerkin(self, a, agg, n_coarse):
+        """Piecewise-constant Galerkin Ac = P^T A P for an aggregate map
+        (scalar entries only). Returns (indptr, indices, data) or None."""
+        if not self._has_agg_galerkin or a.nnz == 0 or n_coarse == 0:
+            return None
+        import ctypes
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        indptr = np.ascontiguousarray(a.indptr, np.int64)
+        indices = np.ascontiguousarray(a.indices, np.int32)
+        vals = np.ascontiguousarray(a.data, np.float64)
+        aggc = np.ascontiguousarray(agg, np.int64)
+        out_indptr = np.zeros(n_coarse + 1, np.int64)
+        out_cols = np.zeros(a.nnz, np.int32)
+        out_vals = np.zeros(a.nnz, np.float64)
+        nnz2 = self._h.agg_galerkin(
+            a.n_rows, n_coarse, indptr.ctypes.data_as(i64p),
+            indices.ctypes.data_as(i32p), vals.ctypes.data_as(f64p),
+            aggc.ctypes.data_as(i64p), out_indptr.ctypes.data_as(i64p),
+            out_cols.ctypes.data_as(i32p), out_vals.ctypes.data_as(f64p))
+        return out_indptr, out_cols[:nnz2], out_vals[:nnz2]
 
     def coo_to_csr(self, n_rows, rows, cols, vals, block):
         """COO -> CSR with stable duplicate summing; `vals` is

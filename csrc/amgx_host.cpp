@@ -281,6 +281,116 @@ int64_t coo_to_csr(int64_t n_rows, int64_t nnz, const int64_t* rows,
     return indptr[n_rows];
 }
 
+// Aggregation Galerkin product Ac[I,J] = sum_{agg[i]==I, agg[j]==J} A[i,j]
+// (reference: aggregation coarseAgenerators LOW_DEG/THRUST,
+// core/src/aggregation/coarseAgenerators/). Gustavson-style per coarse
+// row with dense per-thread accumulators; entries with agg < 0 are
+// dropped. Addition order matches the numpy COO fallback (ascending fine
+// row, then storage order) so results are bitwise equal. Caller sizes
+// out_cols/out_vals with an nnz(A) upper bound; returns coarse nnz.
+int64_t agg_galerkin(int64_t n_rows, int64_t n_coarse,
+                     const int64_t* indptr, const int32_t* indices,
+                     const double* vals, const int64_t* agg,
+                     int64_t* out_indptr, int32_t* out_cols,
+                     double* out_vals) {
+    // bucket fine rows by aggregate (counting sort: stable -> ascending i)
+    std::vector<int64_t> bptr(static_cast<size_t>(n_coarse) + 1, 0);
+    for (int64_t i = 0; i < n_rows; ++i)
+        if (agg[i] >= 0) ++bptr[static_cast<size_t>(agg[i]) + 1];
+    for (int64_t I = 0; I < n_coarse; ++I)
+        bptr[static_cast<size_t>(I) + 1] += bptr[static_cast<size_t>(I)];
+    std::vector<int64_t> brow(static_cast<size_t>(bptr[n_coarse]));
+    {
+        std::vector<int64_t> pos(bptr.begin(), bptr.end() - 1);
+        for (int64_t i = 0; i < n_rows; ++i)
+            if (agg[i] >= 0)
+                brow[static_cast<size_t>(
+                    pos[static_cast<size_t>(agg[i])]++)] = i;
+    }
+    // provisional (parking) offsets: prefix sums of each bucket's total
+    // fine nnz — disjoint, ascending regions that bound each coarse row
+    std::vector<int64_t> park(static_cast<size_t>(n_coarse) + 1, 0);
+    for (int64_t I = 0; I < n_coarse; ++I) {
+        int64_t tot = 0;
+        for (int64_t b = bptr[static_cast<size_t>(I)];
+             b < bptr[static_cast<size_t>(I) + 1]; ++b) {
+            const int64_t i = brow[static_cast<size_t>(b)];
+            tot += indptr[i + 1] - indptr[i];
+        }
+        park[static_cast<size_t>(I) + 1] =
+            park[static_cast<size_t>(I)] + tot;
+    }
+    std::vector<int64_t> row_nnz(static_cast<size_t>(n_coarse), 0);
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int64_t> next(static_cast<size_t>(n_coarse), -2);
+        std::vector<double> sums(static_cast<size_t>(n_coarse), 0.0);
+        std::vector<int32_t> touched;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+        for (int64_t I = 0; I < n_coarse; ++I) {
+            int64_t head = -1;
+            int64_t length = 0;
+            for (int64_t b = bptr[static_cast<size_t>(I)];
+                 b < bptr[static_cast<size_t>(I) + 1]; ++b) {
+                const int64_t i = brow[static_cast<size_t>(b)];
+                for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+                    const int64_t J = agg[indices[k]];
+                    if (J < 0) continue;
+                    sums[static_cast<size_t>(J)] += vals[k];
+                    if (next[static_cast<size_t>(J)] == -2) {
+                        next[static_cast<size_t>(J)] = head;
+                        head = J;
+                        ++length;
+                    }
+                }
+            }
+            row_nnz[static_cast<size_t>(I)] = length;
+            // stash (col, val) runs into the output scratch region later;
+            // here record columns ascending via insertion into temp
+            touched.clear();
+            int64_t h = head;
+            while (h != -1) {
+                touched.push_back(static_cast<int32_t>(h));
+                const int64_t t = next[static_cast<size_t>(h)];
+                next[static_cast<size_t>(h)] = -2;
+                h = t;
+            }
+            std::sort(touched.begin(), touched.end());
+            // write the compacted row at its parking offset; the second
+            // pass below shifts rows left into final CSR positions
+            int64_t o = park[static_cast<size_t>(I)];
+            for (const int32_t c : touched) {
+                out_cols[o] = c;
+                out_vals[o] = sums[static_cast<size_t>(c)];
+                sums[static_cast<size_t>(c)] = 0.0;
+                ++o;
+            }
+        }
+    }
+    out_indptr[0] = 0;
+    for (int64_t I = 0; I < n_coarse; ++I)
+        out_indptr[I + 1] = out_indptr[I] + row_nnz[static_cast<size_t>(I)];
+    // compact rows (parked at ascending disjoint offsets) into contiguous
+    // CSR: dst <= src always, so the forward shift never clobbers unread
+    // rows.
+    for (int64_t I = 0; I < n_coarse; ++I) {
+        const int64_t src = park[static_cast<size_t>(I)];
+        const int64_t dst = out_indptr[I];
+        const int64_t m = row_nnz[static_cast<size_t>(I)];
+        if (src != dst) {
+            std::memmove(out_cols + dst, out_cols + src,
+                         static_cast<size_t>(m) * sizeof(int32_t));
+            std::memmove(out_vals + dst, out_vals + src,
+                         static_cast<size_t>(m) * sizeof(double));
+        }
+    }
+    return out_indptr[n_coarse];
+}
+
 // Handshake pairwise matching on a weight graph (reference:
 // size2_selector.cu matchEdges/agreeOnProposal). `vals` carries the edge
 // weights with the deterministic hash tiebreak already added, so native
