@@ -102,5 +102,36 @@ x3 = np.concatenate(allgather_host(x3loc))
 r3 = np.linalg.norm(b3 - sp3 @ x3) / np.linalg.norm(b3)
 assert sh.status == 0 and r3 < 1e-8, (sh.status, r3)
 
+# 4. coupled 4x4-block BSR mixed-precision (dDFI) BiCGStab + aggregation
+#    AMG across both processes (BASELINE.md scaling row)
+from amgx_tpu.matrix import CSRMatrix  # noqa: E402
+
+rng4 = np.random.default_rng(7)
+base4 = amgx.gallery.poisson5pt(16, 16)
+coup = rng4.standard_normal((4, 4)) * 0.2
+coup = coup @ coup.T + np.eye(4)
+data4 = np.einsum("k,ij->kij", base4.data, coup).astype(np.float32)
+A4 = CSRMatrix(base4.n_rows, base4.n_cols, base4.indptr, base4.indices,
+               data4, block_dim=(4, 4))
+b4 = rng4.standard_normal(A4.n_rows * 4)
+cfg4 = amgx.AMGConfig({"config_version": 2, "solver": {
+    "solver": "PBICGSTAB", "max_iters": 200, "tolerance": 1e-8,
+    "convergence": "RELATIVE_INI", "monitor_residual": 1, "mode": "dDFI",
+    "scope": "main",
+    "preconditioner": {"solver": "AMG", "scope": "amg",
+                       "algorithm": "AGGREGATION", "selector": "SIZE_2",
+                       "smoother": "BLOCK_JACOBI",
+                       "relaxation_factor": 0.8, "presweeps": 1,
+                       "postsweeps": 1, "max_iters": 1,
+                       "min_coarse_rows": 24, "max_levels": 6,
+                       "cycle": "V"}}})
+s4 = DistributedSolver(cfg4, mesh=make_mesh(4 * nproc))
+s4.setup(A4)
+x4, st4 = s4.solve(b4)
+r4 = np.linalg.norm(b4 - A4.to_scipy().astype(np.float64) @ np.asarray(x4)) \
+    / np.linalg.norm(b4)
+assert st4 == 0 and r4 < 1e-6 and len(s4.levels) >= 2, (st4, r4)
+
 print(f"MULTIHOST_OK pid={pid} amg_resid={r:.3e} pcg_resid={r2:.3e} "
-      f"amg_iters={s.last_iters} ranklocal_resid={r3:.3e}", flush=True)
+      f"amg_iters={s.last_iters} ranklocal_resid={r3:.3e} "
+      f"bsr_resid={r4:.3e} bsr_iters={s4.last_iters}", flush=True)
