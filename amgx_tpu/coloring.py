@@ -80,35 +80,109 @@ def _jones_plassmann(csr: CSRMatrix, level: int, min_max_only: bool,
     uncolored = colors < 0
     c = 0
     allowed_uncolored = int(max_uncolored * n)
-    while uncolored.sum() > allowed_uncolored:
-        nb_max = _row_max_of(adj, w, uncolored)
-        winners = uncolored & (w > nb_max)
-        if not winners.any():
-            # break ties by index
-            idx_w = w + np.arange(n) * 1e-18
-            nb_max = _row_max_of(adj, idx_w, uncolored)
-            winners = uncolored & (idx_w >= nb_max)
-            if not winners.any():
-                winners = uncolored.copy()
-                winners[np.nonzero(uncolored)[0][1:]] = False
-        if min_max_only:
-            colors[winners] = c
+    # live edge set (both endpoints uncolored), row-major order; edges die
+    # for good once an endpoint is colored, so per-round cost decays
+    # geometrically instead of re-scanning the full adjacency each color
+    idx_w = w + np.arange(n) * 1e-18
+    round_of = None
+    from .native import lib as _nl
+    nl = _nl()
+    if nl is not None and n:
+        # closed form: processing nodes by descending weight, round(i) =
+        # 1 + max round of higher-weight neighbours — one O(nnz) pass in
+        # the native kernel instead of per-round frontier scans
+        order_desc = np.argsort(-idx_w, kind="stable")
+        round_of = nl.jp_rounds(adj.indptr, adj.indices, order_desc)
+        if round_of is not None and allowed_uncolored:
+            # emulate the iterative early stop: the loop leaves the last
+            # <= allowed nodes (those in the highest rounds) uncolored
+            counts = np.bincount(round_of)
+            suffix = counts[::-1].cumsum()[::-1]
+            cut = np.nonzero(suffix <= allowed_uncolored)[0]
+            if cut.size:
+                round_of = np.where(round_of >= cut[0], -1, round_of)
+    if round_of is None:
+        # numpy fallback: round-parallel JP over a shrinking live-edge set
+        round_of = np.full(n, -1, np.int64)
+        rs = np.repeat(np.arange(n), np.diff(adj.indptr))
+        cs = adj.indices.copy()
+        act = np.arange(n)               # uncolored node ids, sorted
+
+        def _live_row_max(values):
+            out = np.full(act.size, -np.inf)
+            if rs.size:
+                first = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+                out[np.searchsorted(act, rs[first])] = \
+                    np.maximum.reduceat(values[cs], first)
+            return out
+
+        while act.size > allowed_uncolored:
+            nb_max = _live_row_max(w)
+            win_act = w[act] > nb_max
+            if not win_act.any():
+                # break ties by index
+                nb_max = _live_row_max(idx_w)
+                win_act = idx_w[act] >= nb_max
+                if not win_act.any():
+                    win_act[0] = True
+            win_idx = act[win_act]
+            round_of[win_idx] = c
             c += 1
+            uncolored[win_idx] = False
+            act = act[~win_act]
+            if rs.size:
+                live = uncolored[rs] & uncolored[cs]
+                rs, cs = rs[live], cs[live]
+    if min_max_only:
+        # MIN_MAX: one color per JP round
+        colors = round_of.astype(np.int32)
+        if allowed_uncolored and (colors < 0).any():
+            colors[colors < 0] = 0
+    else:
+        # PARALLEL_GREEDY: smallest available color, processed round-major.
+        # Winners of one round are mutually non-adjacent, so a sequential
+        # greedy pass in (round, index) order produces the identical
+        # coloring to the round-parallel assignment; the pass runs in the
+        # native C++ kernel when built.
+        won = round_of >= 0
+        order = np.flatnonzero(won)[
+            np.argsort(round_of[won], kind="stable")]
+        from .native import lib as _nl
+        nl = _nl()
+        if nl is not None and order.size:
+            colors, _ = _native_greedy(nl, adj, order, n)
         else:
-            # greedy: smallest color unused among already-colored neighbors
-            win_idx = np.nonzero(winners)[0]
-            for i in win_idx:
+            colors = np.full(n, -1, np.int32)
+            for i in order:
                 nb = adj.indices[adj.indptr[i]:adj.indptr[i + 1]]
                 used = set(colors[nb][colors[nb] >= 0].tolist())
                 ci = 0
                 while ci in used:
                     ci += 1
                 colors[i] = ci
-        uncolored = colors < 0
-    if allowed_uncolored and (colors < 0).any():
-        colors[colors < 0] = 0 if min_max_only else colors.max() + 1
+        if allowed_uncolored and (colors < 0).any():
+            colors[colors < 0] = colors.max() + 1
     num = int(colors.max()) + 1 if n else 1
     return MatrixColoring(colors, num)
+
+
+def _native_greedy(nl, adj, order, n):
+    """Native sequential greedy coloring over `order`; uncolored nodes
+    (not in order) keep -1 only if order is partial — the kernel colors
+    exactly the given order."""
+    indptr = np.ascontiguousarray(adj.indptr, np.int64)
+    indices = np.ascontiguousarray(adj.indices, np.int32)
+    if order.size < n:
+        # kernel colors every row in `order`; pad by appending the rest so
+        # array shapes line up, then reset the padded entries
+        full_order = np.concatenate(
+            [order, np.setdiff1d(np.arange(n), order)])
+        colors, num = nl.greedy_color(indptr, indices, full_order)
+        colors = np.asarray(colors, np.int32)
+        colors[np.setdiff1d(np.arange(n), order)] = -1
+        return colors, num
+    colors, num = nl.greedy_color(indptr, indices, order)
+    return np.asarray(colors, np.int32), num
 
 
 def _serial_greedy_bfs(csr: CSRMatrix, level: int) -> MatrixColoring:

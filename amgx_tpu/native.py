@@ -79,6 +79,13 @@ class _NativeLib:
         except AttributeError:
             self._has_coo = False
         try:
+            self._h.jp_rounds.restype = None
+            self._h.jp_rounds.argtypes = [ctypes.c_int64, i64p, i32p,
+                                          i64p, i64p]
+            self._has_jp = True
+        except AttributeError:
+            self._has_jp = False
+        try:
             self._h.agg_galerkin.restype = ctypes.c_int64
             self._h.agg_galerkin.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, i64p, i32p, f64p, i64p,
@@ -157,6 +164,24 @@ class _NativeLib:
             rl.ctypes.data_as(i32p), cl.ctypes.data_as(i32p),
             s_out.ctypes.data_as(i32p))
         return s_out
+
+    def jp_rounds(self, indptr, indices, order_desc):
+        """Closed-form Jones-Plassmann rounds; returns round_of array."""
+        if not self._has_jp:
+            return None
+        import ctypes
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        n = len(indptr) - 1
+        indptr = np.ascontiguousarray(indptr, np.int64)
+        indices = np.ascontiguousarray(indices, np.int32)
+        order_desc = np.ascontiguousarray(order_desc, np.int64)
+        round_of = np.zeros(n, np.int64)
+        self._h.jp_rounds(
+            n, indptr.ctypes.data_as(i64p), indices.ctypes.data_as(i32p),
+            order_desc.ctypes.data_as(i64p),
+            round_of.ctypes.data_as(i64p))
+        return round_of
 
     def agg_galerkin(self, a, agg, n_coarse):
         """Piecewise-constant Galerkin Ac = P^T A P for an aggregate map

@@ -193,6 +193,38 @@ def phase_amg(n_side: int):
         if getattr(s, "preconditioner", None) is not None else 0}))
 
 
+def phase_amg_classical(n_side: int):
+    """BASELINE row 2: Poisson-7pt classical AMG (PMIS + D2 interpolation,
+    multicolor Gauss-Seidel smoothing), fp64, standalone AMG solve."""
+    import amgx_tpu as amgx
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    a = amgx.gallery.poisson7pt(n_side, n_side, n_side, dtype=np.float64)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "AMG", "max_iters": 100, "tolerance": 1e-8,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "mode": "dDDI", "scope": "main",
+        "algorithm": "CLASSICAL", "selector": "PMIS",
+        "interpolator": "D2", "smoother": "MULTICOLOR_GS",
+        "presweeps": 1, "postsweeps": 1, "min_coarse_rows": 64,
+        "max_levels": 12, "cycle": "V",
+        "dense_threshold_rows": 4096}})
+    s = amgx.SolverFactory.allocate(cfg)
+    t0 = time.perf_counter()
+    s.setup(amgx.Matrix(a, mode="dDDI"))
+    setup_t = time.perf_counter() - t0
+    b = np.ones(a.n_rows)
+    x, status = s.solve(b)           # compile + solve
+    t0 = time.perf_counter()
+    x, status = s.solve(b)           # steady state
+    solve_t = time.perf_counter() - t0
+    h = [float(np.atleast_1d(v)[0]) for v in s.res_history]
+    print(json.dumps({
+        "n": a.n_rows, "nnz": a.nnz, "setup_s": setup_t,
+        "solve_s": solve_t, "iters": s.last_iters, "status": status,
+        "rel_resid": (h[-1] / h[0]) if h and h[0] else None}))
+
+
 def phase_scaling(n_side: int, n_dev: int):
     """nnz/s scaling efficiency 1 -> n_dev shards over the available devices
     (BASELINE: >=80 percent from 1 chip to N hosts). On a single-chip/CPU
@@ -271,6 +303,8 @@ def main():
     spmv_dia = _run_phase("spmv_dia", dia_args, deadlines[0])
     spmv_gather = _run_phase("spmv_gather", gat_args, deadlines[1])
     amg = _run_phase("amg", amg_args, deadlines[2])
+    amg_cla = _run_phase("amg_classical",
+                         (48,) if on_tpu else (16,), deadlines[2])
     scaling = _run_phase("scaling", (32 if on_tpu else 12, 8), 900)
     candidates = [r for r in (spmv_dia, spmv_gather) if "gbps" in r]
     sol = _hbm_gbps(kind)
@@ -288,7 +322,8 @@ def main():
         "detail": {"device": kind, "hbm_sol_gbps": sol,
                    "tpu_unreachable": bool(dev.get("tpu_unreachable")),
                    "spmv_dia": spmv_dia, "spmv_gather": spmv_gather,
-                   "amg_pcg": amg, "scaling": scaling},
+                   "amg_pcg": amg, "amg_classical": amg_cla,
+                   "scaling": scaling},
     }))
 
 
@@ -302,6 +337,7 @@ if __name__ == "__main__":
         args = [int(a) for a in sys.argv[3:]]
         {"device": phase_device, "spmv_dia": phase_spmv_dia,
          "spmv_ell": phase_spmv_ell, "spmv_gather": phase_spmv_gather,
-         "amg": phase_amg, "scaling": phase_scaling}[name](*args)
+         "amg": phase_amg, "amg_classical": phase_amg_classical,
+         "scaling": phase_scaling}[name](*args)
     else:
         main()

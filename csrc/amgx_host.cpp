@@ -442,6 +442,32 @@ int64_t pairwise_match(int64_t n, const int64_t* indptr,
     return next_id;
 }
 
+// Jones-Plassmann round computation in closed form: processing nodes by
+// descending effective weight, round(i) = 1 + max round of already-
+// processed (higher-weight) neighbours, 0 if none. Equivalent to the
+// round-parallel JP iteration (a node wins the first round after all its
+// higher-weight neighbours are colored) without any per-round scans.
+// `order_desc` = node ids sorted by weight descending (ties pre-broken).
+void jp_rounds(int64_t n, const int64_t* indptr, const int32_t* indices,
+               const int64_t* order_desc, int64_t* round_of) {
+    std::vector<int64_t> rank(static_cast<size_t>(n));
+    for (int64_t oi = 0; oi < n; ++oi)
+        rank[static_cast<size_t>(order_desc[oi])] = oi;
+    for (int64_t oi = 0; oi < n; ++oi) {
+        const int64_t i = order_desc[oi];
+        int64_t r = 0;
+        for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+            const int32_t j = indices[k];
+            if (j == static_cast<int32_t>(i)) continue;
+            if (rank[static_cast<size_t>(j)] < oi) {
+                const int64_t rj = round_of[j] + 1;
+                if (rj > r) r = rj;
+            }
+        }
+        round_of[i] = r;
+    }
+}
+
 // Greedy graph coloring in a caller-supplied order; returns #colors.
 int32_t greedy_color(int64_t n, const int64_t* indptr,
                      const int32_t* indices, const int64_t* order,
