@@ -450,14 +450,16 @@ def distance2_interpolation(csr: CSRMatrix, strong: np.ndarray,
     safe_diag = np.where(diag == 0, 1.0, diag)
     scale = sp.diags(-alpha / safe_diag)
     p = (scale @ w).tocsr()
-    # C rows: identity
-    p = p.tolil()
-    for i in np.nonzero(c_mask)[0]:
-        p.rows[i] = [int(cf_map[i])]
-        p.data[i] = [1.0]
-    p = p.tocsr()
-    p.eliminate_zeros()
-    out = CSRMatrix(n, nc, p.indptr, p.indices, p.data)
+    # assemble final P: F rows from the scaled stencil, C rows = identity
+    prow = np.repeat(np.arange(n), np.diff(p.indptr))
+    fsel = ~c_mask[prow] & (p.data != 0)
+    c_idx = np.nonzero(c_mask)[0]
+    out = CSRMatrix.from_coo(
+        n, nc,
+        np.concatenate([prow[fsel], c_idx]),
+        np.concatenate([p.indices[fsel].astype(np.int64), cf_map[c_idx]]),
+        np.concatenate([p.data[fsel], np.ones(c_idx.size)]),
+        sum_duplicates=False)
     # fall back to multipass for F rows left empty (no strong path to C)
     empty_f = (out.row_nnz() == 0) & ~c_mask
     if empty_f.any():
