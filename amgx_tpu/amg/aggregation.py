@@ -50,6 +50,10 @@ def _edge_weights(csr: CSRMatrix, formula: int = 0,
     w = w.tocsr()
     w.setdiag(0)
     w.eliminate_zeros()
+    if np.iscomplexobj(w.data):
+        # matching weights are real by definition (reference: Notay weights
+        # on Hermitian operators); match on the real part for complex modes
+        w.data = np.ascontiguousarray(w.data.real)
     return w
 
 

@@ -196,6 +196,7 @@ class _SolverHandle:
                     self.dist_solver = None
         self._pv_order = getattr(m, "_pv_order", None)
         self._rank_local = getattr(m, "_rank_local", None)
+        self._rl_bx = m.csr.block_dim[0] if m.csr is not None else 1
         self.solver.setup(m)
 
     def resetup(self, m: Matrix):

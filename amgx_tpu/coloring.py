@@ -147,8 +147,6 @@ def _jones_plassmann(csr: CSRMatrix, level: int, min_max_only: bool,
         won = round_of >= 0
         order = np.flatnonzero(won)[
             np.argsort(round_of[won], kind="stable")]
-        from .native import lib as _nl
-        nl = _nl()
         if nl is not None and order.size:
             colors, _ = _native_greedy(nl, adj, order, n)
         else:
@@ -175,11 +173,11 @@ def _native_greedy(nl, adj, order, n):
     if order.size < n:
         # kernel colors every row in `order`; pad by appending the rest so
         # array shapes line up, then reset the padded entries
-        full_order = np.concatenate(
-            [order, np.setdiff1d(np.arange(n), order)])
-        colors, num = nl.greedy_color(indptr, indices, full_order)
+        rest = np.setdiff1d(np.arange(n), order)
+        colors, num = nl.greedy_color(indptr, indices,
+                                      np.concatenate([order, rest]))
         colors = np.asarray(colors, np.int32)
-        colors[np.setdiff1d(np.arange(n), order)] = -1
+        colors[rest] = -1
         return colors, num
     colors, num = nl.greedy_color(indptr, indices, order)
     return np.asarray(colors, np.int32), num

@@ -88,6 +88,16 @@ def aggregation_galerkin(a: CSRMatrix, agg: np.ndarray,
     """Ac[I,J] = sum_{i in I, j in J} A[i,j] for piecewise-constant
     aggregation (reference: aggregation coarseAgenerators LOW_DEG/THRUST,
     core/src/aggregation/coarseAgenerators/). One sort+reduce, no SpGEMM."""
+    def _fold_diag(ac):
+        if a.diag_data is None:
+            return ac
+        d_rows = agg[np.arange(a.n_rows)]
+        keep = d_rows >= 0
+        extra = CSRMatrix.from_coo(n_coarse, n_coarse, d_rows[keep],
+                                   d_rows[keep], a.diag_data[keep],
+                                   block_dim=a.block_dim)
+        return csr_add(ac, extra)
+
     lib = _native()
     if (lib is not None and a.block_dim == (1, 1)
             and a.data.dtype in (np.float32, np.float64)
@@ -95,35 +105,17 @@ def aggregation_galerkin(a: CSRMatrix, agg: np.ndarray,
         out = lib.agg_galerkin(a, agg, n_coarse)
         if out is not None:
             indptr, cols, vals = out
-            ac = CSRMatrix(n_coarse, n_coarse, indptr, cols,
-                           vals.astype(a.data.dtype, copy=False))
-            if a.diag_data is not None:
-                d_rows = agg[np.arange(a.n_rows)]
-                keep = d_rows >= 0
-                extra = CSRMatrix.from_coo(
-                    n_coarse, n_coarse, d_rows[keep], d_rows[keep],
-                    a.diag_data[keep], block_dim=a.block_dim)
-                ac = csr_add(ac, extra)
-            return ac
+            return _fold_diag(CSRMatrix(
+                n_coarse, n_coarse, indptr, cols,
+                vals.astype(a.data.dtype, copy=False)))
     rows = np.repeat(np.arange(a.n_rows, dtype=np.int64), a.row_nnz())
     c_rows = agg[rows]
     c_cols = agg[a.indices]
     keep = (c_rows >= 0) & (c_cols >= 0)
-    if a.block_dim == (1, 1):
-        ac = CSRMatrix.from_coo(n_coarse, n_coarse, c_rows[keep],
-                                c_cols[keep], a.data[keep])
-    else:
-        ac = CSRMatrix.from_coo(n_coarse, n_coarse, c_rows[keep],
-                                c_cols[keep], a.data[keep],
-                                block_dim=a.block_dim)
-    if a.diag_data is not None:
-        d_rows = agg[np.arange(a.n_rows)]
-        keep = d_rows >= 0
-        extra = CSRMatrix.from_coo(n_coarse, n_coarse, d_rows[keep],
-                                   d_rows[keep], a.diag_data[keep],
-                                   block_dim=a.block_dim)
-        ac = csr_add(ac, extra)
-    return ac
+    ac = CSRMatrix.from_coo(n_coarse, n_coarse, c_rows[keep],
+                            c_cols[keep], a.data[keep],
+                            block_dim=a.block_dim)
+    return _fold_diag(ac)
 
 
 def csr_add(a: CSRMatrix, b: CSRMatrix) -> CSRMatrix:

@@ -75,6 +75,7 @@ class Solver:
         self.use_scalar_norm = bool(g("use_scalar_norm"))
         self.relaxation_factor = g("relaxation_factor")
         self.mode = g("mode")
+        self._cfg_mode = self.mode      # pre-promotion mode from the config
         self.convergence = make_convergence(cfg, scope)
         self.tolerance = g("tolerance")
 
@@ -108,7 +109,7 @@ class Solver:
                 # complex arithmetic with the level matrix (reference: the
                 # mode is a template parameter threaded through allocation)
                 from ..matrix import _complex_mode
-                self.mode = _complex_mode(self.mode, m.csr.data)
+                self.mode = _complex_mode(self._cfg_mode, m.csr.data)
             if self.needs_coloring and m.coloring is None \
                     and m.csr is not None:
                 from ..coloring import color_matrix
