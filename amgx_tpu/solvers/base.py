@@ -134,9 +134,18 @@ class Solver:
                 _out(f"  {sc}:{name} = {val!r}")
         with profile_phase(f"setup:{type(self).__name__}"):
             self.solver_setup()
-        self._jit_iteration = None
-        self._jit_first = None
-        self._jit_fused = None
+        # NOTE: the jit caches are intentionally NOT reset: every solve
+        # program takes the whole device-state pytree as a jit operand
+        # (see _device_state), so a re-setup with unchanged structure (the
+        # resetup / replace_coefficients time-stepping path) reuses the
+        # compiled programs; structural changes recompile via the pytree
+        # treedef in jit's cache key. Exotic operators that aren't pytree
+        # nodes can't ride as operands — invalidate for those.
+        if not (self.op is None or isinstance(self.op, jax.Array)
+                or hasattr(self.op, "tree_flatten")):
+            self._jit_iteration = None
+            self._jit_first = None
+            self._jit_fused = None
         self.setup_time = time.perf_counter() - t0
 
     def _maybe_reorder(self, m: Matrix) -> Matrix:
@@ -374,12 +383,28 @@ class Solver:
             r, self.norm, bd, self.use_scalar_norm or bd == 1)
 
         if self._jit_iteration is None:
-            self._jit_iteration = jax.jit(
-                lambda b_, x_, s_: self.solve_iteration(b_, x_, s_))
+            # device state rides as an operand (cf. _solve_fused) so these
+            # programs survive value-only re-setups without retracing
+            def _it(dev, b_, x_, s_):
+                saved = self._apply_device_state(dev)
+                try:
+                    return self.solve_iteration(b_, x_, s_)
+                finally:
+                    self._apply_device_state(saved)
+
+            def _first(dev, b_, x_, zg):
+                saved = self._apply_device_state(dev)
+                try:
+                    return self.first_iteration(
+                        b_, x_, self.solve_init(b_, x_, zg), zg)
+                finally:
+                    self._apply_device_state(saved)
+
+            self._jit_iteration = jax.jit(_it)
             # two first-iteration programs: zero guess / warm start
             self._jit_first = {
-                zg: jax.jit(lambda b_, x_, zg=zg: self.first_iteration(
-                    b_, x_, self.solve_init(b_, x_, zg), zg))
+                zg: jax.jit(lambda dev, b_, x_, zg=zg: _first(
+                    dev, b_, x_, zg))
                 for zg in (False, True)}
         zg = bool(zero_initial_guess)
 
@@ -401,9 +426,10 @@ class Solver:
         state = None
         while not done and it < self.max_iters:
             if it == 0:
-                x, state = self._jit_first[zg](b, x)
+                x, state = self._jit_first[zg](self._device_state(), b, x)
             else:
-                x, state = self._jit_iteration(b, x, state)
+                x, state = self._jit_iteration(self._device_state(), b, x,
+                                               state)
             it += 1
             if self.monitor_residual:
                 if (isinstance(state, dict) and "nrm" in state
@@ -436,14 +462,48 @@ class Solver:
             self._print_footer(status, it)
         return x, status
 
+    # -- device-state pytree (operator + factors as jit operands) -------------
+
+    def _device_state(self):
+        """Collect every device buffer the traced solve reads — operators,
+        inverse diagonals, LU factors, color tables, spectral bounds —
+        keyed by attribute path. Passing this pytree as a jit operand (and
+        rebinding it during trace, _solve_fused) makes the compiled fused
+        program reusable across value-only re-setups: the reference's
+        resetup/replace_coefficients time-stepping path never pays a
+        re-trace, only new device buffers."""
+        state = {}
+        _collect_device_state(self, "", state, set())
+        return state
+
+    def _apply_device_state(self, state):
+        """Set buffers from a `_device_state` pytree; returns the previous
+        values so a trace-time rebind can be undone."""
+        saved = {}
+        for path, val in state.items():
+            obj = self
+            parts = path.split(".")
+            for p in parts[:-1]:
+                obj = _state_child(obj, p)
+            leaf = parts[-1]
+            saved[path] = getattr(obj, leaf)
+            setattr(obj, leaf, val)
+        return saved
+
     def _solve_fused(self, b, x, zg: bool, t0: float):
         if getattr(self, "_jit_fused", None) is None:
             self._jit_fused = {}
         fn = self._jit_fused.get(zg)
         if fn is None:
-            fn = jax.jit(self._fused_solve_fn(zg))
+            def run(dev_state, b_, x_, zg=zg):
+                saved = self._apply_device_state(dev_state)
+                try:
+                    return self._fused_solve_fn(zg)(b_, x_)
+                finally:
+                    self._apply_device_state(saved)
+            fn = jax.jit(run)
             self._jit_fused[zg] = fn
-        x_f, it_dev, hist = fn(b, x)
+        x_f, it_dev, hist = fn(self._device_state(), b, x)
         x_f.block_until_ready()
         it = int(it_dev)
         status = SolveStatus.SUCCESS
@@ -520,6 +580,56 @@ class Solver:
             _out(f"    solve: {self.solve_time:10.4f} s")
             per_it = self.solve_time / max(1, iters)
             _out(f"    solve(per iteration): {per_it:10.4f} s")
+
+
+def _is_device_leaf(val) -> bool:
+    """True for values that can ride as jit operands wholesale: device
+    arrays, registered device-op pytrees (EllMatrix/DiaMatrix/BandMatrix/
+    DenseOperator/GatherMatrix duck-typed via tree_flatten+apply), and
+    plain containers whose leaves are all device arrays."""
+    if isinstance(val, jax.Array):
+        return True
+    if isinstance(val, (tuple, list, dict)):
+        leaves = jax.tree_util.tree_leaves(val)
+        return bool(leaves) and all(isinstance(l, jax.Array)
+                                    for l in leaves)
+    return hasattr(val, "tree_flatten") and hasattr(val, "apply")
+
+
+def _collect_device_state(obj, prefix: str, state: dict, seen: set) -> None:
+    """Walk a solver tree (Solver / AMG / AMGLevel / Matrix) gathering
+    device buffers into `state` keyed by dotted attribute path (list
+    elements as `name[i]`)."""
+    if obj is None or id(obj) in seen:
+        return
+    seen.add(id(obj))
+    if isinstance(obj, Matrix):
+        dop = getattr(obj, "_device_op", None)
+        if dop is not None and _is_device_leaf(dop):
+            state[f"{prefix}._device_op" if prefix else "_device_op"] = dop
+        return
+    for name in sorted(vars(obj)):
+        if name.startswith("_jit") or name in ("cfg", "res_history",
+                                               "convergence"):
+            continue
+        val = vars(obj)[name]
+        path = f"{prefix}.{name}" if prefix else name
+        if _is_device_leaf(val):
+            state[path] = val
+        elif isinstance(val, (Solver, Matrix)) or \
+                type(val).__name__ in ("AMG", "AMGLevel"):
+            _collect_device_state(val, path, state, seen)
+        elif isinstance(val, list) and val and \
+                type(val[0]).__name__ == "AMGLevel":
+            for i, lv in enumerate(val):
+                _collect_device_state(lv, f"{path}[{i}]", state, seen)
+
+
+def _state_child(obj, token: str):
+    if token.endswith("]"):
+        name, idx = token[:-1].split("[")
+        return getattr(obj, name)[int(idx)]
+    return getattr(obj, token)
 
 
 def _mem_gb() -> float:

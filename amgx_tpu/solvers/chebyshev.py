@@ -81,7 +81,11 @@ class ChebyshevSolver(_PreconditionedSolver):
             lmax = _power_lambda_max(fn, n, vec_dt, self.est_iters)
             lmax *= 1.05                     # safety margin
             lmin = lmax * (self.user_min / max(self.user_max, 1e-30))
-        self.lmax, self.lmin = float(lmax), float(lmin)
+        # device scalars so the bounds ride in the fused program's operand
+        # pytree (Solver._device_state) — a resetup with a shifted spectrum
+        # reuses the compiled program with fresh bounds
+        self.lmax = jnp.asarray(float(lmax))
+        self.lmin = jnp.asarray(float(lmin))
 
     def solve_init(self, b, x, zero_guess):
         r = b if zero_guess else b - self.op.apply(x)
@@ -136,7 +140,8 @@ class ChebyshevPolySolver(Solver):
         lmax = 1.05 * _power_lambda_max(fn, self.vec_len, vec_dt,
                                         self.est_iters)
         ratio = self.user_min / max(self.user_max, 1e-30)
-        self.lmax, self.lmin = lmax, lmax * ratio
+        self.lmax = jnp.asarray(float(lmax))
+        self.lmin = jnp.asarray(float(lmax) * ratio)
 
     def solve_init(self, b, x, zero_guess):
         return None

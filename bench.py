@@ -225,6 +225,50 @@ def phase_amg_classical(n_side: int):
         "rel_resid": (h[-1] / h[0]) if h and h[0] else None}))
 
 
+def phase_toy():
+    """The reference's only published benchmark (README.md:100-112):
+    examples/matrix.mtx (12 rows, 61 nnz) with FGMRES_AGGREGATION.json —
+    setup 1.00 ms / solve 0.689 ms / 9 iters / resid 1.65e-13 on its GPU.
+    Steady-state (warm program cache, as in a time-stepping loop)."""
+    import amgx_tpu as amgx
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from amgx_tpu import capi
+    amgx.initialize()
+    _, cfg = capi.AMGX_config_create_from_file(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "amgx_tpu/configs/FGMRES_AGGREGATION.json"))
+    _, rsrc = capi.AMGX_resources_create_simple(cfg)
+    _, mh = capi.AMGX_matrix_create(rsrc, "dDDI")
+    _, bh = capi.AMGX_vector_create(rsrc, "dDDI")
+    _, xh = capi.AMGX_vector_create(rsrc, "dDDI")
+    mtx = "/root/reference/examples/matrix.mtx"
+    if not os.path.exists(mtx):
+        print(json.dumps({"error": "reference matrix.mtx not found"}))
+        return
+    capi.AMGX_read_system(mh, bh, xh, mtx)
+    _, sh = capi.AMGX_solver_create(rsrc, "dDDI", cfg)
+    capi.AMGX_solver_setup(sh, mh)          # warm-up (compiles)
+    capi.AMGX_solver_solve_with_0_initial_guess(sh, bh, xh)
+    setup_best = solve_best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        capi.AMGX_solver_setup(sh, mh)
+        setup_best = min(setup_best, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        capi.AMGX_solver_solve_with_0_initial_guess(sh, bh, xh)
+        solve_best = min(solve_best, time.perf_counter() - t0)
+    _, x = capi.AMGX_vector_download(xh)
+    r = float(np.linalg.norm(bh.data - mh.csr.to_scipy() @ x))
+    _, iters = capi.AMGX_solver_get_iterations_number(sh)
+    print(json.dumps({
+        "setup_ms": round(setup_best * 1e3, 3),
+        "solve_ms": round(solve_best * 1e3, 3),
+        "iters": iters, "true_resid": r,
+        "reference": {"setup_ms": 1.00, "solve_ms": 0.689, "iters": 9,
+                      "final_resid": 1.651436e-13}}))
+
+
 def phase_scaling(n_side: int, n_dev: int):
     """nnz/s scaling efficiency 1 -> n_dev shards over the available devices
     (BASELINE: >=80 percent from 1 chip to N hosts). On a single-chip/CPU
@@ -305,6 +349,7 @@ def main():
     amg = _run_phase("amg", amg_args, deadlines[2])
     amg_cla = _run_phase("amg_classical",
                          (48,) if on_tpu else (16,), deadlines[2])
+    toy = _run_phase("toy", (), 420)
     scaling = _run_phase("scaling", (32 if on_tpu else 12, 8), 900)
     candidates = [r for r in (spmv_dia, spmv_gather) if "gbps" in r]
     sol = _hbm_gbps(kind)
@@ -323,7 +368,7 @@ def main():
                    "tpu_unreachable": bool(dev.get("tpu_unreachable")),
                    "spmv_dia": spmv_dia, "spmv_gather": spmv_gather,
                    "amg_pcg": amg, "amg_classical": amg_cla,
-                   "scaling": scaling},
+                   "toy_vs_reference": toy, "scaling": scaling},
     }))
 
 
@@ -338,6 +383,6 @@ if __name__ == "__main__":
         {"device": phase_device, "spmv_dia": phase_spmv_dia,
          "spmv_ell": phase_spmv_ell, "spmv_gather": phase_spmv_gather,
          "amg": phase_amg, "amg_classical": phase_amg_classical,
-         "scaling": phase_scaling}[name](*args)
+         "toy": phase_toy, "scaling": phase_scaling}[name](*args)
     else:
         main()

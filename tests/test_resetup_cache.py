@@ -1,0 +1,95 @@
+"""Compiled-program reuse across value-only re-setups.
+
+The reference's time-stepping path (AMGX_matrix_replace_coefficients +
+AMGX_solver_resetup, amgx_c.h:304-309) assumes setup/solve per step is
+cheap. Under JAX a retrace costs ~0.5 s on CPU and a full remote compile
+through a TPU tunnel, so the solve programs take the whole device-state
+pytree as a jit operand (Solver._device_state): same structure -> same
+compiled program, fresh buffers. These tests pin that behavior.
+"""
+
+import numpy as np
+import pytest
+
+import amgx_tpu as amgx
+from amgx_tpu.matrix import CSRMatrix
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _init():
+    amgx.initialize()
+
+
+def _scaled(a: CSRMatrix, f: float) -> CSRMatrix:
+    return CSRMatrix(a.n_rows, a.n_cols, a.indptr, a.indices, a.data * f)
+
+
+def test_fused_pcg_amg_no_retrace():
+    a = amgx.gallery.poisson5pt(24, 24)
+    b = np.ones(a.n_rows)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "PCG", "max_iters": 200, "tolerance": 1e-10,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "algorithm": "AGGREGATION", "selector": "SIZE_2",
+                           "smoother": "CHEBYSHEV",
+                           "chebyshev_polynomial_order": 3,
+                           "presweeps": 1, "postsweeps": 1, "max_iters": 1,
+                           "min_coarse_rows": 16, "max_levels": 6,
+                           "cycle": "V"}}})
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a))
+    x, st = s.solve(b)
+    assert st == 0
+    # time step: same structure, new values (includes new Chebyshev bounds)
+    a2 = _scaled(a, 2.5)
+    s.setup(amgx.Matrix(a2))
+    x2, st2 = s.solve(b)
+    r2 = np.linalg.norm(b - a2.to_scipy() @ s.extract_vector(x2))
+    assert st2 == 0 and r2 < 1e-7
+    for fn in (s._jit_fused or {}).values():
+        assert fn._cache_size() == 1, "value-only re-setup retraced"
+    # matches a from-scratch solver bit-for-bit
+    sf = amgx.SolverFactory.allocate(cfg)
+    sf.setup(amgx.Matrix(a2))
+    xf, _ = sf.solve(b)
+    assert np.abs(s.extract_vector(x2) - sf.extract_vector(xf)).max() == 0.0
+
+
+def test_monitored_gmres_no_retrace():
+    """The non-fused (host-monitored) path reuses its per-iteration
+    programs too."""
+    a = amgx.gallery.poisson5pt(16, 16)
+    b = np.ones(a.n_rows)
+    cfg = amgx.AMGConfig(
+        "config_version=2, solver=FGMRES, preconditioner=BLOCK_JACOBI, "
+        "max_iters=150, gmres_n_restart=30, tolerance=1e-10, "
+        "convergence=RELATIVE_INI, monitor_residual=1, fused_solve=0")
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a))
+    s.solve(b)
+    it_fn = s._jit_iteration
+    assert it_fn is not None
+    s.setup(amgx.Matrix(_scaled(a, 0.3)))
+    x2, st2 = s.solve(b)
+    assert st2 == 0
+    assert s._jit_iteration is it_fn and it_fn._cache_size() == 1
+    r = np.linalg.norm(b - 0.3 * a.to_scipy() @ s.extract_vector(x2))
+    assert r < 1e-7
+
+
+def test_structure_change_recompiles_correctly():
+    """A different sparsity/shape must produce correct answers (fresh
+    compile keyed by the operand treedef), not stale-shape errors."""
+    cfg = amgx.AMGConfig(
+        "solver=PCG, preconditioner=BLOCK_JACOBI, max_iters=300, "
+        "tolerance=1e-10, convergence=RELATIVE_INI, monitor_residual=1")
+    s = amgx.SolverFactory.allocate(cfg)
+    for nx in (16, 20):
+        a = amgx.gallery.poisson5pt(nx, nx)
+        b = np.ones(a.n_rows)
+        s.setup(amgx.Matrix(a))
+        x, st = s.solve(b)
+        r = np.linalg.norm(b - a.to_scipy() @ s.extract_vector(x))
+        assert st == 0 and r < 1e-7, (nx, st, r)
