@@ -28,6 +28,44 @@ from . import comms
 from .partition import DistEllMatrix, RowPartition
 
 
+def _flatten_level_args(args):
+    """None placeholders -> () so the level args form a uniform pytree."""
+    return tuple((a_args, p_args or (), r_args or (), inv_diag,
+                  coarse or ())
+                 for (a_args, p_args, r_args, inv_diag, coarse) in args)
+
+
+def _unflatten(flat):
+    return [(a_args, p_args or None, r_args or None, inv_diag,
+             coarse or None)
+            for (a_args, p_args, r_args, inv_diag, coarse) in flat]
+
+
+def _freeze(obj):
+    """Equality-comparable snapshot of nested static metadata (numpy
+    arrays compared by shape/dtype/content digest)."""
+    import hashlib
+    if isinstance(obj, jax.Array):
+        obj = np.asarray(obj)
+    if isinstance(obj, np.ndarray):
+        return ("nd", obj.shape, obj.dtype.str,
+                hashlib.sha1(np.ascontiguousarray(obj).tobytes())
+                .hexdigest())
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    return obj
+
+
+def _tree_sig(tree):
+    """Pytree structure + leaf shapes/dtypes (NOT values)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    return (str(treedef),
+            tuple((getattr(l, "shape", ()), str(getattr(l, "dtype", "")))
+                  for l in leaves))
+
+
 def make_mesh(n_dev: Optional[int] = None, axis: str = "x") -> Mesh:
     devs = jax.devices()
     n = n_dev or len(devs)
@@ -995,6 +1033,31 @@ class DistributedSolver:
                    getattr(a0, "band_meta", None),
                    getattr(a0, "nbr_perms", None))
 
+        # Memoize the jitted SPMD programs on everything the closures bake
+        # in statically: a values-only resetup (same partitions/sparsity/
+        # solver config — the replace_coefficients time-stepping path)
+        # reuses the compiled programs with fresh operand arrays instead of
+        # paying a full re-trace/compile per step. Spectral bounds are part
+        # of the signature, so Chebyshev-smoothed configs retrace only when
+        # the bounds actually move.
+        sig = (self.solver_name, self.max_iters, self.tolerance,
+               str(self.convergence), n_lvls, split0, bx, by, structured,
+               s_dim, m_rst, getattr(self, "presweeps", None),
+               getattr(self, "postsweeps", None),
+               getattr(self, "cycle_type", None),
+               getattr(self, "cheby_smoothing", None),
+               getattr(self, "cheby_order", None),
+               getattr(self, "smooth_damp", None),
+               _freeze(self._level_static), _freeze(self._pr_perms),
+               _freeze(getattr(self, "_cheby_bounds", None)),
+               _freeze(getattr(self, "_cheb_solver_bounds", None)),
+               _tree_sig(self._mat_args), _tree_sig(lvl_args))
+        if sig == getattr(self, "_step_sig", None) and \
+                getattr(self, "_jit_solve_fused", None) is not None:
+            self._flat_args = _flatten_level_args(lvl_args)
+            return
+        self._step_sig = sig
+
         def spmv0(mat, v):
             if "pack" not in mat:           # halo-free (e.g. 1 active shard)
                 return jnp.sum(mat["vals"] * v[mat["cols"]], axis=1)
@@ -1237,21 +1300,7 @@ class DistributedSolver:
                 return (x, z, r, z, comms.dist_dot(r, z, ax)), nrm
             return (x, z, r, comms.dist_dot(r, z, ax)), nrm
 
-        def _flatten(args):
-            flat = []
-            for (a_args, p_args, r_args, inv_diag, coarse) in args:
-                flat.append((a_args, p_args or (), r_args or (),
-                             inv_diag, coarse or ()))
-            return tuple(flat)
-
-        def _unflatten(flat):
-            out = []
-            for (a_args, p_args, r_args, inv_diag, coarse) in flat:
-                out.append((a_args, p_args or None, r_args or None,
-                            inv_diag, coarse or None))
-            return out
-
-        self._flat_args = _flatten(lvl_args)
+        self._flat_args = _flatten_level_args(lvl_args)
         spec_rep = P()
         shard = P(ax)
         mat_specs = jax.tree.map(lambda _: shard, self._mat_args)

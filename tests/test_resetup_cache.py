@@ -79,6 +79,39 @@ def test_monitored_gmres_no_retrace():
     assert r < 1e-7
 
 
+def test_distributed_resetup_reuses_program():
+    """DistributedSolver._build_step memoizes the SPMD programs on their
+    static signature: a values-only resetup must not rebuild/retrace."""
+    import jax
+    from amgx_tpu.distributed.solve import DistributedSolver, make_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    a = amgx.gallery.poisson7pt(10, 10, 10)
+    b = np.ones(a.n_rows)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "PCG", "max_iters": 100, "tolerance": 1e-10,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "algorithm": "AGGREGATION", "selector": "SIZE_2",
+                           "smoother": "BLOCK_JACOBI",
+                           "relaxation_factor": 0.7, "presweeps": 1,
+                           "postsweeps": 1, "max_iters": 1,
+                           "min_coarse_rows": 32, "max_levels": 12,
+                           "cycle": "V"}}})
+    s = DistributedSolver(cfg, make_mesh(8))
+    s.setup(a)
+    s.solve(b)
+    fused = s._jit_solve_fused
+    a2 = _scaled(a, 3.0)
+    s.resetup(a2)
+    assert s._jit_solve_fused is fused, "resetup rebuilt the SPMD program"
+    x2, st2 = s.solve(b)
+    assert fused._cache_size() == 1, "values-only resetup retraced"
+    r2 = np.linalg.norm(b - a2.to_scipy() @ np.asarray(x2))
+    assert st2 == 0 and r2 < 1e-7
+
+
 def test_structure_change_recompiles_correctly():
     """A different sparsity/shape must produce correct answers (fresh
     compile keyed by the operand treedef), not stale-shape errors."""
