@@ -93,10 +93,14 @@ class CSRMatrix:
                  cols: np.ndarray, vals: np.ndarray,
                  block_dim: Tuple[int, int] = (1, 1),
                  sum_duplicates: bool = True) -> "CSRMatrix":
+        """COO -> sorted CSR. ``sum_duplicates=False`` is a caller promise
+        that no (row, col) pair repeats (permutations, disjoint
+        assemblies) — both the native and numpy paths may then still merge
+        any duplicates that do appear, so the promise must hold."""
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
-        if (sum_duplicates and vals.dtype in (np.float32, np.float64)
+        if (vals.dtype in (np.float32, np.float64)
                 and rows.size and n_rows > 1024):
             from .native import lib as _nl
             nl = _nl()
