@@ -269,6 +269,49 @@ def phase_toy():
                       "final_resid": 1.651436e-13}}))
 
 
+def phase_eigen(n_side: int):
+    """BASELINE row 5: LANCZOS (largest eigenvalue of Poisson-7pt, checked
+    against the analytic value) and PageRank power iteration, on the
+    single-chip eigensolver substrate."""
+    import amgx_tpu as amgx
+    a = amgx.gallery.poisson7pt(n_side, n_side, n_side, dtype=np.float32)
+    out = {"n": a.n_rows, "nnz": a.nnz}
+    cfg = amgx.AMGConfig(
+        "eig_solver=LANCZOS, eig_max_iters=60, "
+        "eig_tolerance=1e-6, eig_which=largest")
+    es = amgx.EigenSolverFactory.allocate(cfg)
+    es.setup(amgx.Matrix(a, mode="dFFI"))
+    t0 = time.perf_counter()
+    evals, _ = es.solve()
+    dt = time.perf_counter() - t0
+    lam = float(np.atleast_1d(np.asarray(evals))[0])
+    # 7-pt Laplacian: lambda_max = 12 sin^2(N pi / (2(N+1)))
+    exact = 12.0 * np.sin(n_side * np.pi / (2.0 * (n_side + 1))) ** 2
+    out["lanczos"] = {"lambda_max": lam, "exact": float(exact),
+                      "rel_err": abs(lam - exact) / exact,
+                      "time_s": dt, "iters": es.last_iters}
+    # PageRank on a synthetic directed graph (power iteration via the
+    # PagerankOperator substrate)
+    rng = np.random.default_rng(0)
+    ng = max(2048, a.n_rows // 8)
+    deg = 8
+    rows = np.repeat(np.arange(ng), deg)
+    cols = rng.integers(0, ng, size=ng * deg)
+    from amgx_tpu.matrix import CSRMatrix
+    g = CSRMatrix.from_coo(ng, ng, rows, cols,
+                           np.ones(ng * deg, np.float32))
+    cfg2 = amgx.AMGConfig(
+        "eig_solver=SINGLE_ITERATION, eig_max_iters=200, "
+        "eig_tolerance=1e-8, eig_which=pagerank, eig_damping_factor=0.85")
+    es2 = amgx.EigenSolverFactory.allocate(cfg2)
+    es2.setup(amgx.Matrix(g, mode="dFFI"))
+    t0 = time.perf_counter()
+    es2.solve()
+    out["pagerank"] = {"n": ng, "time_s": time.perf_counter() - t0,
+                       "iters": es2.last_iters}
+    print(json.dumps(out))
+
+
 def phase_scaling(n_side: int, n_dev: int):
     """nnz/s scaling efficiency 1 -> n_dev shards over the available devices
     (BASELINE: >=80 percent from 1 chip to N hosts). On a single-chip/CPU
@@ -350,6 +393,7 @@ def main():
     amg_cla = _run_phase("amg_classical",
                          (48,) if on_tpu else (16,), deadlines[2])
     toy = _run_phase("toy", (), 420)
+    eig = _run_phase("eigen", (64,) if on_tpu else (16,), 600)
     scaling = _run_phase("scaling", (32 if on_tpu else 12, 8), 900)
     candidates = [r for r in (spmv_dia, spmv_gather) if "gbps" in r]
     sol = _hbm_gbps(kind)
@@ -368,7 +412,8 @@ def main():
                    "tpu_unreachable": bool(dev.get("tpu_unreachable")),
                    "spmv_dia": spmv_dia, "spmv_gather": spmv_gather,
                    "amg_pcg": amg, "amg_classical": amg_cla,
-                   "toy_vs_reference": toy, "scaling": scaling},
+                   "toy_vs_reference": toy, "eigen": eig,
+                   "scaling": scaling},
     }))
 
 
@@ -383,6 +428,7 @@ if __name__ == "__main__":
         {"device": phase_device, "spmv_dia": phase_spmv_dia,
          "spmv_ell": phase_spmv_ell, "spmv_gather": phase_spmv_gather,
          "amg": phase_amg, "amg_classical": phase_amg_classical,
-         "toy": phase_toy, "scaling": phase_scaling}[name](*args)
+         "toy": phase_toy, "eigen": phase_eigen,
+         "scaling": phase_scaling}[name](*args)
     else:
         main()
