@@ -427,16 +427,18 @@ def distance2_interpolation(csr: CSRMatrix, strong: np.ndarray,
     safe_den = np.where(denom == 0, 1.0, denom)
     d_rows = s_rows[col_is_c]
     d_vals = s_vals[col_is_c] / safe_den[d_rows]
-    dist = sp.csr_matrix((d_vals, (d_rows, cf_map[s_cols[col_is_c]])),
-                         shape=(n, nc))
-    # strong A split by column class
-    a_sc = sp.csr_matrix((s_vals[col_is_c],
-                          (s_rows[col_is_c], cf_map[s_cols[col_is_c]])),
-                         shape=(n, nc))
+    # native CSR ops throughout (csrc Gustavson / COO sort) — the scipy
+    # formulation of this substitution product was the setup hotspot
+    from ..ops.spgemm import csr_add, csr_spgemm
+    dist = CSRMatrix.from_coo(n, nc, d_rows, cf_map[s_cols[col_is_c]],
+                              np.asarray(d_vals, np.float64))
+    a_sc = CSRMatrix.from_coo(n, nc, s_rows[col_is_c],
+                              cf_map[s_cols[col_is_c]],
+                              np.asarray(s_vals[col_is_c], np.float64))
     ff = (~col_is_c) & has_c[s_cols]
-    a_sf = sp.csr_matrix((s_vals[ff], (s_rows[ff], s_cols[ff])),
-                         shape=(n, n))
-    w = (a_sc + a_sf @ dist).tocsr()          # (n, nc) substituted couplings
+    a_sf = CSRMatrix.from_coo(n, n, s_rows[ff], s_cols[ff],
+                              np.asarray(s_vals[ff], np.float64))
+    w = csr_add(a_sc, csr_spgemm(a_sf, dist))  # (n, nc) substituted
 
     # direct-interpolation scaling: preserve the full (negative-part)
     # off-diagonal row sums through the substituted stencil
@@ -444,21 +446,22 @@ def distance2_interpolation(csr: CSRMatrix, strong: np.ndarray,
     neg = offd & (sign[rows] * data < 0)
     sum_all = np.zeros(n)
     np.add.at(sum_all, rows[neg], data[neg])
-    w_sum = np.asarray(w.sum(axis=1)).ravel()
+    wrow = np.repeat(np.arange(n), w.row_nnz())
+    w_sum = np.zeros(n)
+    np.add.at(w_sum, wrow, w.data)
     alpha = np.where(w_sum != 0, sum_all / np.where(w_sum == 0, 1.0, w_sum),
                      0.0)
     safe_diag = np.where(diag == 0, 1.0, diag)
-    scale = sp.diags(-alpha / safe_diag)
-    p = (scale @ w).tocsr()
+    p_vals = w.data * (-alpha / safe_diag)[wrow]
     # assemble final P: F rows from the scaled stencil, C rows = identity
-    prow = np.repeat(np.arange(n), np.diff(p.indptr))
-    fsel = ~c_mask[prow] & (p.data != 0)
+    fsel = ~c_mask[wrow] & (p_vals != 0)
     c_idx = np.nonzero(c_mask)[0]
     out = CSRMatrix.from_coo(
         n, nc,
-        np.concatenate([prow[fsel], c_idx]),
-        np.concatenate([p.indices[fsel].astype(np.int64), cf_map[c_idx]]),
-        np.concatenate([p.data[fsel], np.ones(c_idx.size)]),
+        np.concatenate([wrow[fsel], c_idx]),
+        np.concatenate([w.indices[fsel].astype(np.int64), cf_map[c_idx]]),
+        np.concatenate([p_vals[fsel],
+                        np.ones(c_idx.size)]).astype(data.dtype),
         sum_duplicates=False)
     # fall back to multipass for F rows left empty (no strong path to C)
     empty_f = (out.row_nnz() == 0) & ~c_mask
