@@ -147,6 +147,17 @@ class DistributedSolver:
         n_dev = self.mesh.devices.size
         self._vec_dt = vec_dt
         amg_scope = None
+        if self.precond_name not in ("AMG", "BLOCK_JACOBI", "JACOBI_L1",
+                                     "NOSOLVER", "DUMMY", None):
+            # color-sequential preconditioners (DILU/ILU/GS/KACZMARZ...)
+            # have no distributed implementation; raising sends the capi
+            # path to the single-chip solver instead of silently swapping
+            # the preconditioner for identity
+            raise NotImplementedError(
+                f"DistributedSolver does not implement preconditioner "
+                f"'{self.precond_name}'; supported: AMG, BLOCK_JACOBI, "
+                f"JACOBI_L1 (single-chip SolverFactory covers the full "
+                f"catalog)")
         if self.precond_name == "AMG":
             _, amg_scope = self.cfg.get_pair("preconditioner", self.scope)
             self.use_amg = True
@@ -170,9 +181,9 @@ class DistributedSolver:
                 csr, n_dev, row_part, dtype=mat_dt, mesh=self.mesh,
                 axis=self.axis, sort_interior_first=True)
             self._split0 = int(np.asarray(a0.interior_rows).min())
-        self.levels = [DistLevel(a0, self._inv_diag(csr, a0, vec_dt,
-                                                    self.mesh,
-                                                    self.axis))]
+        self.levels = [DistLevel(a0, self._inv_diag(
+            csr, a0, vec_dt, self.mesh, self.axis,
+            l1=self.precond_name == "JACOBI_L1"))]
         self._global_csrs = [csr]
 
         if self.use_amg:
@@ -599,8 +610,9 @@ class DistributedSolver:
             csr, n_dev, lvl0.a.row_part, dtype=mat_dt, mesh=self.mesh,
             axis=self.axis, sort_interior_first=self._split0 > 0)
         lvl0.a = a0
-        lvl0.inv_diag = self._inv_diag(csr, a0, vec_dt, self.mesh,
-                                       self.axis)
+        lvl0.inv_diag = self._inv_diag(
+            csr, a0, vec_dt, self.mesh, self.axis,
+            l1=self.precond_name == "JACOBI_L1")
         cheby = getattr(self, "cheby_smoothing", False)
         if getattr(self, "_sharded_setup", False):
             # shard-parallel re-coarsening: reuse partitions and transfer
@@ -707,11 +719,20 @@ class DistributedSolver:
 
     @staticmethod
     def _inv_diag(csr: CSRMatrix, dm: DistEllMatrix, dtype, mesh=None,
-                  axis: str = "x"):
+                  axis: str = "x", l1: bool = False):
         host_dt = np.complex128 if np.issubdtype(
             csr.data.dtype, np.complexfloating) else np.float64
         d = csr.diagonal().astype(host_dt)
         bx = csr.block_dim[0]
+        if l1 and bx == 1:
+            # JACOBI_L1 (jacobi_l1_solver.cu): off-diagonal L1 row sums
+            # added onto the diagonal
+            n = csr.n_rows
+            rows = np.repeat(np.arange(n), csr.row_nnz())
+            off = csr.indices != rows
+            l1sum = np.zeros(n)
+            np.add.at(l1sum, rows[off], np.abs(csr.data[off]))
+            d = d + l1sum
         if bx == 1:
             safe = np.where(d == 0, 1.0, d)
             inv_g = (1.0 / safe).astype(dtype)
@@ -1040,7 +1061,8 @@ class DistributedSolver:
         # paying a full re-trace/compile per step. Spectral bounds are part
         # of the signature, so Chebyshev-smoothed configs retrace only when
         # the bounds actually move.
-        sig = (self.solver_name, self.max_iters, self.tolerance,
+        sig = (self.solver_name, self.precond_name, self.max_iters,
+               self.tolerance,
                str(self.convergence), n_lvls, split0, bx, by, structured,
                s_dim, m_rst, getattr(self, "presweeps", None),
                getattr(self, "postsweeps", None),
@@ -1082,7 +1104,7 @@ class DistributedSolver:
             if self.use_amg:
                 z = jnp.zeros_like(r)
                 return self._vcycle(0, r, z, args)
-            if self.precond_name == "BLOCK_JACOBI":
+            if self.precond_name in ("BLOCK_JACOBI", "JACOBI_L1"):
                 return apply_invd(args[0][3], r)
             return r
 

@@ -115,6 +115,42 @@ def test_distributed_pcg(mesh, rng):
     assert rel < 1e-6
 
 
+def test_distributed_jacobi_l1(mesh, rng):
+    """JACOBI_L1 preconditioning on the mesh matches the single-chip
+    solver's iteration count exactly (jacobi_l1_solver.cu)."""
+    a = amgx.gallery.poisson5pt(24, 24)
+    b = np.ones(a.n_rows)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "PCG", "max_iters": 300, "tolerance": 1e-10,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "JACOBI_L1", "scope": "jac",
+                           "max_iters": 1}}})
+    s = DistributedSolver(cfg, mesh)
+    s.setup(a)
+    x, st = s.solve(b)
+    rel = np.linalg.norm(b - a.to_scipy() @ np.asarray(x)) / \
+        np.linalg.norm(b)
+    assert st == 0 and rel < 1e-8
+    s1 = amgx.SolverFactory.allocate(cfg)
+    s1.setup(amgx.Matrix(a))
+    s1.solve(b)
+    assert abs(s.last_iters - s1.last_iters) <= 2
+
+
+def test_distributed_unsupported_preconditioner_raises(mesh):
+    """Color-sequential preconditioners must raise (the capi route then
+    falls back to the single-chip solver) instead of silently swapping
+    the preconditioner for identity."""
+    a = amgx.gallery.poisson5pt(16, 16)
+    cfg = amgx.AMGConfig(
+        "solver=PCG, preconditioner=MULTICOLOR_DILU, max_iters=50, "
+        "tolerance=1e-8, convergence=RELATIVE_INI, monitor_residual=1")
+    s = DistributedSolver(cfg, mesh)
+    with pytest.raises(NotImplementedError):
+        s.setup(a)
+
+
 def test_distributed_pcg_amg(mesh, rng):
     a = amgx.gallery.poisson7pt(12, 12, 12)
     b = rng.standard_normal(a.n_rows)
