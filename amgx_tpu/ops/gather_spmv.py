@@ -236,8 +236,11 @@ class GatherMatrix:
 
 
 def csr_to_gather(csr, dtype=None, W: int = 1024, S_p: int = 512,
-                  D: int = 32, max_staging_rows: int = 8192,
+                  D: int = 32, max_staging_rows: int = 4096,
                   max_efficiency_waste: float = 8.0) -> Optional[GatherMatrix]:
+    # max_staging_rows bounds the per-panel staging scratch (and the
+    # same-height sort_idx blocks) to ~2 MB each so the kernel stays well
+    # inside the ~16 MB/core VMEM with Pallas double-buffering
     """Build the lane-binned gather format from CSR (setup-phase, host).
 
     Returns None for block matrices, complex data, or pathological packing
