@@ -171,6 +171,12 @@ class AMG:
             cm.csr.aux["fine_reordered"] = True
             if lvl.cf_map is not None:
                 cm.csr.aux["cf_map"] = lvl.cf_map
+            # materialize the device op with the hierarchy's own threshold
+            # (as _create_coarse_level does) BEFORE any smoother/coarse
+            # solver builds it with a different scope's threshold — the
+            # reused P/R pads must keep matching the level op's padding
+            cm.device_op(dense_threshold=max(
+                self.cfg.get("dense_threshold_rows", self.scope), 0))
             self.levels[i + 1].m = cm
         # rebuild everything below the reused prefix
         if reuse + 1 < len(self.levels):

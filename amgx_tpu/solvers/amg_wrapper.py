@@ -31,9 +31,8 @@ class AMGSolver(Solver):
                 dense_threshold=self.cfg.get("dense_threshold_rows",
                                              self.scope))
         self.amg.resetup(self.m)
-        self._jit_iteration = None
-        self._jit_first = None
-        self._jit_fused = None
+        # jit caches stay valid: the solve programs read all device state
+        # from operand pytrees (Solver._device_state)
 
     def solve_init(self, b, x, zero_guess):
         return None

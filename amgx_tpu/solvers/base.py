@@ -157,15 +157,27 @@ class Solver:
         vectors cross the boundary through prepare/extract_vector. Nested
         solvers receive the already-permuted handle (aux flag) and never
         re-permute."""
-        self._perm = None
-        self._m_user = None
         csr = m.csr
         mode = str(self.cfg.get("fine_level_reordering", self.scope))
+        from ..ops import band as band_mod
+        if (getattr(self, "_resetup_child", False)
+                and self._perm is not None and csr is not None
+                and csr.n_rows == self._perm.shape[0]
+                and not csr.aux.get("fine_reordered")):
+            # resetup: structure unchanged, reuse the stored permutation
+            # (the RCM recomputation is the expensive part)
+            pcsr = band_mod.permute_square(csr, self._perm)
+            pcsr.aux.update(csr.aux)
+            pcsr.aux["fine_reordered"] = True
+            pm = Matrix(pcsr, mode=m.mode)
+            self._m_user = m
+            return pm
+        self._perm = None
+        self._m_user = None
         if (csr is None or mode == "NONE" or m.manager is not None
                 or self.is_smoother or csr.block_dim != (1, 1)
                 or csr.n_rows == 0 or csr.aux.get("fine_reordered")):
             return m
-        from ..ops import band as band_mod
         if mode == "AUTO":
             if csr.n_rows <= 256:
                 return m
@@ -202,8 +214,14 @@ class Solver:
 
     def resetup(self, m=None) -> None:
         """Reference: AMGX_solver_resetup — values changed, structure kept.
-        Subclasses that can reuse structure override this."""
-        self.setup(m if m is not None else (self._m_user or self.m))
+        Re-runs the setup plumbing but lets nested solvers reuse structure
+        (the AMG child honors structure_reuse_levels; reference:
+        AMG_Solver::setup structure_reuse gate, amg_solver.cu:201-207)."""
+        self._resetup_child = True
+        try:
+            self.setup(m if m is not None else (self._m_user or self.m))
+        finally:
+            self._resetup_child = False
 
     def solver_setup(self) -> None:
         """Subclass hook: build factorizations, hierarchies, etc."""

@@ -38,8 +38,11 @@ class _PreconditionedSolver(Solver):
 
     def solver_setup(self):
         if self.preconditioner is not None:
-            self.preconditioner.setup(self.m if self.m is not None
-                                      else self.op)
+            target = self.m if self.m is not None else self.op
+            if getattr(self, "_resetup_child", False):
+                self.preconditioner.resetup(target)
+            else:
+                self.preconditioner.setup(target)
 
     def precond(self):
         if self.preconditioner is None:

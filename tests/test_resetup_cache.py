@@ -79,6 +79,48 @@ def test_monitored_gmres_no_retrace():
     assert r < 1e-7
 
 
+def test_structure_reuse_reaches_nested_amg():
+    """Solver.resetup routes to the preconditioner's resetup, so
+    structure_reuse_levels=-1 on the AMG child skips re-coarsening
+    (reference: AMG_Solver::setup structure_reuse gate,
+    amg_solver.cu:201-207) — pinned by intercepting the selector."""
+    import amgx_tpu.amg.aggregation as agg_mod
+    a = amgx.gallery.poisson5pt(24, 24)
+    b = np.ones(a.n_rows)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "PCG", "max_iters": 200, "tolerance": 1e-8,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "algorithm": "AGGREGATION", "selector": "SIZE_2",
+                           "smoother": "BLOCK_JACOBI",
+                           "structure_reuse_levels": -1,
+                           "relaxation_factor": 0.7,
+                           "presweeps": 1, "postsweeps": 1, "max_iters": 1,
+                           "min_coarse_rows": 16, "max_levels": 6,
+                           "cycle": "V"}}})
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a))
+    s.solve(b)
+    calls = {"n": 0}
+    orig = agg_mod.select_aggregates
+
+    def spy(*args, **kw):
+        calls["n"] += 1
+        return orig(*args, **kw)
+
+    agg_mod.select_aggregates = spy
+    try:
+        s.resetup(amgx.Matrix(_scaled(a, 1.5)))
+    finally:
+        agg_mod.select_aggregates = orig
+    assert calls["n"] == 0, "structure reuse re-ran the selector"
+    x, st = s.solve(b)
+    a2 = _scaled(a, 1.5)
+    r = np.linalg.norm(b - a2.to_scipy() @ s.extract_vector(x))
+    assert st == 0 and r < 1e-6
+
+
 def test_distributed_resetup_reuses_program():
     """DistributedSolver._build_step memoizes the SPMD programs on their
     static signature: a values-only resetup must not rebuild/retrace."""
