@@ -78,9 +78,26 @@ def phase_spmv_dia(n_side: int, inner: int, reps: int):
         g(x).block_until_ready()
         best = min(best, (time.perf_counter() - t0) / inner)
     nbytes = (len(dia.offsets) + 2) * dia.n_pad * 4
-    print(json.dumps({"n": a.n_rows, "nnz": a.nnz, "time_s": best,
-                      "gbps": nbytes / best / 1e9,
-                      "gnnz_per_s": a.nnz / best / 1e9}))
+    out = {"n": a.n_rows, "nnz": a.nnz, "time_s": best,
+           "gbps": nbytes / best / 1e9,
+           "gnnz_per_s": a.nnz / best / 1e9}
+
+    # bf16 matrix values (dBFI-family modes): half the operator traffic
+    dia_h = csr_to_dia(a, dtype=jnp.bfloat16)
+    fh = (lambda v: dia_spmv_pallas2d(dia_h, v, chunk_rows=128)) if on_tpu \
+        else (lambda v: dia_spmv(dia_h, v))
+    gh = jax.jit(lambda v: jax.lax.fori_loop(
+        0, inner, lambda i, u: (fh(u) * scale).astype(v.dtype), v))
+    gh(x).block_until_ready()
+    best_h = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        gh(x).block_until_ready()
+        best_h = min(best_h, (time.perf_counter() - t0) / inner)
+    nbytes_h = len(dia_h.offsets) * dia_h.n_pad * 2 + 2 * dia_h.n_pad * 4
+    out["bf16"] = {"time_s": best_h, "gbps": nbytes_h / best_h / 1e9,
+                   "gnnz_per_s": a.nnz / best_h / 1e9}
+    print(json.dumps(out))
 
 
 def phase_spmv_ell(n_side: int, inner: int, reps: int):
