@@ -286,7 +286,53 @@ def dist_strength(sm: ShardedCSR, strength: str, theta: float,
     return out
 
 
-def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0
+def _square_edges(part: RowPartition,
+                  edges: List[Tuple[np.ndarray, np.ndarray]],
+                  n_rows: int) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Distance-2 expansion of the per-shard symmetric edge lists:
+    E2 = E@E + E with the diagonal removed — the AGGRESSIVE_PMIS adjacency
+    (pmis_select(aggressive=True): sym@sym + sym). Neighbour adjacency
+    rows cross shard boundaries through a row exchange of the symmetric
+    graph, so per-shard work stays O(rows touched x degree^2)."""
+    import scipy.sparse as sp
+    n_dev = part.n_dev
+    adjs = []
+    for d in range(n_dev):
+        nl = part.size(d)
+        src, dst = edges[d]
+        adjs.append(sp.csr_matrix(
+            (np.ones(src.size), (src, dst)), shape=(nl, n_rows)))
+    out = []
+    for d in range(n_dev):
+        r0 = int(part.offsets[d])
+        src, dst = edges[d]
+        if src.size == 0:
+            out.append((src, dst))
+            continue
+        ref = np.unique(dst)
+        owner = part.owner_of(ref)
+        rows_parts, cols_parts = [], []
+        for o in np.unique(owner):
+            sel = ref[owner == o]
+            bo = adjs[int(o)][sel - int(part.offsets[int(o)])]
+            rows_parts.append(np.repeat(sel, np.diff(bo.indptr)))
+            cols_parts.append(bo.indices.astype(np.int64))
+        b_rows = np.concatenate(rows_parts)
+        b_cols = np.concatenate(cols_parts)
+        b = sp.csr_matrix((np.ones(b_rows.size), (b_rows, b_cols)),
+                          shape=(n_rows, n_rows))
+        s2 = (adjs[d] @ b + adjs[d]).tocoo()
+        keep = (s2.row + r0) != s2.col
+        src2 = s2.row[keep].astype(np.int64)
+        dst2 = s2.col[keep].astype(np.int64)
+        key = src2 * np.int64(n_rows + 1) + dst2
+        _, first = np.unique(key, return_index=True)
+        out.append((src2[first], dst2[first]))
+    return out
+
+
+def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0,
+              aggressive: bool = False
               ) -> Tuple[List[np.ndarray], RowPartition, int]:
     """Shard-parallel PMIS. Reproduces the single-matrix pmis_select
     bit-for-bit: weights hash *global* ids, in-degrees and neighbour
@@ -362,6 +408,12 @@ def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0
         r0 = int(sm.part.offsets[d])
         for (dst_g, _src) in rev_edges[d]:
             np.add.at(indeg[d], dst_g - r0, 1.0)
+
+    if aggressive:
+        # AGGRESSIVE_PMIS: independent set on the distance-2 graph, with
+        # the SAME weights (S-transpose in-degree) as plain PMIS —
+        # mirrors pmis_select(aggressive=True)
+        edges = _square_edges(sm.part, edges, sm.n_rows)
 
     w = [indeg[d] + _pmis_hash(sm.n_rows, seed)[
         int(sm.part.offsets[d]):int(sm.part.offsets[d + 1])]
@@ -474,6 +526,78 @@ def dist_direct_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
         p = direct_interpolation(ext, strong[d], cf[d],
                                  col_cf_map=cf_ext, nc=nc)
         shards.append(p)
+    return ShardedCSR(sm.part, shards, nc)
+
+
+def dist_multipass_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
+                                 cf: List[np.ndarray], nc: int,
+                                 max_passes: int = 10) -> ShardedCSR:
+    """MULTIPASS interpolation per shard (interpolators/multipass.cu in
+    its distributed form): pass 1 interpolates F rows with a strong C
+    neighbour directly; each later pass interpolates remaining F rows
+    through already-interpolated strong neighbours, with the one-ring's
+    freshly computed P rows and interpolated-flags exchanged between
+    passes (the reference ships interpolation rows per pass the same
+    way). Mirrors the frontier-at-a-time single-matrix formulation."""
+    import scipy.sparse as sp
+    n_dev = sm.n_dev
+    p_sh = dist_direct_interpolation(sm, strong, cf, nc)
+    halos = [sm.halo_cols(d) for d in range(n_dev)]
+    interped = [(np.diff(p_sh.shards[d].indptr) > 0) | (cf[d] >= 0)
+                for d in range(n_dev)]
+    for _ in range(max_passes):
+        if all(i.all() for i in interped):
+            break
+        g_interp = exchange_col_values(
+            sm.part, [i.astype(np.int8) for i in interped], halos)
+        p_halo = exchange_rows(p_sh, halos)      # current one-ring P rows
+        new_shards = list(p_sh.shards)
+        new_interped = [i.copy() for i in interped]
+        progressed = False
+        for d in range(n_dev):
+            ext, halo = extended_local(sm, d)
+            nl = ext.n_rows
+            rows = np.repeat(np.arange(nl), ext.row_nnz())
+            cl = ext.indices.astype(np.int64)
+            data = ext.data if ext.block_dim == (1, 1) else \
+                ext.data[:, 0, 0]
+            interped_ext = np.concatenate(
+                [interped[d], g_interp[d].astype(bool)]) if halo.size \
+                else interped[d]
+            cand = np.nonzero(strong[d] & ~interped[d][rows])[0]
+            cand = cand[interped_ext[cl[cand]]]
+            if cand.size == 0:
+                continue
+            r_i, c_j = rows[cand], cl[cand]
+            wv = np.abs(np.asarray(data[cand], np.float64))
+            wsum = np.zeros(nl)
+            np.add.at(wsum, r_i, wv)
+            ready = wsum > 0
+            wv = wv / wsum[r_i]
+            p_own = p_sh.shards[d].to_scipy().tocsr()
+            p_ext = sp.vstack([p_own, p_halo[d].to_scipy()]).tocsr() \
+                if halo.size else p_own
+            wmat = sp.csr_matrix((wv, (r_i, c_j)),
+                                 shape=(nl, p_ext.shape[0]))
+            p_new = wmat @ p_ext
+            keep = sp.diags((~ready).astype(np.float64))
+            take = sp.diags(ready.astype(np.float64))
+            comb = (keep @ p_own + take @ p_new).tocsr()
+            comb.sum_duplicates()
+            new_shards[d] = CSRMatrix(nl, nc, comb.indptr, comb.indices,
+                                      comb.data)
+            new_interped[d] = interped[d] | ready
+            progressed = True
+        if not progressed:
+            break
+        p_sh = ShardedCSR(sm.part, new_shards, nc)
+        interped = new_interped
+    shards = []
+    for d in range(n_dev):
+        s = p_sh.shards[d].to_scipy().tocsr()
+        s.eliminate_zeros()
+        shards.append(CSRMatrix(s.shape[0], nc, s.indptr, s.indices,
+                                s.data))
     return ShardedCSR(sm.part, shards, nc)
 
 

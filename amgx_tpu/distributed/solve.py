@@ -167,6 +167,15 @@ class DistributedSolver:
             amg_scope = self.scope
             self.use_amg = True
 
+        # JACOBI_L1 smoothing/preconditioning uses the L1-augmented
+        # diagonal at every level (jacobi_l1_solver.cu)
+        self._smoother_l1 = False
+        if self.use_amg and amg_scope is not None:
+            sm_name, _ = self.cfg.get_pair("smoother", amg_scope)
+            self._smoother_l1 = sm_name == "JACOBI_L1"
+        self._l1_diag = self._smoother_l1 or \
+            self.precond_name == "JACOBI_L1"
+
         # level 0: prefer the shard-local banded layout (no gathers, halo
         # confined to margin rows); fall back to interior-first rows for the
         # overlap split when the matrix isn't stencil-structured
@@ -183,7 +192,7 @@ class DistributedSolver:
             self._split0 = int(np.asarray(a0.interior_rows).min())
         self.levels = [DistLevel(a0, self._inv_diag(
             csr, a0, vec_dt, self.mesh, self.axis,
-            l1=self.precond_name == "JACOBI_L1"))]
+            l1=self._l1_diag))]
         self._global_csrs = [csr]
 
         if self.use_amg:
@@ -238,10 +247,21 @@ class DistributedSolver:
             # materialized below level 0. Global-graph selectors
             # (non-shard-local aggregation, HMIS/CR, MULTIPASS/EM
             # interpolation) still route through the assembled fallback.
+            aggr_levels = int(g("aggressive_levels") or 0)
+            aggr_sel = str(g("aggressive_selector"))
+            if aggr_sel == "DEFAULT":
+                aggr_sel = selector if selector.startswith("AGGRESSIVE") \
+                    else "AGGRESSIVE_" + selector
+            aggr_interp = str(g("aggressive_interpolator"))
+            classical_ok = (
+                selector in ("PMIS", "AGGRESSIVE_PMIS")
+                and interpolator in ("D1", "D2", "MULTIPASS")
+                and (aggr_levels == 0 or
+                     (aggr_sel == "AGGRESSIVE_PMIS" and
+                      aggr_interp in ("D1", "D2", "MULTIPASS"))))
             self._sharded_setup = csr.block_dim == (1, 1) and (
                 (algorithm == "AGGREGATION" and shard_local) or
-                (algorithm != "AGGREGATION" and selector == "PMIS" and
-                 interpolator in ("D1", "D2")))
+                (algorithm == "CLASSICAL" and classical_ok))
             if self._sharded_setup:
                 self._setup_levels_sharded(
                     csr, g, amg_scope, algorithm, selector, interpolator,
@@ -401,18 +421,48 @@ class DistributedSolver:
                 info = {"agg": agg, "nc": nc, "p": sp_,
                         "natpart": natural_part}
             else:
+                # aggressive coarsening on the first `aggressive_levels`
+                # levels: AGGRESSIVE_PMIS (distance-2 independent set) +
+                # the aggressive interpolator (MULTIPASS by default) —
+                # mirrors the single-chip hierarchy driver
+                level_idx = len(self.levels) - 1
+                aggr_levels = int(g("aggressive_levels") or 0)
+                aggr = level_idx < aggr_levels
+                sel_now = selector
+                interp_now = interpolator
+                if aggr:
+                    sel_now = str(g("aggressive_selector"))
+                    if sel_now == "DEFAULT":
+                        sel_now = selector if \
+                            selector.startswith("AGGRESSIVE") \
+                            else "AGGRESSIVE_" + selector
+                    interp_now = str(g("aggressive_interpolator"))
                 strong = dsetup.dist_strength(swork, g("strength"),
                                               g("strength_threshold"))
-                cf, natural_part, nc = dsetup.dist_pmis(swork, strong)
+                cf, natural_part, nc = dsetup.dist_pmis(
+                    swork, strong,
+                    aggressive=sel_now == "AGGRESSIVE_PMIS")
                 if nc == 0 or nc >= swork.n_rows:
                     break
-                if interpolator == "D2":
+                if interp_now == "D2":
                     sp_ = dsetup.dist_distance2_interpolation(
                         swork, strong, cf, nc, g("strength"),
                         g("strength_threshold"))
+                elif interp_now == "MULTIPASS":
+                    sp_ = dsetup.dist_multipass_interpolation(
+                        swork, strong, cf, nc)
                 else:
                     sp_ = dsetup.dist_direct_interpolation(swork, strong,
                                                            cf, nc)
+                tf = g("interp_truncation_factor")
+                tm = g("interp_max_elements")
+                if (tf and tf > 0) or (tm and tm > 0):
+                    # row-local truncation runs per shard unchanged
+                    from ..amg.classical import truncate_interpolation
+                    sp_ = dsetup.ShardedCSR(
+                        fine_part,
+                        [truncate_interpolation(s, tf, tm)
+                         for s in sp_.shards], nc)
                 info = {"agg": None, "nc": nc, "p": sp_,
                         "natpart": natural_part}
             # consolidation decision (amg.cu:328-391): shrink the active
@@ -453,7 +503,8 @@ class DistributedSolver:
                 sort_interior_first=False)
             self.levels.append(DistLevel(
                 ad, self._inv_diag_sharded(ac, ad, vec_dt, self.mesh,
-                                           self.axis)))
+                                           self.axis,
+                                           l1=self._smoother_l1)))
             if self.cheby_smoothing:
                 self._cheby_bounds.append(self._lambda_bounds_sharded(ac))
             self._structure.append(info)
@@ -462,14 +513,25 @@ class DistributedSolver:
 
     @staticmethod
     def _inv_diag_sharded(sm, dm: DistEllMatrix, dtype, mesh=None,
-                          axis: str = "x"):
+                          axis: str = "x", l1: bool = False):
         """Per-shard inverse diagonal in the stacked (D, Lr) layout —
         touches owned rows only (distributed AMG levels keep natural row
-        order, so no interior-first permutation applies)."""
+        order, so no interior-first permutation applies). l1=True adds the
+        off-diagonal L1 row sums (JACOBI_L1 smoothing; row-local, so no
+        exchange is needed)."""
         host_dt = np.complex128 if np.issubdtype(
             np.dtype(dtype), np.complexfloating) else np.float64
         out = np.ones((dm.n_dev, dm.lr), host_dt)
         for dev, dg in enumerate(sm.diagonal()):
+            dg = np.asarray(dg, host_dt)
+            if l1:
+                s = sm.shards[dev]
+                rows = np.repeat(np.arange(s.n_rows), s.row_nnz())
+                r0 = int(sm.part.offsets[dev])
+                off = s.indices.astype(np.int64) != rows + r0
+                l1sum = np.zeros(s.n_rows)
+                np.add.at(l1sum, rows[off], np.abs(s.data[off]))
+                dg = dg + l1sum
             safe = np.where(dg == 0, 1.0, dg)
             out[dev, :dg.shape[0]] = 1.0 / safe
         out = out.astype(dtype)
@@ -612,7 +674,7 @@ class DistributedSolver:
         lvl0.a = a0
         lvl0.inv_diag = self._inv_diag(
             csr, a0, vec_dt, self.mesh, self.axis,
-            l1=self.precond_name == "JACOBI_L1")
+            l1=getattr(self, "_l1_diag", False))
         cheby = getattr(self, "cheby_smoothing", False)
         if getattr(self, "_sharded_setup", False):
             # shard-parallel re-coarsening: reuse partitions and transfer
@@ -639,7 +701,8 @@ class DistributedSolver:
                     axis=self.axis, sort_interior_first=False)
                 nxt.a = ad
                 nxt.inv_diag = self._inv_diag_sharded(
-                    ac, ad, vec_dt, self.mesh, self.axis)
+                    ac, ad, vec_dt, self.mesh, self.axis,
+                    l1=getattr(self, "_smoother_l1", False))
                 if cheby:
                     self._cheby_bounds.append(
                         self._lambda_bounds_sharded(ac))
@@ -668,8 +731,9 @@ class DistributedSolver:
                 ac, n_dev, coarse_part, coarse_part, dtype=mat_dt,
                 mesh=self.mesh, axis=self.axis, sort_interior_first=False)
             nxt.a = ad
-            nxt.inv_diag = self._inv_diag(ac, ad, vec_dt, self.mesh,
-                                          self.axis)
+            nxt.inv_diag = self._inv_diag(
+                ac, ad, vec_dt, self.mesh, self.axis,
+                l1=getattr(self, "_smoother_l1", False))
             if cheby:
                 self._cheby_bounds.append(self._lambda_bounds(ac))
             work = ac

@@ -198,6 +198,34 @@ def test_sharded_setup_solver_convergence(mesh, rng, alg, sel, interp):
     assert s.last_iters <= 30
 
 
+def test_distributed_aggressive_multipass_matches_single_chip(mesh, rng):
+    """AGGRESSIVE_PMIS (distance-2 independent set via _square_edges) +
+    MULTIPASS interpolation run shard-parallel and reproduce the
+    single-chip hierarchy exactly: same level sizes, same iteration
+    count (reference: aggressive levels at scale,
+    classical_amg_level.cu:242-289)."""
+    a = amgx.gallery.poisson7pt(12, 12, 12)
+    b = np.ones(a.n_rows)
+    cfg = _amg_cfg("CLASSICAL", "PMIS", "D1",
+                   aggressive_levels=1,
+                   aggressive_selector="AGGRESSIVE_PMIS",
+                   aggressive_interpolator="MULTIPASS")
+    s1 = amgx.SolverFactory.allocate(cfg)
+    s1.setup(amgx.Matrix(a))
+    x1, st1 = s1.solve(b)
+    lv1 = [l.n_rows for l in s1.preconditioner.amg.levels]
+    sd = DistributedSolver(cfg, mesh)
+    sd.setup(a)
+    assert sd._sharded_setup
+    lvd = [l.a.n_rows for l in sd.levels]
+    assert lvd == lv1, (lvd, lv1)
+    xd, std = sd.solve(b)
+    rd = np.linalg.norm(b - a.to_scipy() @ np.asarray(xd)) / \
+        np.linalg.norm(b)
+    assert st1 == 0 and std == 0 and rd < 1e-7
+    assert sd.last_iters == s1.last_iters
+
+
 def test_distributed_d2_matches_single_chip(mesh, rng):
     """VERDICT item 7: distributed classical AMG with distance-2
     interpolation builds the same hierarchy as the single-chip driver."""
