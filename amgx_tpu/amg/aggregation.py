@@ -48,12 +48,14 @@ def _edge_weights(csr: CSRMatrix, formula: int = 0,
         dinv = sp.diags(1.0 / np.sqrt(d))
         w = dinv @ w @ dinv
     w = w.tocsr()
-    w.setdiag(0)
-    w.eliminate_zeros()
     if np.iscomplexobj(w.data):
         # matching weights are real by definition (reference: Notay weights
-        # on Hermitian operators); match on the real part for complex modes
+        # on Hermitian operators); match on the real part for complex
+        # modes — BEFORE zero elimination, so purely-imaginary couplings
+        # drop out instead of surviving as zero-weight edges
         w.data = np.ascontiguousarray(w.data.real)
+    w.setdiag(0)
+    w.eliminate_zeros()
     return w
 
 

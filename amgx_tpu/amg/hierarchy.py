@@ -178,16 +178,22 @@ class AMG:
             cm.device_op(dense_threshold=max(
                 self.cfg.get("dense_threshold_rows", self.scope), 0))
             self.levels[i + 1].m = cm
-        # rebuild everything below the reused prefix
+        # rebuild everything below the reused prefix and splice it in (the
+        # sub-hierarchy may coarsen the new values differently)
         if reuse + 1 < len(self.levels):
             sub = AMG(self.cfg, self.scope)
             sub.setup(self.levels[reuse].m)
-        for lvl in self.levels[:-1]:
+            self.levels = self.levels[:reuse] + sub.levels
+            self.coarse_solver = sub.coarse_solver
+            refresh = self.levels[:reuse]
+        else:
+            refresh = self.levels[:-1]
+            if self.coarse_solver is not None:
+                self.coarse_solver.setup(self.levels[-1].m)
+        for lvl in refresh:
             lvl.smoother = SolverFactory.allocate(self.cfg, self.scope,
                                                   "smoother")
             lvl.smoother.setup(lvl.m)
-        if self.coarse_solver is not None:
-            self.coarse_solver.setup(self.levels[-1].m)
 
     # -- coarse level creation ------------------------------------------------
 

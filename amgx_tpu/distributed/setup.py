@@ -311,17 +311,24 @@ def _square_edges(part: RowPartition,
             continue
         ref = np.unique(dst)
         owner = part.owner_of(ref)
+        # B lives in the compact referenced-row subspace so per-shard
+        # memory stays boundary-sized, not O(N)
         rows_parts, cols_parts = [], []
         for o in np.unique(owner):
-            sel = ref[owner == o]
+            m = owner == o
+            sel = ref[m]
             bo = adjs[int(o)][sel - int(part.offsets[int(o)])]
-            rows_parts.append(np.repeat(sel, np.diff(bo.indptr)))
+            rows_parts.append(np.repeat(np.flatnonzero(m),
+                                        np.diff(bo.indptr)))
             cols_parts.append(bo.indices.astype(np.int64))
         b_rows = np.concatenate(rows_parts)
         b_cols = np.concatenate(cols_parts)
         b = sp.csr_matrix((np.ones(b_rows.size), (b_rows, b_cols)),
-                          shape=(n_rows, n_rows))
-        s2 = (adjs[d] @ b + adjs[d]).tocoo()
+                          shape=(ref.size, n_rows))
+        a_c = sp.csr_matrix(
+            (np.ones(src.size), (src, np.searchsorted(ref, dst))),
+            shape=(adjs[d].shape[0], ref.size))
+        s2 = (a_c @ b + adjs[d]).tocoo()
         keep = (s2.row + r0) != s2.col
         src2 = s2.row[keep].astype(np.int64)
         dst2 = s2.col[keep].astype(np.int64)

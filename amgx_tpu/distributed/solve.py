@@ -379,7 +379,8 @@ class DistributedSolver:
                 mesh=self.mesh, axis=self.axis,
                 sort_interior_first=False)
             self.levels.append(DistLevel(ad, self._inv_diag(
-                ac, ad, vec_dt, self.mesh, self.axis)))
+                ac, ad, vec_dt, self.mesh, self.axis,
+                l1=getattr(self, "_smoother_l1", False))))
             if self.cheby_smoothing:
                 self._cheby_bounds.append(self._lambda_bounds(ac))
             self._global_csrs.append(ac)
@@ -788,15 +789,21 @@ class DistributedSolver:
             csr.data.dtype, np.complexfloating) else np.float64
         d = csr.diagonal().astype(host_dt)
         bx = csr.block_dim[0]
-        if l1 and bx == 1:
+        if l1:
             # JACOBI_L1 (jacobi_l1_solver.cu): off-diagonal L1 row sums
-            # added onto the diagonal
+            # added onto the (block) diagonal, per component for BSR
             n = csr.n_rows
             rows = np.repeat(np.arange(n), csr.row_nnz())
             off = csr.indices != rows
-            l1sum = np.zeros(n)
-            np.add.at(l1sum, rows[off], np.abs(csr.data[off]))
-            d = d + l1sum
+            if bx == 1:
+                l1sum = np.zeros(n)
+                np.add.at(l1sum, rows[off], np.abs(csr.data[off]))
+                d = d + l1sum
+            else:
+                l1sum = np.zeros((n, bx))
+                np.add.at(l1sum, rows[off],
+                          np.abs(csr.data[off]).sum(axis=2))
+                d = d + np.einsum("ni,ij->nij", l1sum, np.eye(bx))
         if bx == 1:
             safe = np.where(d == 0, 1.0, d)
             inv_g = (1.0 / safe).astype(dtype)

@@ -123,7 +123,10 @@ class CSRMatrix:
         key = rows * np.int64(n_cols) + cols
         order = np.argsort(key, kind="stable")
         key, vals = key[order], vals[order]
-        if sum_duplicates and key.size:
+        # duplicates always merge (the native path has no keep-duplicates
+        # mode, so the numpy fallback matches it for uniform behavior;
+        # sum_duplicates=False is the caller's no-duplicates promise)
+        if key.size:
             newgrp = np.empty(key.size, np.bool_)
             newgrp[0] = True
             np.not_equal(key[1:], key[:-1], out=newgrp[1:])

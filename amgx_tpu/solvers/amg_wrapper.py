@@ -22,17 +22,13 @@ class AMGSolver(Solver):
     def solver_setup(self):
         if self.m is None:
             raise ValueError("AMG needs a Matrix handle (host CSR)")
-        self.amg.setup(self.m)
-
-    def resetup(self, m=None):
-        if m is not None:
-            self.m = m
-            self.op = m.device_op(
-                dense_threshold=self.cfg.get("dense_threshold_rows",
-                                             self.scope))
-        self.amg.resetup(self.m)
-        # jit caches stay valid: the solve programs read all device state
-        # from operand pytrees (Solver._device_state)
+        # resetup flows through the base Solver.resetup plumbing (fine-
+        # level reordering, scalers, coloring) and only the hierarchy
+        # build switches to the structure-reuse path
+        if getattr(self, "_resetup_child", False) and self.amg.levels:
+            self.amg.resetup(self.m)
+        else:
+            self.amg.setup(self.m)
 
     def solve_init(self, b, x, zero_guess):
         return None

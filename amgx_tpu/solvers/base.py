@@ -139,13 +139,20 @@ class Solver:
         # (see _device_state), so a re-setup with unchanged structure (the
         # resetup / replace_coefficients time-stepping path) reuses the
         # compiled programs; structural changes recompile via the pytree
-        # treedef in jit's cache key. Exotic operators that aren't pytree
-        # nodes can't ride as operands — invalidate for those.
-        if not (self.op is None or isinstance(self.op, jax.Array)
+        # treedef in jit's cache key. Python-side statics that get BAKED
+        # into traces (e.g. a color count driving an unrolled loop, numpy
+        # index tables) are not part of jax's key, so a static signature
+        # of the solver tree guards them: any change invalidates the
+        # caches. Exotic operators that aren't pytree nodes can't ride as
+        # operands — always invalidate for those.
+        sig = _collect_static_sig(self, set())
+        if sig != getattr(self, "_jit_static_sig", None) or not (
+                self.op is None or isinstance(self.op, jax.Array)
                 or hasattr(self.op, "tree_flatten")):
             self._jit_iteration = None
             self._jit_first = None
             self._jit_fused = None
+            self._jit_static_sig = sig
         self.setup_time = time.perf_counter() - t0
 
     def _maybe_reorder(self, m: Matrix) -> Matrix:
@@ -442,12 +449,12 @@ class Solver:
 
         it = 0
         state = None
+        dev_state = self._device_state()   # immutable during one solve
         while not done and it < self.max_iters:
             if it == 0:
-                x, state = self._jit_first[zg](self._device_state(), b, x)
+                x, state = self._jit_first[zg](dev_state, b, x)
             else:
-                x, state = self._jit_iteration(self._device_state(), b, x,
-                                               state)
+                x, state = self._jit_iteration(dev_state, b, x, state)
             it += 1
             if self.monitor_residual:
                 if (isinstance(state, dict) and "nrm" in state
@@ -641,6 +648,49 @@ def _collect_device_state(obj, prefix: str, state: dict, seen: set) -> None:
                 type(val[0]).__name__ == "AMGLevel":
             for i, lv in enumerate(val):
                 _collect_device_state(lv, f"{path}[{i}]", state, seen)
+
+
+def _collect_static_sig(obj, seen: set):
+    """Equality-comparable snapshot of the Python-side statics the traced
+    programs bake in (scalars and numpy tables on the solver tree; device
+    arrays/pytree ops are excluded — they ride as jit operands). Used to
+    invalidate compiled programs when a re-setup changes statics that
+    jax's operand-based cache key cannot see."""
+    if obj is None or id(obj) in seen:
+        return None
+    seen.add(id(obj))
+    if isinstance(obj, Matrix):
+        return ("Matrix", getattr(obj.csr, "shape", None),
+                getattr(obj.csr, "block_dim", None))
+    items = []
+    for name in sorted(vars(obj)):
+        if name.startswith("_jit") or name in (
+                "cfg", "res_history", "convergence", "scaler",
+                "setup_time", "solve_time", "last_iters"):
+            continue
+        val = vars(obj)[name]
+        if _is_device_leaf(val) or callable(val):
+            continue
+        if isinstance(val, (int, float, bool, str, bytes, type(None),
+                            np.integer, np.floating, np.bool_)):
+            items.append((name, val))
+        elif isinstance(val, np.ndarray):
+            import hashlib
+            items.append((name, val.shape, val.dtype.str,
+                          hashlib.sha1(np.ascontiguousarray(val)
+                                       .tobytes()).hexdigest()))
+        elif isinstance(val, tuple) and all(
+                isinstance(v, (int, float, bool, str, type(None)))
+                for v in val):
+            items.append((name, val))
+        elif isinstance(val, (Solver, Matrix)) or \
+                type(val).__name__ in ("AMG", "AMGLevel"):
+            items.append((name, _collect_static_sig(val, seen)))
+        elif isinstance(val, list) and val and \
+                type(val[0]).__name__ == "AMGLevel":
+            items.append((name, tuple(_collect_static_sig(lv, seen)
+                                      for lv in val)))
+    return (type(obj).__name__, tuple(items))
 
 
 def _state_child(obj, token: str):

@@ -121,6 +121,38 @@ def test_structure_reuse_reaches_nested_amg():
     assert st == 0 and r < 1e-6
 
 
+def test_partial_structure_reuse_rebuilds_lower_levels():
+    """0 < structure_reuse_levels < depth: the reused prefix keeps P/R,
+    the rebuilt sub-hierarchy below it must be spliced in (not discarded)
+    so no level solves with stale coefficients."""
+    a = amgx.gallery.poisson7pt(12, 12, 12)
+    b = np.ones(a.n_rows)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "PCG", "max_iters": 200, "tolerance": 1e-9,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "algorithm": "AGGREGATION", "selector": "SIZE_2",
+                           "smoother": "BLOCK_JACOBI",
+                           "structure_reuse_levels": 1,
+                           "relaxation_factor": 0.7,
+                           "presweeps": 1, "postsweeps": 1, "max_iters": 1,
+                           "min_coarse_rows": 16, "max_levels": 8,
+                           "cycle": "V"}}})
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a))
+    assert len(s.preconditioner.amg.levels) >= 3
+    s.solve(b)
+    a2 = _scaled(a, 10.0)      # large scale: stale coarse ops would show
+    s.resetup(amgx.Matrix(a2))
+    for lvl in s.preconditioner.amg.levels[1:]:
+        # every coarse operator must reflect the new values
+        assert abs(lvl.m.csr.data).max() > 5.0, "stale coarse operator"
+    x, st = s.solve(b)
+    r = np.linalg.norm(b - a2.to_scipy() @ s.extract_vector(x))
+    assert st == 0 and r < 1e-6
+
+
 def test_distributed_resetup_reuses_program():
     """DistributedSolver._build_step memoizes the SPMD programs on their
     static signature: a values-only resetup must not rebuild/retrace."""
