@@ -186,6 +186,35 @@ def test_distributed_resetup_reuses_program():
     assert st2 == 0 and r2 < 1e-7
 
 
+def test_static_metadata_change_invalidates_cache():
+    """jax's cache key sees operand shapes, not Python statics baked into
+    the trace (e.g. the color count driving GS's unrolled sweep). The
+    static-signature guard must invalidate the compiled programs when
+    such statics change even though operand shapes match."""
+    import scipy.sparse as sp
+    a1 = amgx.gallery.poisson5pt(16, 16)
+    n = a1.n_rows
+    m = sp.random(n, n, density=5.0 / n, random_state=2, format="csr")
+    m = m + m.T + sp.eye(n) * 10
+    a2 = CSRMatrix.from_scipy(m.tocsr())
+    cfg = amgx.AMGConfig(
+        "solver=GS, max_iters=60, tolerance=1e-10, "
+        "convergence=RELATIVE_INI, monitor_residual=1, fused_solve=1")
+    s = amgx.SolverFactory.allocate(cfg)
+    b = np.ones(n)
+    s.setup(amgx.Matrix(a1))
+    s.solve(b)
+    nc1 = s.m.coloring.num_colors
+    s.setup(amgx.Matrix(a2))
+    assert s.m.coloring.num_colors != nc1, "fixture lost its point"
+    x2, _ = s.solve(b)
+    sf = amgx.SolverFactory.allocate(cfg)
+    sf.setup(amgx.Matrix(a2))
+    xf, _ = sf.solve(b)
+    assert np.abs(s.extract_vector(x2) - sf.extract_vector(xf)).max() \
+        == 0.0, "stale compiled program survived a static-metadata change"
+
+
 def test_structure_change_recompiles_correctly():
     """A different sparsity/shape must produce correct answers (fresh
     compile keyed by the operand treedef), not stale-shape errors."""
