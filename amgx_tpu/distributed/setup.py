@@ -536,6 +536,59 @@ def dist_direct_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
     return ShardedCSR(sm.part, shards, nc)
 
 
+def dist_cr(sm: ShardedCSR, sweeps: int = 5, theta_cr: float = 0.7
+            ) -> Tuple[List[np.ndarray], RowPartition, int]:
+    """Compatible-relaxation selector, shard-parallel (selectors/cr.cu;
+    mirrors the single-matrix cr_select exactly): Jacobi sweeps on
+    A e = 0 from the same seeded random e, ghost values of e exchanged
+    per sweep, then a global max-reduce for the slow-point threshold."""
+    from ..amg.classical import FINE
+    n_dev = sm.n_dev
+    rng = np.random.default_rng(0)
+    e_glob = rng.random(sm.n_rows)          # identical to the single-chip e0
+    e = [e_glob[int(sm.part.offsets[d]):int(sm.part.offsets[d + 1])].copy()
+         for d in range(n_dev)]
+    halos = [sm.halo_cols(d) for d in range(n_dev)]
+    exts = [extended_local(sm, d)[0] for d in range(n_dev)]
+    dinv = []
+    for d in range(n_dev):
+        dg = np.asarray(sm.diagonal()[d], np.float64)
+        dinv.append(1.0 / np.where(dg == 0, 1.0, dg))
+    for _ in range(sweeps):
+        g_e = exchange_col_values(sm.part, e, halos)
+        for d in range(n_dev):
+            ext = exts[d]
+            e_ext = np.concatenate([e[d], g_e[d]]) if halos[d].size \
+                else e[d]
+            data = ext.data if ext.block_dim == (1, 1) else \
+                ext.data[:, 0, 0]
+            rows = np.repeat(np.arange(ext.n_rows), ext.row_nnz())
+            ae = np.zeros(ext.n_rows)
+            np.add.at(ae, rows, data * e_ext[ext.indices])
+            e[d] = e[d] - ae * dinv[d] * 0.7
+    emax = max((np.abs(ed).max() if ed.size else 0.0) for ed in e)
+    counts = []
+    slow = []
+    for d in range(n_dev):
+        sl = np.abs(e[d]) >= theta_cr * emax
+        slow.append(sl)
+        counts.append(int(sl.sum()))
+    if sum(counts) == 0:
+        # degenerate: promote the single globally largest |e|
+        d_best = int(np.argmax([np.abs(ed).max() if ed.size else -1.0
+                                for ed in e]))
+        slow[d_best][int(np.argmax(np.abs(e[d_best])))] = True
+        counts[d_best] = 1
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    cf = []
+    for d in range(n_dev):
+        m = np.full(e[d].shape[0], FINE, np.int64)
+        c = np.nonzero(slow[d])[0]
+        m[c] = offsets[d] + np.arange(c.size)
+        cf.append(m)
+    return cf, RowPartition(offsets), int(offsets[-1])
+
+
 def dist_multipass_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
                                  cf: List[np.ndarray], nc: int,
                                  max_passes: int = 10) -> ShardedCSR:

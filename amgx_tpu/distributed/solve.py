@@ -254,7 +254,7 @@ class DistributedSolver:
                     else "AGGRESSIVE_" + selector
             aggr_interp = str(g("aggressive_interpolator"))
             classical_ok = (
-                selector in ("PMIS", "AGGRESSIVE_PMIS")
+                selector in ("PMIS", "AGGRESSIVE_PMIS", "CR")
                 and interpolator in ("D1", "D2", "MULTIPASS")
                 and (aggr_levels == 0 or
                      (aggr_sel == "AGGRESSIVE_PMIS" and
@@ -440,9 +440,12 @@ class DistributedSolver:
                     interp_now = str(g("aggressive_interpolator"))
                 strong = dsetup.dist_strength(swork, g("strength"),
                                               g("strength_threshold"))
-                cf, natural_part, nc = dsetup.dist_pmis(
-                    swork, strong,
-                    aggressive=sel_now == "AGGRESSIVE_PMIS")
+                if sel_now == "CR":
+                    cf, natural_part, nc = dsetup.dist_cr(swork)
+                else:
+                    cf, natural_part, nc = dsetup.dist_pmis(
+                        swork, strong,
+                        aggressive=sel_now == "AGGRESSIVE_PMIS")
                 if nc == 0 or nc >= swork.n_rows:
                     break
                 if interp_now == "D2":

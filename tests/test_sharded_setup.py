@@ -184,6 +184,8 @@ def test_setup_never_assembles_global_fine_operator(mesh, monkeypatch):
     ("AGGREGATION", "SIZE_2", "D1"),
     ("CLASSICAL", "PMIS", "D1"),
     ("CLASSICAL", "PMIS", "D2"),
+    ("CLASSICAL", "PMIS", "MULTIPASS"),
+    ("CLASSICAL", "CR", "D1"),
 ])
 def test_sharded_setup_solver_convergence(mesh, rng, alg, sel, interp):
     a = amgx.gallery.poisson7pt(12, 12, 12)
