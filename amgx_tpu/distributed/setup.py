@@ -589,6 +589,121 @@ def dist_cr(sm: ShardedCSR, sweeps: int = 5, theta_cr: float = 0.7
     return cf, RowPartition(offsets), int(offsets[-1])
 
 
+def dist_ensure_coverage(sm: ShardedCSR, strong: List[np.ndarray],
+                         cf: List[np.ndarray]
+                         ) -> Tuple[List[np.ndarray], RowPartition, int]:
+    """Promote F nodes with no C point within distance-2 strong reach to
+    C (energymin.ensure_coverage, shard-parallel: coverage flags ghost-
+    exchanged for each of the two hops)."""
+    from ..amg.classical import FINE
+    n_dev = sm.n_dev
+    halos = [sm.halo_cols(d) for d in range(n_dev)]
+    exts = [extended_local(sm, d)[0] for d in range(n_dev)]
+    c = [cf[d] >= 0 for d in range(n_dev)]
+
+    def hop(flags):
+        g = exchange_col_values(sm.part,
+                                [f.astype(np.int8) for f in flags], halos)
+        out = []
+        for d in range(n_dev):
+            ext = exts[d]
+            rows = np.repeat(np.arange(ext.n_rows), ext.row_nnz())
+            r0 = int(sm.part.offsets[d])
+            gcol = np.where(ext.indices < ext.n_rows,
+                            ext.indices + r0,
+                            halos[d][np.maximum(
+                                ext.indices.astype(np.int64)
+                                - ext.n_rows, 0)]
+                            if halos[d].size else ext.indices + r0)
+            keep = strong[d] & (gcol != rows + r0)
+            fl_ext = np.concatenate(
+                [flags[d], g[d].astype(bool)]) if halos[d].size \
+                else flags[d]
+            cov = np.zeros(ext.n_rows, bool)
+            hit = keep & fl_ext[ext.indices]
+            cov[np.unique(rows[hit])] = True
+            out.append(cov)
+        return out
+
+    cov1 = hop(c)
+    cov2 = hop(cov1)
+    counts, c_new = [], []
+    for d in range(n_dev):
+        cn = c[d] | (~c[d] & ~cov1[d] & ~cov2[d])
+        c_new.append(cn)
+        counts.append(int(cn.sum()))
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    out_cf = []
+    for d in range(n_dev):
+        m = np.full(c_new[d].shape[0], FINE, np.int64)
+        idx = np.nonzero(c_new[d])[0]
+        m[idx] = offsets[d] + np.arange(idx.size)
+        out_cf.append(m)
+    return out_cf, RowPartition(offsets), int(offsets[-1])
+
+
+def dist_em_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
+                          cf: List[np.ndarray], nc: int, strength: str,
+                          theta: float, sweeps: int = 2) -> ShardedCSR:
+    """Energy-minimizing interpolation, shard-parallel
+    (energymin.em_interpolation): distance-2 seed, then projected
+    steepest-descent sweeps on tr(P^T A P) with the one-ring's P rows
+    exchanged per sweep (the A P product is the only non-local step)."""
+    import scipy.sparse as sp
+    p_sh = dist_distance2_interpolation(sm, strong, cf, nc, strength,
+                                        theta)
+    n_dev = sm.n_dev
+    halos = [sm.halo_cols(d) for d in range(n_dev)]
+    work, shards = [], []
+    for d in range(n_dev):
+        ext, _ = extended_local(sm, d)
+        data = ext.data if ext.block_dim == (1, 1) else ext.data[:, 0, 0]
+        a_loc = sp.csr_matrix((np.asarray(data, np.float64), ext.indices,
+                               ext.indptr),
+                              shape=(ext.n_rows, ext.n_cols))
+        dg = np.asarray(sm.diagonal()[d], np.float64)
+        dinv = 1.0 / np.where(dg == 0, 1.0, dg)
+        c_rows = cf[d] >= 0
+        p = p_sh.shards[d].to_scipy().tocsr()
+        rs = np.asarray(p.sum(axis=1)).ravel()
+        scale = np.where(~c_rows & (rs != 0),
+                         1.0 / np.where(rs == 0, 1.0, rs), 1.0)
+        p = (sp.diags(scale) @ p).tocsr()
+        pattern = p.copy()
+        pattern.data[:] = 1.0
+        cnt = np.asarray(pattern.sum(axis=1)).ravel()
+        cnt_inv = np.where(cnt > 0, 1.0 / np.where(cnt == 0, 1.0, cnt),
+                           0.0)
+        work.append((a_loc, dinv, c_rows, pattern, cnt_inv))
+        shards.append(CSRMatrix(p.shape[0], nc, p.indptr, p.indices,
+                                p.data))
+    p_sh = ShardedCSR(sm.part, shards, nc)
+    for _ in range(sweeps):
+        p_halo = exchange_rows(p_sh, halos)
+        new_shards = []
+        for d in range(n_dev):
+            a_loc, dinv, c_rows, pattern, cnt_inv = work[d]
+            p_own = p_sh.shards[d].to_scipy().tocsr()
+            p_ext = sp.vstack([p_own, p_halo[d].to_scipy()]).tocsr() \
+                if halos[d].size else p_own
+            upd = (sp.diags(dinv) @ (a_loc @ p_ext)).multiply(
+                pattern).tocsr()
+            mean = np.asarray(upd.sum(axis=1)).ravel() * cnt_inv
+            upd = (upd - sp.diags(mean) @ pattern).tocsr()
+            upd = sp.diags((~c_rows).astype(np.float64)) @ upd
+            p = (p_own - 0.5 * upd).tocsr()
+            new_shards.append(CSRMatrix(p.shape[0], nc, p.indptr,
+                                        p.indices, p.data))
+        p_sh = ShardedCSR(sm.part, new_shards, nc)
+    shards = []
+    for d in range(n_dev):
+        s = p_sh.shards[d].to_scipy().tocsr()
+        s.eliminate_zeros()
+        shards.append(CSRMatrix(s.shape[0], nc, s.indptr, s.indices,
+                                s.data))
+    return ShardedCSR(sm.part, shards, nc)
+
+
 def dist_multipass_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
                                  cf: List[np.ndarray], nc: int,
                                  max_passes: int = 10) -> ShardedCSR:

@@ -261,7 +261,8 @@ class DistributedSolver:
                       aggr_interp in ("D1", "D2", "MULTIPASS"))))
             self._sharded_setup = csr.block_dim == (1, 1) and (
                 (algorithm == "AGGREGATION" and shard_local) or
-                (algorithm == "CLASSICAL" and classical_ok))
+                (algorithm == "CLASSICAL" and classical_ok) or
+                algorithm == "ENERGYMIN")
             if self._sharded_setup:
                 self._setup_levels_sharded(
                     csr, g, amg_scope, algorithm, selector, interpolator,
@@ -440,15 +441,26 @@ class DistributedSolver:
                     interp_now = str(g("aggressive_interpolator"))
                 strong = dsetup.dist_strength(swork, g("strength"),
                                               g("strength_threshold"))
+                if algorithm == "ENERGYMIN":
+                    # reference: energymin forces the CR selector and the
+                    # energy-minimizing interpolator
+                    sel_now, interp_now = "CR", "EM"
                 if sel_now == "CR":
                     cf, natural_part, nc = dsetup.dist_cr(swork)
+                    if algorithm == "ENERGYMIN":
+                        cf, natural_part, nc = dsetup.dist_ensure_coverage(
+                            swork, strong, cf)
                 else:
                     cf, natural_part, nc = dsetup.dist_pmis(
                         swork, strong,
                         aggressive=sel_now == "AGGRESSIVE_PMIS")
                 if nc == 0 or nc >= swork.n_rows:
                     break
-                if interp_now == "D2":
+                if interp_now == "EM":
+                    sp_ = dsetup.dist_em_interpolation(
+                        swork, strong, cf, nc, g("strength"),
+                        g("strength_threshold"))
+                elif interp_now == "D2":
                     sp_ = dsetup.dist_distance2_interpolation(
                         swork, strong, cf, nc, g("strength"),
                         g("strength_threshold"))

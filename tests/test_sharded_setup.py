@@ -200,6 +200,29 @@ def test_sharded_setup_solver_convergence(mesh, rng, alg, sel, interp):
     assert s.last_iters <= 30
 
 
+def test_distributed_energymin(mesh, rng):
+    """Shard-parallel energymin: CR selection (per-sweep ghost exchange)
+    + coverage promotion + energy-min sweeps with per-sweep P-row
+    exchange. CR's threshold is value-sensitive, so deep levels may
+    differ from single-chip by fp noise — convergence must match."""
+    a = amgx.gallery.poisson7pt(12, 12, 12)
+    b = np.ones(a.n_rows)
+    cfg = _amg_cfg("ENERGYMIN", "CR", "EM")
+    s1 = amgx.SolverFactory.allocate(cfg)
+    s1.setup(amgx.Matrix(a))
+    x1, st1 = s1.solve(b)
+    sd = DistributedSolver(cfg, mesh)
+    sd.setup(a)
+    assert sd._sharded_setup
+    # the first coarsening is computed from identical fine values
+    assert sd.levels[1].a.n_rows == s1.preconditioner.amg.levels[1].n_rows
+    xd, std = sd.solve(b)
+    rd = np.linalg.norm(b - a.to_scipy() @ np.asarray(xd)) / \
+        np.linalg.norm(b)
+    assert st1 == 0 and std == 0 and rd < 1e-7
+    assert abs(sd.last_iters - s1.last_iters) <= 3
+
+
 def test_distributed_aggressive_multipass_matches_single_chip(mesh, rng):
     """AGGRESSIVE_PMIS (distance-2 independent set via _square_edges) +
     MULTIPASS interpolation run shard-parallel and reproduce the
