@@ -133,9 +133,15 @@ def write_matrix_market(path: str, m: CSRMatrix,
 
 
 def read_system(path: str):
-    """AMGX_read_system equivalent: returns (matrix, rhs, sol) with defaults
-    rhs = A @ ones when absent ('rhs_from_a' behavior is opt-in upstream;
-    here absent vectors are returned as None)."""
+    """AMGX_read_system equivalent: returns (matrix, rhs, sol); absent
+    vectors are returned as None. The format is sniffed from the file
+    header (the reference's reader registry dispatches MatrixMarket vs
+    NVAMG binary the same way, matrix_io.cu:118)."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+    if head == b"AMGXTPUB":
+        from .binary import read_system_binary
+        return read_system_binary(path)
     return read_matrix_market(path)
 
 
