@@ -145,6 +145,9 @@ def register_all_parameters() -> None:
       allowed_values=[0, 1])
     P("symmetric_GS", int, 0, "symmetric (fwd+bwd) Gauss-Seidel sweeps",
       allowed_values=[0, 1])
+    P("gs_inner_sweeps", int, 2,
+      "inner Jacobi sweeps approximating the GS triangular solve "
+      "(TWO_STAGE_GS, TPU extension)")
     P("cf_smoothing_mode", int, 0, "C/F ordering mode for CF_JACOBI",
       allowed_range=(0, 3))
     P("ilu_sparsity_level", int, 0, "ILU(k) fill level", allowed_range=(0, 1))

@@ -110,6 +110,65 @@ class JacobiL1Solver(BlockJacobiSolver):
     l1_scaling = True
 
 
+@register_solver("TWO_STAGE_GS")
+class TwoStageGSSolver(Solver):
+    """Two-stage Gauss-Seidel (TPU-first extension; Boman et al.,
+    arXiv:2104.01196): the GS triangular solve (D+L) z = r is itself
+    approximated by ``gs_inner_sweeps`` Jacobi iterations
+        z <- D^{-1} (r - L z),   z_0 = D^{-1} r,
+    so GS-quality smoothing runs as pure SpMV + axpy — no coloring, no
+    sequential-in-color chains, full memory bandwidth on TPU.
+    ``symmetric_GS=1`` adds the matching upper-triangular stage."""
+
+    is_smoother = True
+
+    def __init__(self, cfg, scope="default"):
+        super().__init__(cfg, scope)
+        self.inner = max(1, int(cfg.get("gs_inner_sweeps", scope)))
+        self.symmetric = bool(cfg.get("symmetric_GS", scope))
+
+    def solver_setup(self):
+        if self.m is None or self.m.csr is None:
+            raise ValueError("TWO_STAGE_GS needs a host CSR matrix")
+        vec_dt, _ = mode_dtypes(self.mode)
+        csr = self.m.csr
+        self.inv_diag = _inv_diag_arrays(csr, vec_dt, self.n_pad)
+        n = csr.n_rows
+        rows = np.repeat(np.arange(n), csr.row_nnz())
+        cols = csr.indices.astype(np.int64)
+        # strictly-lower / strictly-upper device operators via the same
+        # layout ladder as the system matrix (DIA on stencils)
+        from ..matrix import CSRMatrix, Matrix
+        bx, by = csr.block_dim
+        data = csr.data
+
+        def tri(keep):
+            t = CSRMatrix.from_coo(n, csr.n_cols, rows[keep], cols[keep],
+                                   data[keep], block_dim=(bx, by),
+                                   sum_duplicates=False)
+            return Matrix(t, mode=self.mode).device_op()
+
+        self.lower = tri(cols < rows)
+        self.upper = tri(cols > rows) if self.symmetric else None
+
+    def solve_init(self, b, x, zero_guess):
+        return None
+
+    def _stage(self, r, tri_op):
+        z = _apply_inv_diag(self.inv_diag, r)
+        for _ in range(self.inner):
+            z = _apply_inv_diag(self.inv_diag, r - tri_op.apply(z))
+        return z
+
+    def solve_iteration(self, b, x, s):
+        r = b - self.op.apply(x)
+        x = x + self.relaxation_factor * self._stage(r, self.lower)
+        if self.upper is not None:
+            r = b - self.op.apply(x)
+            x = x + self.relaxation_factor * self._stage(r, self.upper)
+        return x, None
+
+
 @register_solver("GS")
 class GaussSeidelSolver(Solver):
     """Gauss-Seidel (gauss_seidel_solver.cu). TPU-native: color-sequential

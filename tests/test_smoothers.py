@@ -206,3 +206,54 @@ def test_chebyshev_amg_smoother_converges():
     rel = np.linalg.norm(b - a.to_scipy() @ s.extract_vector(x)) / \
         np.linalg.norm(b)
     assert st == 0 and rel < 1e-6 and s.last_iters <= 40
+
+
+def test_two_stage_gs_standalone_relaxation():
+    """TWO_STAGE_GS (TPU extension, arXiv:2104.01196): GS approximated by
+    inner Jacobi sweeps on the triangular solve — pure SpMV shape, no
+    coloring. Standalone relaxation must converge at a GS-like rate."""
+    a = amgx.gallery.poisson5pt(8, 8)
+    b = np.ones(a.n_rows)
+    cfg = amgx.AMGConfig(
+        "solver=TWO_STAGE_GS, max_iters=300, tolerance=1e-8, "
+        "convergence=RELATIVE_INI, monitor_residual=1, "
+        "relaxation_factor=1.0")
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a))
+    x, st = s.solve(b)
+    r = np.linalg.norm(b - a.to_scipy() @ s.extract_vector(x))
+    assert st == 0 and r < 1e-7
+
+
+def test_two_stage_gs_symmetric_amg_smoother_beats_jacobi():
+    """Symmetric two-stage GS is an SPD preconditioner: PCG + classical
+    AMG with it must need no more iterations than damped Jacobi."""
+    a = amgx.gallery.poisson7pt(12, 12, 12)
+    b = np.ones(a.n_rows)
+
+    def run(smoother):
+        cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+            "solver": "PCG", "max_iters": 200, "tolerance": 1e-10,
+            "convergence": "RELATIVE_INI", "monitor_residual": 1,
+            "scope": "main",
+            "preconditioner": {"solver": "AMG", "scope": "amg",
+                               "algorithm": "CLASSICAL",
+                               "selector": "PMIS", "interpolator": "D2",
+                               "smoother": smoother,
+                               "presweeps": 1, "postsweeps": 1,
+                               "max_iters": 1, "min_coarse_rows": 32,
+                               "max_levels": 12, "cycle": "V"}}})
+        s = amgx.SolverFactory.allocate(cfg)
+        s.setup(amgx.Matrix(a))
+        x, st = s.solve(b)
+        rel = np.linalg.norm(b - a.to_scipy() @ s.extract_vector(x)) / \
+            np.linalg.norm(b)
+        assert st == 0 and rel < 1e-8, (smoother, st, rel)
+        return s.last_iters
+
+    it_gs2 = run({"solver": "TWO_STAGE_GS", "scope": "gs",
+                  "symmetric_GS": 1, "gs_inner_sweeps": 2,
+                  "relaxation_factor": 1.0})
+    it_jac = run({"solver": "BLOCK_JACOBI", "scope": "jac",
+                  "relaxation_factor": 0.7})
+    assert it_gs2 <= it_jac
