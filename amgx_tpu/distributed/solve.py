@@ -31,14 +31,15 @@ from .partition import DistEllMatrix, RowPartition
 def _flatten_level_args(args):
     """None placeholders -> () so the level args form a uniform pytree."""
     return tuple((a_args, p_args or (), r_args or (), inv_diag,
-                  coarse or ())
-                 for (a_args, p_args, r_args, inv_diag, coarse) in args)
+                  coarse or (), gs)
+                 for (a_args, p_args, r_args, inv_diag, coarse, gs)
+                 in args)
 
 
 def _unflatten(flat):
     return [(a_args, p_args or None, r_args or None, inv_diag,
-             coarse or None)
-            for (a_args, p_args, r_args, inv_diag, coarse) in flat]
+             coarse or None, gs)
+            for (a_args, p_args, r_args, inv_diag, coarse, gs) in flat]
 
 
 def _freeze(obj):
@@ -81,6 +82,7 @@ class DistLevel:
         self.r: Optional[DistEllMatrix] = None
         self.inv_diag = inv_diag          # (D, Lr) sharded
         self.coarse_dense = None          # replicated dense coarse solve
+        self.gs = None                    # (lower, upper) two-stage GS ops
 
 
 class DistributedSolver:
@@ -168,11 +170,24 @@ class DistributedSolver:
             self.use_amg = True
 
         # JACOBI_L1 smoothing/preconditioning uses the L1-augmented
-        # diagonal at every level (jacobi_l1_solver.cu)
+        # diagonal at every level (jacobi_l1_solver.cu); TWO_STAGE_GS
+        # smoothing builds shard-local triangular operators per level
         self._smoother_l1 = False
+        self._gs2 = False
+        self._gs2_inner = 2
+        self._gs2_symmetric = False
         if self.use_amg and amg_scope is not None:
-            sm_name, _ = self.cfg.get_pair("smoother", amg_scope)
+            sm_name, sm_scope0 = self.cfg.get_pair("smoother", amg_scope)
             self._smoother_l1 = sm_name == "JACOBI_L1"
+            if sm_name == "TWO_STAGE_GS":
+                if csr.block_dim != (1, 1):
+                    raise NotImplementedError(
+                        "distributed TWO_STAGE_GS smoothing is scalar-only")
+                self._gs2 = True
+                self._gs2_inner = max(1, int(self.cfg.get(
+                    "gs_inner_sweeps", sm_scope0)))
+                self._gs2_symmetric = bool(self.cfg.get("symmetric_GS",
+                                                        sm_scope0))
         self._l1_diag = self._smoother_l1 or \
             self.precond_name == "JACOBI_L1"
 
@@ -193,6 +208,10 @@ class DistributedSolver:
         self.levels = [DistLevel(a0, self._inv_diag(
             csr, a0, vec_dt, self.mesh, self.axis,
             l1=self._l1_diag))]
+        if self._gs2:
+            self.levels[0].gs = self._gs_tri_ops(
+                self._gs_shard_rows(csr, a0.row_part), self.levels[0],
+                vec_dt)
         self._global_csrs = [csr]
 
         if self.use_amg:
@@ -382,6 +401,10 @@ class DistributedSolver:
             self.levels.append(DistLevel(ad, self._inv_diag(
                 ac, ad, vec_dt, self.mesh, self.axis,
                 l1=getattr(self, "_smoother_l1", False))))
+            if self._gs2:
+                self.levels[-1].gs = self._gs_tri_ops(
+                    self._gs_shard_rows(ac, coarse_part), self.levels[-1],
+                    vec_dt)
             if self.cheby_smoothing:
                 self._cheby_bounds.append(self._lambda_bounds(ac))
             self._global_csrs.append(ac)
@@ -521,6 +544,10 @@ class DistributedSolver:
                 ad, self._inv_diag_sharded(ac, ad, vec_dt, self.mesh,
                                            self.axis,
                                            l1=self._smoother_l1)))
+            if self._gs2:
+                self.levels[-1].gs = self._gs_tri_ops(
+                    self._gs_shard_rows(ac, coarse_part), self.levels[-1],
+                    vec_dt)
             if self.cheby_smoothing:
                 self._cheby_bounds.append(self._lambda_bounds_sharded(ac))
             self._structure.append(info)
@@ -691,6 +718,9 @@ class DistributedSolver:
         lvl0.inv_diag = self._inv_diag(
             csr, a0, vec_dt, self.mesh, self.axis,
             l1=getattr(self, "_l1_diag", False))
+        if getattr(self, "_gs2", False):
+            lvl0.gs = self._gs_tri_ops(
+                self._gs_shard_rows(csr, a0.row_part), lvl0, vec_dt)
         cheby = getattr(self, "cheby_smoothing", False)
         if getattr(self, "_sharded_setup", False):
             # shard-parallel re-coarsening: reuse partitions and transfer
@@ -719,6 +749,9 @@ class DistributedSolver:
                 nxt.inv_diag = self._inv_diag_sharded(
                     ac, ad, vec_dt, self.mesh, self.axis,
                     l1=getattr(self, "_smoother_l1", False))
+                if getattr(self, "_gs2", False):
+                    nxt.gs = self._gs_tri_ops(
+                        self._gs_shard_rows(ac, coarse_part), nxt, vec_dt)
                 if cheby:
                     self._cheby_bounds.append(
                         self._lambda_bounds_sharded(ac))
@@ -750,6 +783,9 @@ class DistributedSolver:
             nxt.inv_diag = self._inv_diag(
                 ac, ad, vec_dt, self.mesh, self.axis,
                 l1=getattr(self, "_smoother_l1", False))
+            if getattr(self, "_gs2", False):
+                nxt.gs = self._gs_tri_ops(
+                    self._gs_shard_rows(ac, coarse_part), nxt, vec_dt)
             if cheby:
                 self._cheby_bounds.append(self._lambda_bounds(ac))
             work = ac
@@ -874,6 +910,108 @@ class DistributedSolver:
             return comms.dist_spmv(cols, vals, pack, halo, x, ax)
         return apply, (dm.cols, dm.vals, dm.pack_idx, dm.halo_from)
 
+    def _gs_tri_ops(self, shard_rows, lvl, vec_dt):
+        """Shard-local strictly-triangular operators for hybrid two-stage
+        GS smoothing in the level's slot layout (cross-shard couplings are
+        excluded — the outer residual handles them, the standard hybrid-GS
+        decomposition). ``shard_rows[d]`` = (rows_g, cols_g, vals) of shard
+        d's owned rows with global ids. Returns ({'cols','vals'} lower,
+        upper or None) stacked (D, Lr, W) and device-sharded."""
+        a = lvl.a
+        n_dev, lr = a.n_dev, a.lr
+        part = a.row_part
+        perm = getattr(a, "row_perm", None)
+        ent = []          # per shard: (slot_r, slot_c, vals)
+        for d in range(n_dev):
+            rows_g, cols_g, vals = shard_rows[d]
+            r0, r1 = int(part.offsets[d]), int(part.offsets[d + 1])
+            own = (cols_g >= r0) & (cols_g < r1)
+            rows_g, cols_g, vals = rows_g[own], cols_g[own], vals[own]
+            if perm is not None:
+                inv = np.full(r1 - r0, -1, np.int64)
+                pd = np.asarray(perm[d])
+                ok = pd >= 0
+                inv[pd[ok] - r0] = np.nonzero(ok)[0]
+                sr = inv[rows_g - r0]
+                sc = inv[cols_g - r0]
+            else:
+                sr = rows_g - r0
+                sc = cols_g - r0
+            ent.append((sr, sc, vals))
+
+        def pack(pick):
+            w = 1
+            for sr, sc, _ in ent:
+                m = pick(sr, sc)
+                if m.any():
+                    w = max(w, int(np.bincount(sr[m], minlength=lr).max()))
+            cols = np.zeros((n_dev, lr, w), np.int32)
+            vals = np.zeros((n_dev, lr, w), np.float64)
+            for d, (sr, sc, vv) in enumerate(ent):
+                m = pick(sr, sc)
+                sr_m, sc_m, vv_m = sr[m], sc[m], vv[m]
+                order = np.argsort(sr_m, kind="stable")
+                sr_m, sc_m, vv_m = sr_m[order], sc_m[order], vv_m[order]
+                first = np.searchsorted(sr_m, np.arange(lr))
+                slot = np.arange(sr_m.size) - first[sr_m]
+                cols[d, sr_m, slot] = sc_m
+                vals[d, sr_m, slot] = np.real(vv_m) if \
+                    np.iscomplexobj(vv_m) else vv_m
+            from .multihost import put_sharded
+            return {"cols": put_sharded(cols, self.mesh, self.axis),
+                    "vals": put_sharded(vals.astype(vec_dt), self.mesh,
+                                        self.axis)}
+
+        low = pack(lambda sr, sc: sc < sr)
+        up = pack(lambda sr, sc: sc > sr) if self._gs2_symmetric else None
+        return low, up
+
+    def _gs_shard_rows(self, source, part):
+        """Per-shard (rows_g, cols_g, vals) COO of owned rows, from either
+        a global CSRMatrix or a ShardedCSR."""
+        out = []
+        if hasattr(source, "shards"):                 # ShardedCSR
+            for d in range(source.n_dev):
+                s = source.shards[d]
+                r0 = int(source.part.offsets[d])
+                rows = np.repeat(np.arange(s.n_rows, dtype=np.int64),
+                                 s.row_nnz()) + r0
+                data = s.data if s.block_dim == (1, 1) else s.data[:, 0, 0]
+                out.append((rows, s.indices.astype(np.int64), data))
+        else:                                          # global CSRMatrix
+            csr = source
+            rows_all = np.repeat(np.arange(csr.n_rows, dtype=np.int64),
+                                 csr.row_nnz())
+            data = csr.data if csr.block_dim == (1, 1) else \
+                csr.data[:, 0, 0]
+            for d in range(part.n_dev):
+                r0, r1 = int(part.offsets[d]), int(part.offsets[d + 1])
+                p0, p1 = int(csr.indptr[r0]), int(csr.indptr[r1])
+                out.append((rows_all[p0:p1],
+                            csr.indices[p0:p1].astype(np.int64),
+                            data[p0:p1]))
+        return out
+
+    def _gs2_smooth(self, a_args, static, inv_diag, gs_low, gs_up, b, x):
+        """Hybrid two-stage GS sweep (TWO_STAGE_GS, arXiv:2104.01196):
+        the shard-local triangular solve approximated by inner Jacobi
+        iterations — pure SpMV shape, no colors, no collectives beyond
+        the outer residual."""
+        def stage(r, tri):
+            z = self._invd_mul(inv_diag, r)
+            for _ in range(self._gs2_inner):
+                z = self._invd_mul(
+                    inv_diag,
+                    r - jnp.sum(tri["vals"] * z[tri["cols"]], axis=1))
+            return z
+
+        r = b - self._apply_mat(a_args, x, static)
+        x = x + self.smooth_damp * stage(r, gs_low)
+        if gs_up:
+            r = b - self._apply_mat(a_args, x, static)
+            x = x + self.smooth_damp * stage(r, gs_up)
+        return x
+
     @staticmethod
     def _invd_mul(invd, r):
         """Apply a (stacked) inverse diagonal: elementwise for scalar,
@@ -926,7 +1064,8 @@ class DistributedSolver:
         (a_args, p_args, r_args, inv_diag, coarse_dense)."""
         ax = self.axis
         ctype = cycle_type or getattr(self, "cycle_type", "V")
-        a_args, p_args, r_args, inv_diag, coarse = lvl_args[idx]
+        a_args, p_args, r_args, inv_diag, coarse = lvl_args[idx][:5]
+        gs = lvl_args[idx][5] if len(lvl_args[idx]) > 5 else ((), ())
         static = self._level_static[idx]
 
         def spmv(args, v, st=None):
@@ -946,10 +1085,15 @@ class DistributedSolver:
             # handful of smoothing sweeps.
             return self._coarse_cg(a_args, static, inv_diag, b, x)
         cheby = getattr(self, "cheby_smoothing", False)
+        gs2 = getattr(self, "_gs2", False) and gs[0]
         if cheby:
             x = self._cheby_smooth(a_args, static, inv_diag,
                                    self._cheby_bounds[idx], b, x,
                                    self.cheby_order)
+        elif gs2:
+            for _ in range(self.presweeps):
+                x = self._gs2_smooth(a_args, static, inv_diag, gs[0],
+                                     gs[1], b, x)
         else:
             for _ in range(self.presweeps):
                 x = x + self.smooth_damp * self._invd_mul(
@@ -971,6 +1115,10 @@ class DistributedSolver:
             x = self._cheby_smooth(a_args, static, inv_diag,
                                    self._cheby_bounds[idx], b, x,
                                    self.cheby_order)
+        elif gs2:
+            for _ in range(self.postsweeps):
+                x = self._gs2_smooth(a_args, static, inv_diag, gs[0],
+                                     gs[1], b, x)
         else:
             for _ in range(self.postsweeps):
                 x = x + self.smooth_damp * self._invd_mul(
@@ -1064,8 +1212,10 @@ class DistributedSolver:
             a_args = self._mat_pytree(lvl.a)
             p_args = None if lvl.p is None else self._mat_pytree(lvl.p)
             r_args = None if lvl.r is None else self._mat_pytree(lvl.r)
+            gs = lvl.gs if lvl.gs is not None else ((), ())
             out.append((a_args, p_args, r_args, lvl.inv_diag,
-                        lvl.coarse_dense))
+                        lvl.coarse_dense,
+                        (gs[0] or (), gs[1] or ())))
         return out
 
     def _build_step(self):
@@ -1156,6 +1306,9 @@ class DistributedSolver:
                getattr(self, "cheby_smoothing", None),
                getattr(self, "cheby_order", None),
                getattr(self, "smooth_damp", None),
+               getattr(self, "_gs2", False),
+               getattr(self, "_gs2_inner", None),
+               getattr(self, "_gs2_symmetric", None),
                _freeze(self._level_static), _freeze(self._pr_perms),
                _freeze(getattr(self, "_cheby_bounds", None)),
                _freeze(getattr(self, "_cheb_solver_bounds", None)),
@@ -1419,7 +1572,8 @@ class DistributedSolver:
              jax.tree.map(lambda _: shard, lvl_args[i][1] or ()) or (),
              jax.tree.map(lambda _: shard, lvl_args[i][2] or ()) or (),
              shard,
-             (spec_rep, spec_rep) if lvl.coarse_dense is not None else ())
+             (spec_rep, spec_rep) if lvl.coarse_dense is not None else (),
+             jax.tree.map(lambda _: shard, lvl_args[i][5]))
             for i, lvl in enumerate(self.levels))
 
         def wrap(fn, extra_in, extra_out):
