@@ -150,7 +150,8 @@ class DistributedSolver:
         self._vec_dt = vec_dt
         amg_scope = None
         if self.precond_name not in ("AMG", "BLOCK_JACOBI", "JACOBI_L1",
-                                     "NOSOLVER", "DUMMY", None):
+                                     "CHEBYSHEV_POLY", "NOSOLVER",
+                                     "DUMMY", None):
             # color-sequential preconditioners (DILU/ILU/GS/KACZMARZ...)
             # have no distributed implementation; raising sends the capi
             # path to the single-chip solver instead of silently swapping
@@ -298,6 +299,11 @@ class DistributedSolver:
             # Jacobi-preconditioned Chebyshev: bounds on D^-1 A match the
             # iterated operator (cheb_solver.cu mode-0 semantics)
             self._cheb_solver_bounds = self._lambda_bounds(csr)
+        if self.precond_name == "CHEBYSHEV_POLY":
+            _, pc_scope = self.cfg.get_pair("preconditioner", self.scope)
+            self._cheb_precond_bounds = self._lambda_bounds(csr)
+            self._cheb_precond_order = max(1, int(self.cfg.get(
+                "chebyshev_polynomial_order", pc_scope)))
         self._build_step()
         if self.use_amg and amg_scope is not None and \
                 bool(self.cfg.get("print_grid_stats", amg_scope)):
@@ -1312,6 +1318,8 @@ class DistributedSolver:
                _freeze(self._level_static), _freeze(self._pr_perms),
                _freeze(getattr(self, "_cheby_bounds", None)),
                _freeze(getattr(self, "_cheb_solver_bounds", None)),
+               _freeze(getattr(self, "_cheb_precond_bounds", None)),
+               getattr(self, "_cheb_precond_order", None),
                _tree_sig(self._mat_args), _tree_sig(lvl_args))
         if sig == getattr(self, "_step_sig", None) and \
                 getattr(self, "_jit_solve_fused", None) is not None:
@@ -1345,6 +1353,13 @@ class DistributedSolver:
                 return self._vcycle(0, r, z, args)
             if self.precond_name in ("BLOCK_JACOBI", "JACOBI_L1"):
                 return apply_invd(args[0][3], r)
+            if self.precond_name == "CHEBYSHEV_POLY":
+                # fixed-order Chebyshev polynomial in D^-1 A
+                # (chebyshev_poly.cu) — SpMV + axpy only
+                return self._cheby_smooth(
+                    args[0][0], self._level_static[0], args[0][3],
+                    self._cheb_precond_bounds, r, jnp.zeros_like(r),
+                    self._cheb_precond_order)
             return r
 
         def gmres_restart(mat, b, xv):

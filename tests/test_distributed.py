@@ -980,3 +980,29 @@ def test_distributed_two_stage_gs_smoother(mesh, rng):
     r2 = np.linalg.norm(b - a2.to_scipy() @ np.asarray(x2)) / \
         np.linalg.norm(b)
     assert st2 == 0 and r2 < 1e-8
+
+
+def test_distributed_chebyshev_poly_preconditioner(mesh, rng):
+    """CHEBYSHEV_POLY as a distributed PCG preconditioner (SpMV + axpy
+    only): must beat plain Jacobi preconditioning."""
+    a = amgx.gallery.poisson7pt(10, 10, 10)
+    b = np.ones(a.n_rows)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "PCG", "max_iters": 300, "tolerance": 1e-10,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "CHEBYSHEV_POLY", "scope": "cp",
+                           "chebyshev_polynomial_order": 3}}})
+    s = DistributedSolver(cfg, mesh)
+    s.setup(a)
+    x, st = s.solve(b)
+    r = np.linalg.norm(b - a.to_scipy() @ np.asarray(x)) / \
+        np.linalg.norm(b)
+    assert st == 0 and r < 1e-8
+    cfg2 = amgx.AMGConfig(
+        "solver=PCG, preconditioner=BLOCK_JACOBI, max_iters=300, "
+        "tolerance=1e-10, convergence=RELATIVE_INI, monitor_residual=1")
+    s2 = DistributedSolver(cfg2, mesh)
+    s2.setup(a)
+    s2.solve(b)
+    assert s.last_iters < s2.last_iters
