@@ -945,7 +945,33 @@ class DistributedSolver:
                 sc = cols_g - r0
             ent.append((sr, sc, vals))
 
+        from .multihost import put_sharded
+
         def pack(pick):
+            # diagonal-offset (shift-FMA) form when the triangle is a few
+            # fixed diagonals in slot space (stencil levels) — TPU gathers
+            # scalarize, shifts don't
+            offs = set()
+            for sr, sc, _ in ent:
+                m = pick(sr, sc)
+                offs |= set(np.unique(sc[m] - sr[m]).tolist())
+                if len(offs) > 12:
+                    break
+            offs = tuple(sorted(int(o) for o in offs))
+            if offs and len(offs) <= 12:
+                bands = np.zeros((n_dev, len(offs), lr), np.float64)
+                oix = {o: k for k, o in enumerate(offs)}
+                for d, (sr, sc, vv) in enumerate(ent):
+                    m = pick(sr, sc)
+                    ks = np.asarray([oix[o] for o in (sc[m] - sr[m])],
+                                    np.int64) if m.any() else \
+                        np.zeros(0, np.int64)
+                    vm = vv[m]
+                    bands[d, ks, sr[m]] = np.real(vm) if \
+                        np.iscomplexobj(vm) else vm
+                return ({"bands": put_sharded(bands.astype(vec_dt),
+                                              self.mesh, self.axis)},
+                        offs)
             w = 1
             for sr, sc, _ in ent:
                 m = pick(sr, sc)
@@ -963,13 +989,14 @@ class DistributedSolver:
                 cols[d, sr_m, slot] = sc_m
                 vals[d, sr_m, slot] = np.real(vv_m) if \
                     np.iscomplexobj(vv_m) else vv_m
-            from .multihost import put_sharded
-            return {"cols": put_sharded(cols, self.mesh, self.axis),
-                    "vals": put_sharded(vals.astype(vec_dt), self.mesh,
-                                        self.axis)}
+            return ({"cols": put_sharded(cols, self.mesh, self.axis),
+                     "vals": put_sharded(vals.astype(vec_dt), self.mesh,
+                                         self.axis)}, None)
 
-        low = pack(lambda sr, sc: sc < sr)
-        up = pack(lambda sr, sc: sc > sr) if self._gs2_symmetric else None
+        low, low_offs = pack(lambda sr, sc: sc < sr)
+        up, up_offs = (pack(lambda sr, sc: sc > sr)
+                       if self._gs2_symmetric else (None, None))
+        lvl.gs_static = (low_offs, up_offs)
         return low, up
 
     def _gs_shard_rows(self, source, part):
@@ -998,24 +1025,45 @@ class DistributedSolver:
                             data[p0:p1]))
         return out
 
-    def _gs2_smooth(self, a_args, static, inv_diag, gs_low, gs_up, b, x):
+    @staticmethod
+    def _gs_tri_apply(tri, offs, z):
+        """Shard-local triangular apply: shift-FMA over fixed diagonal
+        offsets when available (no gathers), ELL gather otherwise."""
+        if offs is not None:
+            acc = jnp.zeros_like(z)
+            for k, off in enumerate(offs):
+                if off < 0:
+                    zs = jnp.concatenate(
+                        [jnp.zeros(-off, z.dtype), z[:off]])
+                elif off > 0:
+                    zs = jnp.concatenate(
+                        [z[off:], jnp.zeros(off, z.dtype)])
+                else:
+                    zs = z
+                acc = acc + tri["bands"][k] * zs
+            return acc
+        return jnp.sum(tri["vals"] * z[tri["cols"]], axis=1)
+
+    def _gs2_smooth(self, a_args, static, inv_diag, gs_low, gs_up,
+                    gs_static, b, x):
         """Hybrid two-stage GS sweep (TWO_STAGE_GS, arXiv:2104.01196):
         the shard-local triangular solve approximated by inner Jacobi
         iterations — pure SpMV shape, no colors, no collectives beyond
         the outer residual."""
-        def stage(r, tri):
+        low_offs, up_offs = gs_static
+
+        def stage(r, tri, offs):
             z = self._invd_mul(inv_diag, r)
             for _ in range(self._gs2_inner):
                 z = self._invd_mul(
-                    inv_diag,
-                    r - jnp.sum(tri["vals"] * z[tri["cols"]], axis=1))
+                    inv_diag, r - self._gs_tri_apply(tri, offs, z))
             return z
 
         r = b - self._apply_mat(a_args, x, static)
-        x = x + self.smooth_damp * stage(r, gs_low)
+        x = x + self.smooth_damp * stage(r, gs_low, low_offs)
         if gs_up:
             r = b - self._apply_mat(a_args, x, static)
-            x = x + self.smooth_damp * stage(r, gs_up)
+            x = x + self.smooth_damp * stage(r, gs_up, up_offs)
         return x
 
     @staticmethod
@@ -1099,7 +1147,7 @@ class DistributedSolver:
         elif gs2:
             for _ in range(self.presweeps):
                 x = self._gs2_smooth(a_args, static, inv_diag, gs[0],
-                                     gs[1], b, x)
+                                     gs[1], self._gs_static[idx], b, x)
         else:
             for _ in range(self.presweeps):
                 x = x + self.smooth_damp * self._invd_mul(
@@ -1124,7 +1172,7 @@ class DistributedSolver:
         elif gs2:
             for _ in range(self.postsweeps):
                 x = self._gs2_smooth(a_args, static, inv_diag, gs[0],
-                                     gs[1], b, x)
+                                     gs[1], self._gs_static[idx], b, x)
         else:
             for _ in range(self.postsweeps):
                 x = x + self.smooth_damp * self._invd_mul(
@@ -1213,6 +1261,8 @@ class DistributedSolver:
             (None if lvl.p is None else getattr(lvl.p, "nbr_perms", None),
              None if lvl.r is None else getattr(lvl.r, "nbr_perms", None))
             for lvl in self.levels]
+        self._gs_static = [getattr(lvl, "gs_static", (None, None))
+                           for lvl in self.levels]
         out = []
         for lvl in self.levels:
             a_args = self._mat_pytree(lvl.a)
@@ -1316,6 +1366,7 @@ class DistributedSolver:
                getattr(self, "_gs2_inner", None),
                getattr(self, "_gs2_symmetric", None),
                _freeze(self._level_static), _freeze(self._pr_perms),
+               _freeze(getattr(self, "_gs_static", None)),
                _freeze(getattr(self, "_cheby_bounds", None)),
                _freeze(getattr(self, "_cheb_solver_bounds", None)),
                _freeze(getattr(self, "_cheb_precond_bounds", None)),
