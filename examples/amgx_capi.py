@@ -3,6 +3,13 @@
 Usage: python examples/amgx_capi.py -m system.mtx -c config.json
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import argparse
 
 import numpy as np

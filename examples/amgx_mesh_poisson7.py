@@ -5,6 +5,13 @@ row-partitioned solve; MPI ranks -> mesh shards).
 Usage: python examples/amgx_mesh_poisson7.py --nx 64 --ny 64 --nz 64
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import argparse
 
 import numpy as np

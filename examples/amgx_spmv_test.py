@@ -2,6 +2,13 @@
 427-439: average SpMV time over -it repetitions, with a host-reference
 check like its -ref flag)."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import argparse
 import time
 

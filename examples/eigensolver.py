@@ -3,6 +3,13 @@
 Usage: python examples/eigensolver.py -c "eig_solver=LANCZOS, eig_which=largest"
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import argparse
 
 import numpy as np

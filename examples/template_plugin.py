@@ -6,6 +6,13 @@ Use:  from amgx_tpu.plugins import load_plugin
       cfg = amgx.AMGConfig("solver=TEMPLATE_SOLVER, ...")
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import jax.numpy as jnp
 
 from amgx_tpu.config import register_parameter
