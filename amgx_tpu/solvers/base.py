@@ -104,12 +104,22 @@ class Solver:
             m = self._maybe_reorder(m)
             self.m = m
             if m.csr is not None:
-                # the system's complexness wins over a real config-default
-                # mode, so child solvers (smoothers, coarse solver) inherit
-                # complex arithmetic with the level matrix (reference: the
-                # mode is a template parameter threaded through allocation)
+                # Mode resolution (reference: the mode is a template
+                # parameter threaded through allocation): an explicitly
+                # configured mode in THIS solver's scope wins; otherwise
+                # the attached matrix's mode is adopted — so nested
+                # solvers (preconditioners, smoothers, coarse solvers)
+                # inherit the parent's resolved precision instead of the
+                # registry default. The system's complexness then promotes
+                # a real mode, and the resolved mode travels onward with
+                # the matrix handle.
                 from ..matrix import _complex_mode
-                self.mode = _complex_mode(self._cfg_mode, m.csr.data)
+                explicit = any(sc == self.scope and nm == "mode"
+                               for (sc, nm), _ in self.cfg.items())
+                base = self._cfg_mode if (explicit or m.mode == "dDDI") \
+                    else m.mode
+                self.mode = _complex_mode(base, m.csr.data)
+                m.mode = self.mode
             if self.needs_coloring and m.coloring is None \
                     and m.csr is not None:
                 from ..coloring import color_matrix

@@ -189,3 +189,30 @@ def test_fine_level_reordering_resetup(rng):
     rel = np.linalg.norm(b - 2 * A0 @ s.extract_vector(x)) / \
         np.linalg.norm(b)
     assert st == 0 and rel < 1e-8
+
+
+def test_nested_solver_inherits_parent_mode():
+    """A preconditioner without an explicit mode in its own scope must
+    inherit the parent's resolved mode via the matrix handle (reference:
+    the mode template parameter is threaded through allocation) — not
+    fall back to the registry default and silently promote precision."""
+    from amgx_tpu.matrix import CSRMatrix
+    rng = np.random.default_rng(5)
+    p = amgx.gallery.poisson5pt(12, 12)
+    data = p.data.astype(np.complex128) * \
+        np.exp(0.1j * rng.standard_normal(p.nnz))
+    a = CSRMatrix(p.n_rows, p.n_cols, p.indptr, p.indices, data)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "FGMRES", "max_iters": 300, "tolerance": 1e-7,
+        "mode": "dCCI", "gmres_n_restart": 40,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "BLOCK_JACOBI", "scope": "p",
+                           "max_iters": 1}}})
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a, mode="dCCI"))
+    assert s.preconditioner.mode == "dCCI"
+    z = s.precond()(s.prepare_vector(np.ones(a.n_rows, np.complex128)))
+    assert z.dtype == np.complex64
+    x, st = s.solve(np.ones(a.n_rows, np.complex128))
+    assert st == 0
