@@ -144,6 +144,7 @@ class DistEllMatrix:
                     dtype=None, mesh: Optional[Mesh] = None,
                     axis: str = "x", sort_interior_first: bool = True
                     ) -> "DistEllMatrix":
+        csr = csr.fold_diagonal()   # DIAG property: merge before sharding
         dtype = dtype or csr.data.dtype
         bx, by = csr.block_dim
         if row_part is None:

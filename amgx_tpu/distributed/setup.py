@@ -67,6 +67,7 @@ class ShardedCSR:
     def from_global(cls, csr: CSRMatrix, part: RowPartition) -> "ShardedCSR":
         """One O(N) row-slice at solver entry (the upload path; a true
         multi-process run enters through per-rank uploads instead)."""
+        csr = csr.fold_diagonal()   # DIAG property: merge before sharding
         shards = []
         for d in range(part.n_dev):
             r0, r1 = int(part.offsets[d]), int(part.offsets[d + 1])

@@ -155,15 +155,32 @@ class CSRMatrix:
 
     # -- conversions ---------------------------------------------------------
 
+    def fold_diagonal(self) -> "CSRMatrix":
+        """Return an equivalent matrix with the external diagonal (DIAG
+        property) merged into the CSR structure; self when there is none."""
+        if self.diag_data is None:
+            return self
+        n = self.n_rows
+        rows = np.concatenate([np.repeat(np.arange(n), self.row_nnz()),
+                               np.arange(n)])
+        cols = np.concatenate([self.indices.astype(np.int64),
+                               np.arange(n)])
+        vals = np.concatenate([self.data, np.asarray(self.diag_data)],
+                              axis=0)
+        return CSRMatrix.from_coo(n, self.n_cols, rows, cols, vals,
+                                  block_dim=self.block_dim)
+
     def to_scipy(self):
+        """Scipy CSR of the FULL operator (external diagonal included)."""
         import scipy.sparse as sp
-        if self.block_dim != (1, 1):
+        m = self.fold_diagonal()
+        if m.block_dim != (1, 1):
             return sp.bsr_matrix(
-                (self.data, self.indices, self.indptr),
-                shape=(self.n_rows * self.block_dim[0],
-                       self.n_cols * self.block_dim[1])).tocsr()
-        return sp.csr_matrix((self.data, self.indices, self.indptr),
-                             shape=(self.n_rows, self.n_cols))
+                (m.data, m.indices, m.indptr),
+                shape=(m.n_rows * m.block_dim[0],
+                       m.n_cols * m.block_dim[1])).tocsr()
+        return sp.csr_matrix((m.data, m.indices, m.indptr),
+                             shape=(m.n_rows, m.n_cols))
 
     def to_dense(self) -> np.ndarray:
         bx, by = self.block_dim

@@ -120,6 +120,7 @@ def csr_to_dia(csr: CSRMatrix, dtype=None, max_bands: int = 32,
     Returns None when the matrix is not DIA-friendly."""
     if csr.block_dim != (1, 1) or csr.nnz == 0:
         return None
+    csr = csr.fold_diagonal()      # DIAG property: diagonal is a band too
     rows = np.repeat(np.arange(csr.n_rows, dtype=np.int64), csr.row_nnz())
     offs = csr.indices.astype(np.int64) - rows
     uniq = np.unique(offs)

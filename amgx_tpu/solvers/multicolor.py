@@ -72,10 +72,7 @@ class MulticolorDILUSolver(Solver):
         n = csr.n_rows
         col = coloring.colors
         if (bx, by) == (1, 1):
-            import scipy.sparse as sp
-            A = csr.to_scipy().tocsr()
-            if csr.diag_data is not None:
-                A = A + sp.diags(csr.diag_data)
+            A = csr.to_scipy().tocsr()     # external diagonal included
             H = A.multiply(A.T).tocsr()    # h_ij = a_ij * a_ji
             diag = A.diagonal().astype(np.float64)
             E = diag.copy()

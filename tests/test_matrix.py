@@ -163,3 +163,43 @@ def test_matrix_analysis():
     assert rep["zero_diagonal_rows"] == 0
     assert rep["eig_min"] > 0          # SPD
     assert "Matrix analysis" in analysis_string(a)
+
+
+def test_diag_property_solves_true_operator():
+    """A DIAG-property matrix (external diagonal side array, matrix.h:44)
+    must solve the FULL operator through every layout — the DIA layout
+    used to drop the external diagonal silently (the solve converged on
+    the diagless system)."""
+    import amgx_tpu as amgx
+    base = amgx.gallery.poisson5pt(10, 10)
+    n = base.n_rows
+    rows = np.repeat(np.arange(n), base.row_nnz())
+    offd = base.indices != rows
+    od = CSRMatrix.from_coo(n, n, rows[offd],
+                            base.indices[offd].astype(np.int64),
+                            base.data[offd])
+    a = CSRMatrix(n, n, od.indptr, od.indices, od.data,
+                  diag_data=base.diagonal())
+    # to_scipy includes the external diagonal
+    assert np.abs((a.to_scipy() - base.to_scipy()).toarray()).max() == 0
+    # the DIA layout folds it
+    from amgx_tpu.ops.spmv import csr_to_dia
+    dia = csr_to_dia(a)
+    assert dia is not None
+    import jax.numpy as jnp
+    v = np.random.default_rng(0).standard_normal(n)
+    vp = jnp.asarray(np.pad(v, (0, dia.n_pad - n)))
+    from amgx_tpu.ops.spmv import dia_spmv
+    y = np.asarray(dia_spmv(dia, vp))[:n]
+    assert np.allclose(y, base.to_scipy() @ v)
+    # end-to-end: DILU-preconditioned solve converges on the true system
+    cfg = amgx.AMGConfig(
+        "config_version=2, solver=FGMRES, preconditioner=MULTICOLOR_DILU, "
+        "max_iters=100, tolerance=1e-9, convergence=RELATIVE_INI, "
+        "monitor_residual=1")
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a))
+    b = np.ones(n)
+    x, st = s.solve(b)
+    rel = np.linalg.norm(b - base.to_scipy() @ s.extract_vector(x))
+    assert st == 0 and rel < 1e-7 and s.last_iters < 40
