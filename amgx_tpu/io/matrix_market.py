@@ -101,6 +101,7 @@ def read_matrix_market(path: str):
 def write_matrix_market(path: str, m: CSRMatrix,
                         rhs: Optional[np.ndarray] = None,
                         sol: Optional[np.ndarray] = None) -> None:
+    m = m.fold_diagonal()    # DIAG property is in-memory storage detail
     bx, by = m.block_dim
     with open(path, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
