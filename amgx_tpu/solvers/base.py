@@ -631,6 +631,31 @@ def _is_device_leaf(val) -> bool:
     return hasattr(val, "tree_flatten") and hasattr(val, "apply")
 
 
+# Shared traversal rules for the two solver-tree walkers below. The
+# device-state collection (jit operands) and the static signature (cache
+# invalidation) MUST visit the same object graph — a class reachable by
+# one but not the other silently breaks either operand freshness or
+# invalidation — so the skip-set and recursion predicates live here once.
+_WALK_SKIP = ("cfg", "res_history", "convergence")
+
+
+def _is_solver_node(val) -> bool:
+    return isinstance(val, (Solver, Matrix)) or \
+        type(val).__name__ in ("AMG", "AMGLevel")
+
+
+def _is_level_list(val) -> bool:
+    return isinstance(val, list) and bool(val) and \
+        type(val[0]).__name__ == "AMGLevel"
+
+
+def _walk_attrs(obj):
+    for name in sorted(vars(obj)):
+        if name.startswith("_jit") or name in _WALK_SKIP:
+            continue
+        yield name, vars(obj)[name]
+
+
 def _collect_device_state(obj, prefix: str, state: dict, seen: set) -> None:
     """Walk a solver tree (Solver / AMG / AMGLevel / Matrix) gathering
     device buffers into `state` keyed by dotted attribute path (list
@@ -643,19 +668,13 @@ def _collect_device_state(obj, prefix: str, state: dict, seen: set) -> None:
         if dop is not None and _is_device_leaf(dop):
             state[f"{prefix}._device_op" if prefix else "_device_op"] = dop
         return
-    for name in sorted(vars(obj)):
-        if name.startswith("_jit") or name in ("cfg", "res_history",
-                                               "convergence"):
-            continue
-        val = vars(obj)[name]
+    for name, val in _walk_attrs(obj):
         path = f"{prefix}.{name}" if prefix else name
         if _is_device_leaf(val):
             state[path] = val
-        elif isinstance(val, (Solver, Matrix)) or \
-                type(val).__name__ in ("AMG", "AMGLevel"):
+        elif _is_solver_node(val):
             _collect_device_state(val, path, state, seen)
-        elif isinstance(val, list) and val and \
-                type(val[0]).__name__ == "AMGLevel":
+        elif _is_level_list(val):
             for i, lv in enumerate(val):
                 _collect_device_state(lv, f"{path}[{i}]", state, seen)
 
@@ -673,13 +692,9 @@ def _collect_static_sig(obj, seen: set):
         return ("Matrix", getattr(obj.csr, "shape", None),
                 getattr(obj.csr, "block_dim", None))
     items = []
-    for name in sorted(vars(obj)):
-        if name.startswith("_jit") or name in (
-                "cfg", "res_history", "convergence", "scaler",
-                "setup_time", "solve_time", "last_iters"):
-            continue
-        val = vars(obj)[name]
-        if _is_device_leaf(val) or callable(val):
+    for name, val in _walk_attrs(obj):
+        if name in ("scaler", "setup_time", "solve_time", "last_iters") \
+                or _is_device_leaf(val) or callable(val):
             continue
         if isinstance(val, (int, float, bool, str, bytes, type(None),
                             np.integer, np.floating, np.bool_)):
@@ -693,11 +708,9 @@ def _collect_static_sig(obj, seen: set):
                 isinstance(v, (int, float, bool, str, type(None)))
                 for v in val):
             items.append((name, val))
-        elif isinstance(val, (Solver, Matrix)) or \
-                type(val).__name__ in ("AMG", "AMGLevel"):
+        elif _is_solver_node(val):
             items.append((name, _collect_static_sig(val, seen)))
-        elif isinstance(val, list) and val and \
-                type(val[0]).__name__ == "AMGLevel":
+        elif _is_level_list(val):
             items.append((name, tuple(_collect_static_sig(lv, seen)
                                       for lv in val)))
     return (type(obj).__name__, tuple(items))
