@@ -60,22 +60,26 @@ def phase_spmv_dia(n_side: int, inner: int, reps: int):
     a = amgx.gallery.poisson7pt(n_side, n_side, n_side, dtype=dtype)
     dia = csr_to_dia(a, dtype=dtype)
     on_tpu = jax.devices()[0].platform == "tpu"
-    # chunk 128 is the verified-stable tile height on the tunneled backend
-    f = (lambda v: dia_spmv_pallas2d(dia, v, chunk_rows=128)) if on_tpu \
-        else (lambda v: dia_spmv(dia, v))
     scale = np.asarray(0.12, dtype)
 
-    def many(v):
-        return jax.lax.fori_loop(0, inner, lambda i, u: f(u) * scale, v)
+    # the operator rides as a jit OPERAND (DiaMatrix is a pytree node):
+    # closure capture would bake multi-MB constants into the HLO, which
+    # the remote-compile tunnel chokes on at large grids
+    # chunk 128 is the verified-stable tile height on the tunneled backend
+    f_op = (lambda op, v: dia_spmv_pallas2d(op, v, chunk_rows=128)) \
+        if on_tpu else (lambda op, v: dia_spmv(op, v))
 
+    def many(op, v):
+        return jax.lax.fori_loop(0, inner, lambda i, u: f_op(op, u) * scale,
+                                 v)
     g = jax.jit(many)
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         dia.n_pad).astype(dtype))
-    g(x).block_until_ready()
+    g(dia, x).block_until_ready()
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        g(x).block_until_ready()
+        g(dia, x).block_until_ready()
         best = min(best, (time.perf_counter() - t0) / inner)
     nbytes = (len(dia.offsets) + 2) * dia.n_pad * 4
     out = {"n": a.n_rows, "nnz": a.nnz, "time_s": best,
@@ -84,15 +88,13 @@ def phase_spmv_dia(n_side: int, inner: int, reps: int):
 
     # bf16 matrix values (dBFI-family modes): half the operator traffic
     dia_h = csr_to_dia(a, dtype=jnp.bfloat16)
-    fh = (lambda v: dia_spmv_pallas2d(dia_h, v, chunk_rows=128)) if on_tpu \
-        else (lambda v: dia_spmv(dia_h, v))
-    gh = jax.jit(lambda v: jax.lax.fori_loop(
-        0, inner, lambda i, u: (fh(u) * scale).astype(v.dtype), v))
-    gh(x).block_until_ready()
+    gh = jax.jit(lambda op, v: jax.lax.fori_loop(
+        0, inner, lambda i, u: (f_op(op, u) * scale).astype(v.dtype), v))
+    gh(dia_h, x).block_until_ready()
     best_h = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        gh(x).block_until_ready()
+        gh(dia_h, x).block_until_ready()
         best_h = min(best_h, (time.perf_counter() - t0) / inner)
     nbytes_h = len(dia_h.offsets) * dia_h.n_pad * 2 + 2 * dia_h.n_pad * 4
     out["bf16"] = {"time_s": best_h, "gbps": nbytes_h / best_h / 1e9,
@@ -110,18 +112,18 @@ def phase_spmv_ell(n_side: int, inner: int, reps: int):
     op = csr_to_ell(a, dtype=dtype)
     scale = np.asarray(0.12, dtype)
 
-    def many(v):
+    def many(opnd, v):
         return jax.lax.fori_loop(0, inner,
-                                 lambda i, u: op.apply(u) * scale, v)
+                                 lambda i, u: opnd.apply(u) * scale, v)
 
     g = jax.jit(many)
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         op.n_pad).astype(dtype))
-    g(x).block_until_ready()
+    g(op, x).block_until_ready()
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        g(x).block_until_ready()
+        g(op, x).block_until_ready()
         best = min(best, (time.perf_counter() - t0) / inner)
     nbytes = op.vals.size * 4 + op.cols.size * 4 + 2 * op.n_pad * 4
     print(json.dumps({"n": a.n_rows, "nnz": a.nnz, "time_s": best,
@@ -151,18 +153,18 @@ def phase_spmv_gather(n_side: int, inner: int, reps: int):
     setup_t = time.perf_counter() - t0
     scale = np.asarray(0.12, dtype)
 
-    def many(v):
+    def many(opnd, v):
         return jax.lax.fori_loop(0, inner,
-                                 lambda i, u: gm.apply(u) * scale, v)
+                                 lambda i, u: opnd.apply(u) * scale, v)
 
     g = jax.jit(many)
     x = jnp.asarray(rng.standard_normal(csr.n_rows).astype(dtype))
-    y = g(x)
+    y = g(gm, x)
     y.block_until_ready()
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        g(x).block_until_ready()
+        g(gm, x).block_until_ready()
         best = min(best, (time.perf_counter() - t0) / inner)
     nbytes = csr.nnz * 8 + 2 * csr.n_rows * 4      # CSR-equivalent traffic
     raw_bytes = (gm.slots * 12 + gm.n_panels * csr.n_cols * 4 +
