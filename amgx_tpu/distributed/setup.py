@@ -845,10 +845,13 @@ def dist_distance2_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
         shards.append(CSRMatrix(nl, nc, p_stacked.indptr[:nl + 1],
                                 p_stacked.indices[:p0],
                                 p_stacked.data[:p0]))
-        _ = direct_interpolation  # (fallback documented below)
     out = ShardedCSR(sm.part, shards, nc)
-    # rows left empty (no strong two-ring path to C) fall back to direct
-    # interpolation entries — mirrors the multipass fallback gate
+    # F rows left empty (no strong two-ring path to C): fall back to
+    # multipass for the whole operator, mirroring the single-chip gate
+    # (classical.distance2_interpolation) so shard-parallel parity holds
+    if any(((out.shards[d].row_nnz() == 0) & (cf[d] < 0)).any()
+           for d in range(sm.n_dev)):
+        return dist_multipass_interpolation(sm, strong, cf, nc, max_passes=3)
     return out
 
 

@@ -62,6 +62,20 @@ def _ta0(op, idx):
     return jnp.take_along_axis(jnp.concatenate([op, pad]), idx, axis=0)
 
 
+def _cumsum0(x):
+    """Axis-0 inclusive cumsum as a log-step Hillis-Steele scan — Mosaic
+    has no lowering for the cumsum primitive (first-contact finding), but
+    roll + masked add lowers and costs log2(D_tot) vector adds."""
+    n = x.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    s = 1
+    while s < n:
+        r = pltpu.roll(x, s, 0)
+        x = x + jnp.where(idx >= s, r, jnp.zeros_like(x))
+        s *= 2
+    return x
+
+
 def _pack_pairs_python(pair_ptr, rl, cl):
     """First-fit slot assignment (python fallback; the native C++ version
     in csrc/amgx_host.cpp is used for large matrices).
@@ -194,7 +208,7 @@ class GatherMatrix:
             @pl.when(isred[i] == 1)
             def _():
                 srt = jnp.take_along_axis(stag[:], sort_ref[0], axis=0)
-                P = jnp.cumsum(srt, axis=0)
+                P = _cumsum0(srt)
                 Pex = P - srt
                 e = _ta0(P, jnp.maximum(en_ref[0], 0))
                 s0 = _ta0(Pex, jnp.maximum(st_ref[0], 0))
