@@ -1,39 +1,58 @@
-"""General-sparsity SpMV: the lane-binned gather format ("G5").
+"""General-sparsity SpMV: the lane-binned gather format ("G5", rev 2).
 
 TPU-native replacement for the reference's arbitrary-sparsity CSR SpMV
 (base/src/multiply.cu:1056-1262, base/src/amgx_cusparse.cu:84-160).
 
 XLA's 1-D gather scalarizes on TPU (~7 ns/element), so the padded-ELL
-fallback runs at ~0.15% of HBM speed of light. Mosaic's ``dynamic_gather``
-(= 2-D batched ``take_along_axis``) is the one fast dynamic-indexing
-primitive the hardware offers: it gathers within lanes (axis=1) or within
-sublanes of a lane (axis=0). This module re-formulates CSR SpMV so that
-EVERY dynamic memory access is such a take_along_axis with indices
-precomputed at setup:
+fallback runs at ~0.15% of HBM speed of light.  Mosaic exposes exactly two
+fast dynamic-indexing primitives (measured on v5e, first-contact round 3):
+
+  * ``dynamic_gather`` along lanes (axis=-1): any number of sublane rows,
+    each row shuffled within its own 128 lanes;
+  * ``dynamic_gather`` along sublanes (axis=0): SINGLE source vreg only
+    ("Multiple source vregs along gather dimension" otherwise), i.e. an
+    (8, 128) source gathered by an (8, 128) index plane.
+
+plus static circular shifts (``pltpu.roll``) and (128, 128) transposes.
+This module re-formulates CSR SpMV so every dynamic access is one of
+those:
 
   Setup partitions rows into *panels* (S_p x 128 rows) and columns into
-  *windows* (W x 128 cols); x is viewed as (rows, 128) so a column c lives
-  at x2d[c // 128, c % 128].  Within each (panel, window) pair, nnz are
-  packed into depth-D tiles subject to one constraint per tile row:
-  distinct column-lanes (each is a gather source slot) and distinct
-  row-lanes (each is a contribution slot) — a bipartite edge-colouring
-  solved greedily with two monotone pointers per lane (O(nnz)).
+  *windows* (W x 128 cols, W<=128 sub-rows of the lane-major x view).
+  Within each (panel, window) pair, edges pack into depth-D tiles under
+  one constraint per tile row: distinct column-lanes (gather sources) and
+  distinct row-lanes (contribution slots) — greedy bipartite edge
+  colouring (O(nnz), native kernel in csrc/amgx_host.cpp).
 
-  Pass A (per tile)    u      = take_along_axis(x_window, hi_idx, axis=0)
-                       t      = take_along_axis(u, lane_idx, axis=1)
-                       staging[tile_rows] = t * vals
-  Pass B (per panel)   sorted = take_along_axis(staging, sort_idx, axis=0)
-                       P      = cumsum(sorted, axis=0);  Pex = P - sorted
-                       y[q,l] = P[end[q,l], l] - Pex[start[q,l], l]
+  Pass A (per tile, 8-row chunks)
+      hs, hv = hi & 7, hi >> 3            # window sub-row -> (vreg, sublane)
+      u      = select_v(hv==v, take_along_axis(x_win[v], hs, axis=0))
+      t      = take_along_axis(u, lane, axis=1)
+      staging[tile rows] = t * vals       # staging: (128, 128) VMEM block
 
-  ``sort_idx`` is the static per-lane permutation that groups a panel's
-  contributions by destination row; ``start``/``end`` are the static
-  per-row segment boundaries.  No scatter primitive is ever needed.
+  Pass B (per 128-row staging block)
+      stagT  = transpose(staging)                          # lanes <-> rows
+      srt    = take_along_axis(stagT, src, axis=1)         # per-lane sort by q
+      P      = lane_cumsum(srt)                            # log-step rolls
+      y[l,q] += P[l, en(l,q)] - (P - srt)[l, st(l,q)]      # lane gathers
 
-HBM traffic is ~12 B per stored slot in the int32 v1 (vals + two gather
-index planes amortised) plus one x window re-read per panel; the VPU cost
-is ~10 elementwise/gather ops per slot, far under the memory bound, so the
-kernel is bandwidth-limited by design.
+  ``src`` is the static per-(block, lane) permutation grouping a block's
+  contributions by destination row q; ``st``/``en`` are static per-
+  (block, lane, q) segment boundaries, encoded (st+1)*128+en in int16.
+  Destinations q are extracted 128 per chunk so every gather source stays
+  a single vreg along its gather dimension.  No scatter is ever needed;
+  each block independently accumulates into a (128, S_p) VMEM accumulator
+  that is transposed into the panel's y rows once per panel.
+
+HBM traffic per stored slot: vals (4 B / 2 B bf16) + hi/lane (1 B each) +
+src (1 B) + st/en (~2 B) plus one x window re-read per (panel, window)
+pair; the arithmetic is ~30 VPU ops per slot, within ~2x of the v5e
+memory bound for f32.
+
+Known limit: scattered matrices with m >> S_p*128*deg*W*128 leave tiles
+nearly empty (the efficiency guard then returns None and the layout
+ladder falls back) — very large fully-random operators need a streamed
+hierarchical reduction, tracked in COMPONENTS.md.
 """
 
 from __future__ import annotations
@@ -48,29 +67,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _ta0(op, idx):
-    """take_along_axis(axis=0) harmonized to equal leading dims so Mosaic's
-    same-shape dynamic_gather constraint is always met."""
-    m, k = op.shape[0], idx.shape[0]
-    if m == k:
-        return jnp.take_along_axis(op, idx, axis=0)
-    if m > k:
-        pad = jnp.zeros((m - k, idx.shape[1]), idx.dtype)
-        return jnp.take_along_axis(op, jnp.concatenate([idx, pad]),
-                                   axis=0)[:k]
-    pad = jnp.zeros((k - m, op.shape[1]), op.dtype)
-    return jnp.take_along_axis(jnp.concatenate([op, pad]), idx, axis=0)
-
-
-def _cumsum0(x):
-    """Axis-0 inclusive cumsum as a log-step Hillis-Steele scan — Mosaic
-    has no lowering for the cumsum primitive (first-contact finding), but
-    roll + masked add lowers and costs log2(D_tot) vector adds."""
-    n = x.shape[0]
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+def _lane_cumsum(x):
+    """Axis-1 inclusive cumsum as a log-step Hillis-Steele scan — Mosaic
+    has no lowering for the cumsum primitive, but roll + masked add
+    lowers (first-contact probe) and costs log2(128) vector adds."""
+    n = x.shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     s = 1
     while s < n:
-        r = pltpu.roll(x, s, 0)
+        r = pltpu.roll(x, s, 1)
         x = x + jnp.where(idx >= s, r, jnp.zeros_like(x))
         s *= 2
     return x
@@ -104,9 +109,9 @@ def _pack_pairs_python(pair_ptr, rl, cl):
 class GatherMatrix:
     """General-sparsity device operator in the lane-binned gather format."""
 
-    ARRAY_FIELDS = ("vals", "hi", "lane", "sort_idx", "start_idx",
-                    "end_idx", "step_wid", "step_tid", "step_pid",
-                    "step_soff", "step_isred")
+    ARRAY_FIELDS = ("vals", "hi", "lane", "src", "sten", "step_flags",
+                    "step_wid", "step_tid", "step_pid", "step_soff",
+                    "step_blk")
 
     def __init__(self, arrays, meta):
         for k, v in arrays.items():
@@ -135,7 +140,9 @@ class GatherMatrix:
     def __repr__(self):
         return (f"GatherMatrix({self.n_rows}x{self.n_cols}, nnz={self.nnz}, "
                 f"slots={self.slots}, eff={self.nnz / max(1, self.slots):.2f},"
-                f" tiles={self.vals.shape[0]}, dtype={self.vals.dtype})")
+                f" tiles={self.vals.shape[0]}, blocks={self.src.shape[0]},"
+                f" W={self.W}, S_p={self.S_p}, D={self.D},"
+                f" dtype={self.vals.dtype})")
 
     # -- application ---------------------------------------------------------
 
@@ -159,103 +166,146 @@ class GatherMatrix:
 
     def _apply_ref(self, x2):
         """Reference path (pure jnp; also the CPU execution path). Performs
-        the identical gather algebra tile-by-tile so the packed arrays are
-        validated by every CPU test."""
-        n_p, D_tot = self.n_panels, self.D_tot
-        D = self.D
-        x2w = x2.reshape(self.n_windows, self.W, 128)
-        tp = self.meta["tile_panel_ptr"]
-        tw = self.meta["tile_window"]
-        ys = []
-        for p in range(n_p):
-            t0, t1 = int(tp[p]), int(tp[p + 1])
-            if t1 > t0:
-                xw = x2w[np.asarray(tw[t0:t1])]             # (T_p, W, 128)
-                u = jnp.take_along_axis(xw, self.hi[t0:t1], axis=1)
-                t = jnp.take_along_axis(u, self.lane[t0:t1], axis=2)
-                contrib = (t * self.vals[t0:t1]).reshape(-1, 128)
-            else:
-                contrib = jnp.zeros((1, 128), self.vals.dtype)
-            if contrib.shape[0] < D_tot:
-                contrib = jnp.pad(contrib,
-                                  ((0, D_tot - contrib.shape[0]), (0, 0)))
-            srt = jnp.take_along_axis(contrib, self.sort_idx[p], axis=0)
-            P = jnp.cumsum(srt, axis=0)
-            Pex = P - srt
-            en = self.end_idx[p]
-            st = self.start_idx[p]
-            e = _ta0(P, jnp.maximum(en, 0))
-            s0 = _ta0(Pex, jnp.maximum(st, 0))
-            ys.append(jnp.where(st >= 0, e - s0,
-                                jnp.zeros_like(e)))
-        return jnp.concatenate(ys, axis=0)
+        the identical gather algebra, fully vectorized over tiles and
+        blocks, so the packed arrays are validated by every CPU test."""
+        W, D, S_p, Qc = self.W, self.D, self.S_p, self.Qc
+        n_panels, n_blocks = self.n_panels, self.src.shape[0]
+        dt = x2.dtype
+        x2w = x2.reshape(self.n_windows, W, 128)
+        tw = np.asarray(self.meta["tile_window"])
+        # pass A over all tiles at once
+        xw = x2w[tw]                                       # (T, W, 128)
+        hi = self.hi.astype(jnp.int32)
+        u = jnp.take_along_axis(xw, hi, axis=1)            # (T, D, 128)
+        t = jnp.take_along_axis(u, self.lane.astype(jnp.int32), axis=2)
+        contrib = t * self.vals[...].astype(dt)
+        # tiles are contiguous in padded block order by construction
+        stag = contrib.reshape(n_blocks, 128, 128)
+        stagT = jnp.swapaxes(stag, 1, 2)                   # (B, lane, row)
+        srt = jnp.take_along_axis(stagT, self.src.astype(jnp.int32), axis=2)
+        P = jnp.cumsum(srt, axis=2)
+        Pex = P - srt
+        se = self.sten.astype(jnp.int32).reshape(n_blocks, Qc, 128, 128)
+        stp1 = se >> 7
+        en = se & 127
+        Pb = jnp.broadcast_to(P[:, None], (n_blocks, Qc, 128, 128))
+        Pxb = jnp.broadcast_to(Pex[:, None], (n_blocks, Qc, 128, 128))
+        e = jnp.take_along_axis(Pb, en, axis=3)
+        s0 = jnp.take_along_axis(Pxb, jnp.maximum(stp1 - 1, 0), axis=3)
+        c = jnp.where(stp1 > 0, e - s0, jnp.zeros_like(e))
+        seg = jnp.asarray(np.asarray(self.meta["block_panel"]))
+        acc = jax.ops.segment_sum(c, seg, num_segments=n_panels)
+        # (p, qc, lane, q) -> (p, qc, q, lane) -> rows
+        y = jnp.swapaxes(acc, 2, 3).reshape(n_panels, Qc * 128, 128)
+        return y[:, :S_p].reshape(n_panels * S_p, 128)
 
     def _apply_pallas(self, x2, interpret: bool = False):
-        D, W, S_p, D_tot = self.D, self.W, self.S_p, self.D_tot
-        n_steps = int(self.step_wid.shape[0])
-        dt = self.vals.dtype
+        W, D, S_p, Qc = self.W, self.D, self.S_p, self.Qc
+        n_steps = int(self.step_flags.shape[0])
+        nv = W // 8
+        dt = x2.dtype
 
-        def kernel(wid, tid, pid, soff, isred, x_ref, vals_ref, hi_ref,
-                   lane_ref, sort_ref, st_ref, en_ref, y_ref, stag):
+        def kernel(flags, wid, tid, pid, soff, blk, x_ref, vals_ref, hi_ref,
+                   lane_ref, src_ref, sten_ref, y_ref, stag, acc):
             i = pl.program_id(0)
+            f = flags[i]
 
-            @pl.when(isred[i] == 0)
+            @pl.when(f == 0)
             def _():
-                u = _ta0(x_ref[:], hi_ref[0])               # (D, 128)
-                t = jnp.take_along_axis(u, lane_ref[0], axis=1)
-                stag[pl.ds(soff[i] * D, D)] = t * vals_ref[0]
+                for j in range(D // 8):
+                    hij = hi_ref[0, j * 8:(j + 1) * 8].astype(jnp.int32)
+                    hs = hij & 7
+                    if nv == 1:
+                        u = jnp.take_along_axis(x_ref[:], hs, axis=0)
+                    else:
+                        hv = hij >> 3
+                        u = jnp.zeros((8, 128), dt)
+                        for v in range(nv):
+                            g = jnp.take_along_axis(
+                                x_ref[v * 8:(v + 1) * 8], hs, axis=0)
+                            u = jnp.where(hv == v, g, u)
+                    lj = lane_ref[0, j * 8:(j + 1) * 8].astype(jnp.int32)
+                    t = jnp.take_along_axis(u, lj, axis=1)
+                    stag[pl.ds(soff[i] * D + j * 8, 8)] = \
+                        t * vals_ref[0, j * 8:(j + 1) * 8].astype(dt)
 
-            @pl.when(isred[i] == 1)
+            @pl.when(f > 0)
             def _():
-                srt = jnp.take_along_axis(stag[:], sort_ref[0], axis=0)
-                P = _cumsum0(srt)
+                stagT = jnp.swapaxes(stag[:], 0, 1)
+                srt = jnp.take_along_axis(
+                    stagT, src_ref[0].astype(jnp.int32), axis=1)
+                P = _lane_cumsum(srt)
                 Pex = P - srt
-                e = _ta0(P, jnp.maximum(en_ref[0], 0))
-                s0 = _ta0(Pex, jnp.maximum(st_ref[0], 0))
-                y_ref[:] = jnp.where(st_ref[0] >= 0, e - s0,
-                                     jnp.zeros_like(e))
+                first = (f & 2) != 0
+                for qc in range(Qc):
+                    se = sten_ref[0, qc * 128:(qc + 1) * 128].astype(
+                        jnp.int32)
+                    stp1 = se >> 7
+                    en = se & 127
+                    e = jnp.take_along_axis(P, en, axis=1)
+                    s0 = jnp.take_along_axis(
+                        Pex, jnp.maximum(stp1 - 1, 0), axis=1)
+                    c = jnp.where(stp1 > 0, e - s0, jnp.zeros_like(e))
+                    prev = jnp.where(first, jnp.zeros_like(c),
+                                     acc[:, qc * 128:(qc + 1) * 128])
+                    acc[:, qc * 128:(qc + 1) * 128] = prev + c
+
+            @pl.when((f & 4) != 0)
+            def _():
+                for qc in range(Qc):
+                    yq = jnp.swapaxes(acc[:, qc * 128:(qc + 1) * 128], 0, 1)
+                    lo = qc * 128
+                    if lo >= S_p:
+                        continue
+                    h = min(128, S_p - lo)
+                    y_ref[lo:lo + h] = yq[:h]
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=6,
             grid=(n_steps,),
             in_specs=[
                 pl.BlockSpec((W, 128),
-                             lambda i, wid, *_: (wid[i], 0)),
+                             lambda i, fl, wid, *_: (wid[i], 0)),
                 pl.BlockSpec((1, D, 128),
-                             lambda i, wid, tid, *_: (tid[i], 0, 0)),
+                             lambda i, fl, wid, tid, *_: (tid[i], 0, 0)),
                 pl.BlockSpec((1, D, 128),
-                             lambda i, wid, tid, *_: (tid[i], 0, 0)),
+                             lambda i, fl, wid, tid, *_: (tid[i], 0, 0)),
                 pl.BlockSpec((1, D, 128),
-                             lambda i, wid, tid, *_: (tid[i], 0, 0)),
-                pl.BlockSpec((1, D_tot, 128),
-                             lambda i, wid, tid, pid, *_: (pid[i], 0, 0)),
-                pl.BlockSpec((1, S_p, 128),
-                             lambda i, wid, tid, pid, *_: (pid[i], 0, 0)),
-                pl.BlockSpec((1, S_p, 128),
-                             lambda i, wid, tid, pid, *_: (pid[i], 0, 0)),
+                             lambda i, fl, wid, tid, *_: (tid[i], 0, 0)),
+                pl.BlockSpec((1, 128, 128),
+                             lambda i, fl, wid, tid, pid, soff, blk:
+                             (blk[i], 0, 0)),
+                pl.BlockSpec((1, Qc * 128, 128),
+                             lambda i, fl, wid, tid, pid, soff, blk:
+                             (blk[i], 0, 0)),
             ],
             out_specs=pl.BlockSpec((S_p, 128),
-                                   lambda i, wid, tid, pid, *_: (pid[i], 0)),
-            scratch_shapes=[pltpu.VMEM((D_tot, 128), dt)],
+                                   lambda i, fl, wid, tid, pid, *_:
+                                   (pid[i], 0)),
+            scratch_shapes=[pltpu.VMEM((128, 128), dt),
+                            pltpu.VMEM((128, Qc * 128), dt)],
         )
         y = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((self.n_panels * S_p, 128), dt),
             interpret=interpret,
-        )(self.step_wid, self.step_tid, self.step_pid, self.step_soff,
-          self.step_isred, x2, self.vals, self.hi, self.lane,
-          self.sort_idx, self.start_idx, self.end_idx)
+        )(self.step_flags, self.step_wid, self.step_tid, self.step_pid,
+          self.step_soff, self.step_blk, x2, self.vals, self.hi, self.lane,
+          self.src, self.sten)
         return y
 
 
-def csr_to_gather(csr, dtype=None, W: int = 1024, S_p: int = 512,
-                  D: int = 32, max_staging_rows: int = 4096,
+def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
+                  D: Optional[int] = None,
                   max_efficiency_waste: float = 8.0) -> Optional[GatherMatrix]:
-    # max_staging_rows bounds the per-panel staging scratch (and the
-    # same-height sort_idx blocks) to ~2 MB each so the kernel stays well
-    # inside the ~16 MB/core VMEM with Pallas double-buffering
     """Build the lane-binned gather format from CSR (setup-phase, host).
+
+    W: x-window height in 128-lane sub-rows (cols per window = W*128);
+    multiple of 8, at most 128 (hi indices are int8 and the in-kernel
+    select tree is W/8-way).  S_p: panel height in 128-row groups; above
+    128 it is rounded to a multiple of 128 (one q-extraction chunk each).
+    D: tile depth (rows of 128 slots); must divide 128; None = adaptive.
 
     Returns None for block matrices, complex data, or pathological packing
     efficiency (slots/nnz > max_efficiency_waste)."""
@@ -282,21 +332,16 @@ def csr_to_gather(csr, dtype=None, W: int = 1024, S_p: int = 512,
         return None
 
     # -- pick geometry -------------------------------------------------------
-    W = max(8, min(W, -(-m // 128)))
+    W = max(8, min(W, 128, -(-m // 128)))
     W = -(-W // 8) * 8
     n_windows = -(-m // (W * 128))
     S_p = max(8, min(S_p, -(-n // 128)))
-    S_p = -(-S_p // 8) * 8
+    if S_p > 128:
+        S_p = -(-S_p // 128) * 128
+    else:
+        S_p = -(-S_p // 8) * 8
     n_panels = -(-n // (S_p * 128))
-    # keep per-panel staging below the cap: shrink panels if a panel's nnz
-    # would overflow max_staging_rows * 128 slots
-    while S_p > 8:
-        worst = np.max(np.bincount(rows // (S_p * 128),
-                                   minlength=n_panels)) if nnz else 0
-        if worst * 1.6 <= max_staging_rows * 128:
-            break
-        S_p //= 2
-        n_panels = -(-n // (S_p * 128))
+    Qc = max(1, -(-S_p // 128))
 
     panel = rows // (S_p * 128)
     window = cols // (W * 128)
@@ -324,108 +369,140 @@ def csr_to_gather(csr, dtype=None, W: int = 1024, S_p: int = 512,
     else:
         s_slot = _pack_pairs_python(pair_ptr, rl_s, cl_s)
 
-    # per-pair depth -> tiles
+    # per-pair depth -> tile depth D (adaptive) -> tiles
     n_up = upairs.shape[0]
-    edge_pair_idx = np.repeat(np.arange(n_up),
-                              np.diff(pair_ptr))
+    edge_pair_idx = np.repeat(np.arange(n_up), np.diff(pair_ptr))
     depth = np.zeros(n_up, np.int64)
     np.maximum.at(depth, edge_pair_idx, s_slot + 1)
+    if D is None:
+        best = None
+        for cand in (8, 16, 32, 64, 128):
+            cost = int(np.sum(-(-depth // cand)) * cand)
+            if best is None or cost < best[0] or \
+                    (cost == best[0] and cand > best[1]):
+                best = (cost, cand)
+        D = best[1]
+    if 128 % D != 0:
+        raise ValueError(f"tile depth {D} must divide 128")
+    tpp = 128 // D                       # tiles per staging block
     tiles_per_pair = -(-depth // D)
     tile_base = np.concatenate([[0], np.cumsum(tiles_per_pair)])
-    T = int(tile_base[-1])
-    slots = T * D * 128
-    if slots > max_efficiency_waste * nnz and nnz > 128:
-        return None
+    T_real = int(tile_base[-1])
 
-    tile_of_edge = tile_base[edge_pair_idx] + s_slot // D
+    tile_of_edge_real = tile_base[edge_pair_idx] + s_slot // D
     row_in_tile = (s_slot % D).astype(np.int64)
-    # tile -> (panel, window)
     tile_pair = np.repeat(np.arange(n_up), tiles_per_pair)
-    tile_panel = (upairs[tile_pair] // n_windows).astype(np.int64)
-    tile_window = (upairs[tile_pair] % n_windows).astype(np.int32)
-    tile_panel_ptr = np.searchsorted(
-        tile_panel, np.arange(n_panels + 1)).astype(np.int64)
-    tile_in_panel = np.arange(T) - tile_panel_ptr[tile_panel]
+    tile_panel_real = (upairs[tile_pair] // n_windows).astype(np.int64)
+    tile_window_real = (upairs[tile_pair] % n_windows).astype(np.int64)
+
+    # pad each panel's tile count to a multiple of tpp (>= 1 block even
+    # for empty panels, so every panel's y rows get written)
+    T_p = np.bincount(tile_panel_real, minlength=n_panels)
+    T_p_pad = np.maximum(tpp, -(-T_p // tpp) * tpp)
+    pad_base = np.concatenate([[0], np.cumsum(T_p_pad)]).astype(np.int64)
+    real_base = np.concatenate([[0], np.cumsum(T_p)]).astype(np.int64)
+    T_tot = int(pad_base[-1])
+    slots = T_tot * D * 128
+    # guard on the packing's own waste; block-padding is bounded per panel
+    if T_real * D * 128 > max_efficiency_waste * nnz and nnz > 128:
+        return None
+    # padded tile id of each real tile (pads appended at panel end)
+    tile_in_panel = np.arange(T_real) - real_base[tile_panel_real]
+    tile_pad_id = pad_base[tile_panel_real] + tile_in_panel
+    tile_of_edge = tile_pad_id[tile_of_edge_real]
+
+    # tile metadata over the padded range
+    tile_window = np.zeros(T_tot, np.int64)
+    tile_window[tile_pad_id] = tile_window_real
+    is_real = np.zeros(T_tot, bool)
+    is_real[tile_pad_id] = True
+    # pad tiles inherit the previous tile's window so the x stream dedups
+    last = np.maximum.accumulate(np.where(is_real, np.arange(T_tot), -1))
+    filled = np.where(last >= 0, tile_window[np.maximum(last, 0)], 0)
+    tile_window = np.where(is_real, tile_window, filled)
+    tile_panel = np.searchsorted(pad_base[1:], np.arange(T_tot), "right")
+
+    n_blocks_p = (T_p_pad // tpp).astype(np.int64)
+    block_base = np.concatenate([[0], np.cumsum(n_blocks_p)]).astype(np.int64)
+    B_tot = int(block_base[-1])
+    block_panel = np.searchsorted(block_base[1:], np.arange(B_tot), "right")
 
     # -- pack tile arrays ----------------------------------------------------
-    vals_a = np.zeros((T, D, 128), dtype)
-    hi_a = np.zeros((T, D, 128), np.int32)
-    lane_a = np.zeros((T, D, 128), np.int32)
+    vals_a = np.zeros((T_tot, D, 128), dtype)
+    hi_a = np.zeros((T_tot, D, 128), np.int8)
+    lane_a = np.zeros((T_tot, D, 128), np.int8)
     vals_a[tile_of_edge, row_in_tile, rl_s] = vals[order].astype(dtype)
-    hi_a[tile_of_edge, row_in_tile, cl_s] = hi_local[order]
-    lane_a[tile_of_edge, row_in_tile, rl_s] = cl_s
+    hi_a[tile_of_edge, row_in_tile, cl_s] = hi_local[order].astype(np.int8)
+    lane_a[tile_of_edge, row_in_tile, rl_s] = cl_s.astype(np.int8)
 
-    # -- staging / sorting / boundaries --------------------------------------
-    stag_row = tile_in_panel[tile_of_edge] * D + row_in_tile
-    panels_of_edge = tile_panel[tile_of_edge]
-    panel_rows = (tile_panel_ptr[1:] - tile_panel_ptr[:-1]) * D
-    D_tot = int(max(8, panel_rows.max() if T else 8))
-    D_tot = -(-D_tot // 8) * 8
-
-    q_s, rl_e = q[order], rl_s
-    skey = np.lexsort((q_s, rl_e, panels_of_edge))
-    sp_, sl_, sq_, srow_ = (panels_of_edge[skey], rl_e[skey], q_s[skey],
-                            stag_row[skey])
-    # rank within (panel, lane)
-    grp = sp_ * 128 + sl_
+    # -- per-block sort + segment boundary planes ----------------------------
+    stag_row = (tile_in_panel[tile_of_edge_real] * D + row_in_tile)
+    gb_e = block_base[panel[order]] + stag_row // 128
+    rib_e = (stag_row % 128).astype(np.int32)
+    q_s = q[order]
+    skey = np.lexsort((q_s, rl_s, gb_e))
+    gb_, l_, q_, rib_ = gb_e[skey], rl_s[skey], q_s[skey], rib_e[skey]
+    grp = gb_ * 128 + l_
     new_grp = np.empty(nnz, bool)
     new_grp[0] = True
     new_grp[1:] = grp[1:] != grp[:-1]
     grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(nnz), 0))
-    rank = np.arange(nnz) - grp_start
-    sort_idx = np.zeros((n_panels, D_tot, 128), np.int32)
-    sort_idx[sp_, rank, sl_] = srow_.astype(np.int32)
+    rank = (np.arange(nnz) - grp_start).astype(np.int32)
 
-    # segment boundaries per (panel, q, lane): first/last rank of each run
-    start_idx = np.full((n_panels, S_p, 128), -1, np.int32)
-    end_idx = np.zeros((n_panels, S_p, 128), np.int32)
+    src = np.zeros((B_tot, 128, 128), np.int8)
+    src[gb_, l_, rank] = rib_.astype(np.int8)
     new_seg = np.empty(nnz, bool)
     new_seg[0] = True
-    new_seg[1:] = (grp[1:] != grp[:-1]) | (sq_[1:] != sq_[:-1])
+    new_seg[1:] = new_grp[1:] | (q_[1:] != q_[:-1])
     seg_end = np.empty(nnz, bool)
     seg_end[:-1] = new_seg[1:]
     seg_end[-1] = True
-    start_idx[sp_[new_seg], sq_[new_seg], sl_[new_seg]] = \
-        rank[new_seg].astype(np.int32)
-    end_idx[sp_[seg_end], sq_[seg_end], sl_[seg_end]] = \
-        rank[seg_end].astype(np.int32)
+    sten = np.zeros((B_tot, Qc * 128, 128), np.int16)
+    qs_seg = q_[new_seg]
+    code = ((rank[new_seg].astype(np.int32) + 1) * 128 +
+            rank[seg_end].astype(np.int32)).astype(np.int16)
+    sten[gb_[new_seg], (qs_seg // 128) * 128 + l_[new_seg], qs_seg % 128] = \
+        code
 
-    # -- step schedule -------------------------------------------------------
-    # per panel: its tiles (A steps), then one reduce step
-    wid_steps, tid_steps, pid_steps, soff_steps, isred_steps = \
-        [], [], [], [], []
-    last_w, last_t = 0, 0
-    for p in range(n_panels):
-        t0, t1 = int(tile_panel_ptr[p]), int(tile_panel_ptr[p + 1])
-        for t in range(t0, t1):
-            wid_steps.append(int(tile_window[t]))
-            tid_steps.append(t)
-            pid_steps.append(p)
-            soff_steps.append(int(tile_in_panel[t]))
-            isred_steps.append(0)
-            last_w, last_t = int(tile_window[t]), t
-        wid_steps.append(last_w)
-        tid_steps.append(last_t)
-        pid_steps.append(p)
-        soff_steps.append(0)
-        isred_steps.append(1)
+    # -- step schedule: per panel, [A x tpp, B] per block ---------------------
+    steps_per_block = tpp + 1
+    n_steps = B_tot * steps_per_block
+    sflags = np.zeros(n_steps, np.int32)
+    swid = np.zeros(n_steps, np.int32)
+    stid = np.zeros(n_steps, np.int32)
+    spid = np.zeros(n_steps, np.int32)
+    ssoff = np.zeros(n_steps, np.int32)
+    sblk = np.zeros(n_steps, np.int32)
+    step = np.arange(n_steps)
+    blk_of_step = step // steps_per_block
+    pos = step % steps_per_block
+    is_b = pos == tpp
+    tile_id = blk_of_step * tpp + np.minimum(pos, tpp - 1)
+    sblk[:] = blk_of_step
+    spid[:] = block_panel[blk_of_step]
+    stid[:] = tile_id
+    swid[:] = tile_window[tile_id]
+    ssoff[:] = np.where(is_b, 0, pos)
+    first_blk = block_base[spid] == blk_of_step
+    last_blk = (block_base[spid] + n_blocks_p[spid] - 1) == blk_of_step
+    sflags[:] = np.where(is_b, 1 + 2 * first_blk + 4 * last_blk, 0)
 
     arrays = dict(
         vals=jnp.asarray(vals_a),
         hi=jnp.asarray(hi_a),
         lane=jnp.asarray(lane_a),
-        sort_idx=jnp.asarray(sort_idx),
-        start_idx=jnp.asarray(start_idx),
-        end_idx=jnp.asarray(end_idx),
-        step_wid=jnp.asarray(np.asarray(wid_steps, np.int32)),
-        step_tid=jnp.asarray(np.asarray(tid_steps, np.int32)),
-        step_pid=jnp.asarray(np.asarray(pid_steps, np.int32)),
-        step_soff=jnp.asarray(np.asarray(soff_steps, np.int32)),
-        step_isred=jnp.asarray(np.asarray(isred_steps, np.int32)),
+        src=jnp.asarray(src),
+        sten=jnp.asarray(sten),
+        step_flags=jnp.asarray(sflags),
+        step_wid=jnp.asarray(swid),
+        step_tid=jnp.asarray(stid),
+        step_pid=jnp.asarray(spid),
+        step_soff=jnp.asarray(ssoff),
+        step_blk=jnp.asarray(sblk),
     )
     meta = dict(n_rows=n, n_cols=m, nnz=int(csr.nnz), slots=int(slots),
-                W=int(W), S_p=int(S_p), D=int(D), D_tot=int(D_tot),
+                W=int(W), S_p=int(S_p), D=int(D), Qc=int(Qc),
                 n_windows=int(n_windows), n_panels=int(n_panels),
-                tile_panel_ptr=tuple(int(v) for v in tile_panel_ptr),
-                tile_window=tuple(int(v) for v in tile_window))
+                tile_window=tuple(int(v) for v in tile_window),
+                block_panel=tuple(int(v) for v in block_panel))
     return GatherMatrix(arrays, meta)

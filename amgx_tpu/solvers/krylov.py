@@ -22,6 +22,16 @@ def _identity_precond(r):
     return r
 
 
+def _safe_div(num, den):
+    """num/den with 0 when den == 0: once the residual underflows to exact
+    machine zero (unmonitored fixed-iteration runs), the recurrences hit
+    0/0 and would poison x with NaN; a zero step keeps the iterate
+    stationary instead (the reference exits on its monitor before this can
+    happen — here max_iters without monitoring must stay finite too)."""
+    safe = jnp.where(den == 0, jnp.ones_like(den), den)
+    return jnp.where(den == 0, jnp.zeros_like(num), num / safe)
+
+
 class _PreconditionedSolver(Solver):
     """Shared plumbing: instantiate + setup the preconditioner scope."""
 
@@ -65,12 +75,12 @@ class PCGSolver(_PreconditionedSolver):
         A, M = self.op, self.precond()
         p, r, rho = s["p"], s["r"], s["rho"]
         q = A.apply(p)
-        alpha = rho / jnp.vdot(p, q)
+        alpha = _safe_div(rho, jnp.vdot(p, q))
         x = x + alpha * p
         r = r - alpha * q
         z = M(r)
         rho_new = jnp.vdot(r, z)
-        beta = rho_new / rho
+        beta = _safe_div(rho_new, rho)
         p = z + beta * p
         return x, {"r": r, "p": p, "rho": rho_new}
 
@@ -94,12 +104,12 @@ class PCGFSolver(_PreconditionedSolver):
         A, M = self.op, self.precond()
         p, r, z, rz = s["p"], s["r"], s["z"], s["rz"]
         q = A.apply(p)
-        alpha = rz / jnp.vdot(p, q)
+        alpha = _safe_div(rz, jnp.vdot(p, q))
         x = x + alpha * p
         r_new = r - alpha * q
         z_new = M(r_new)
         # flexible (Polak-Ribiere): beta = <z_new, r_new - r> / <z, r>
-        beta = jnp.vdot(z_new, r_new - r) / rz
+        beta = _safe_div(jnp.vdot(z_new, r_new - r), rz)
         p = z_new + beta * p
         return x, {"r": r_new, "z": z_new, "p": p,
                    "rz": jnp.vdot(r_new, z_new)}
@@ -119,15 +129,15 @@ class PBiCGStabSolver(_PreconditionedSolver):
         r, r_star, p, rho = s["r"], s["r_star"], s["p"], s["rho"]
         p_hat = M(p)
         v = A.apply(p_hat)
-        alpha = rho / jnp.vdot(r_star, v)
+        alpha = _safe_div(rho, jnp.vdot(r_star, v))
         sv = r - alpha * v
         s_hat = M(sv)
         t = A.apply(s_hat)
-        omega = jnp.vdot(t, sv) / jnp.vdot(t, t)
+        omega = _safe_div(jnp.vdot(t, sv), jnp.vdot(t, t))
         x = x + alpha * p_hat + omega * s_hat
         r_new = sv - omega * t
         rho_new = jnp.vdot(r_star, r_new)
-        beta = (rho_new / rho) * (alpha / omega)
+        beta = _safe_div(rho_new, rho) * _safe_div(alpha, omega)
         p = r_new + beta * (p - omega * v)
         return x, {"r": r_new, "r_star": r_star, "p": p, "rho": rho_new}
 

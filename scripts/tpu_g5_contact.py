@@ -54,18 +54,28 @@ def check(gm, csr, x, label):
 
 def perf(gm, csr, x, iters=50):
     x2 = gm._pad_x(jnp.asarray(x))
-    fn = jax.jit(lambda x2: jax.lax.fori_loop(
-        0, iters, lambda i, acc: gm._apply_pallas(acc * 0 + x2), x2))
+    nxr = x2.shape[0]
+
+    def body(i, xc):
+        y = gm._apply_pallas(xc)
+        return xc * 0 + y[:nxr] if y.shape[0] >= nxr else \
+            xc * 0 + jnp.pad(y, ((0, nxr - y.shape[0]), (0, 0)))
+
+    fn = jax.jit(lambda x2: jax.lax.fori_loop(0, iters, body, x2))
     # warm up (compile)
     fn(x2).block_until_ready()
     t0 = time.perf_counter()
     fn(x2).block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     itemsize = np.dtype(gm.dtype).itemsize
-    # HBM traffic model: vals + hi + lane per slot, x window reads, y write
-    bytes_slots = gm.slots * (itemsize + 8)
-    bytes_aux = (gm.sort_idx.size + gm.start_idx.size + gm.end_idx.size) * 4
-    bytes_xy = (csr.n_cols + csr.n_rows) * itemsize
+    # HBM traffic model: vals + int8 hi/lane per slot, sort/boundary planes,
+    # one x window read per (panel, window) pair, y write
+    bytes_slots = gm.slots * (itemsize + 2)
+    bytes_aux = gm.src.size + gm.sten.size * 2
+    wid = np.asarray(gm.step_wid)
+    n_fetches = 1 + int(np.sum(wid[1:] != wid[:-1]))  # Pallas dedups repeats
+    bytes_x = n_fetches * gm.W * 128 * itemsize
+    bytes_xy = bytes_x + csr.n_rows * itemsize
     gbps = (bytes_slots + bytes_aux + bytes_xy) / dt / 1e9
     gnnz = csr.nnz / dt / 1e9
     print(f"[perf] n={csr.n_rows} nnz={csr.nnz} slots={gm.slots} "
