@@ -154,7 +154,28 @@ def merge_singletons(w, agg: np.ndarray, singleton_ids: np.ndarray
         order = np.lexsort((-dsel, rsel))
         rsel, csel = rsel[order], csel[order]
         first = np.flatnonzero(np.r_[True, rsel[1:] != rsel[:-1]])
-        agg[rsel[first]] = agg[csel[first]]
+        # resolve singleton->singleton hops (incl. mutual-best pairs, which
+        # a simultaneous assignment would merely swap) by pointer jumping:
+        # follow each singleton's strongest edge until a non-singleton row
+        # or a collapsed 2-cycle representative (min id) is reached
+        n_all = agg.shape[0]
+        target = np.arange(n_all)
+        target[rsel[first]] = csel[first]
+        for _ in range(64):
+            t2 = target[target]
+            cyc = (t2 == np.arange(n_all)) & (target != np.arange(n_all))
+            if cyc.any():
+                target[cyc] = np.minimum(np.arange(n_all)[cyc], target[cyc])
+                t2 = target[target]
+            if np.array_equal(t2, target):
+                break
+            target = t2
+        else:
+            # non-converging (>2-cycles from exact weight ties): those rows
+            # stay singletons rather than looping
+            bad = target[target] != target
+            target[bad] = np.arange(n_all)[bad]
+        agg = agg[target]
     return _compact(agg)[0]
 
 

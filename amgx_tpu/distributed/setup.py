@@ -551,9 +551,10 @@ def dist_cr(sm: ShardedCSR, sweeps: int = 5, theta_cr: float = 0.7
          for d in range(n_dev)]
     halos = [sm.halo_cols(d) for d in range(n_dev)]
     exts = [extended_local(sm, d)[0] for d in range(n_dev)]
+    diags = sm.diagonal()
     dinv = []
     for d in range(n_dev):
-        dg = np.asarray(sm.diagonal()[d], np.float64)
+        dg = np.asarray(diags[d], np.float64)
         dinv.append(1.0 / np.where(dg == 0, 1.0, dg))
     for _ in range(sweeps):
         g_e = exchange_col_values(sm.part, e, halos)
@@ -655,6 +656,7 @@ def dist_em_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
                                         theta)
     n_dev = sm.n_dev
     halos = [sm.halo_cols(d) for d in range(n_dev)]
+    diags = sm.diagonal()
     work, shards = [], []
     for d in range(n_dev):
         ext, _ = extended_local(sm, d)
@@ -662,7 +664,7 @@ def dist_em_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
         a_loc = sp.csr_matrix((np.asarray(data, np.float64), ext.indices,
                                ext.indptr),
                               shape=(ext.n_rows, ext.n_cols))
-        dg = np.asarray(sm.diagonal()[d], np.float64)
+        dg = np.asarray(diags[d], np.float64)
         dinv = 1.0 / np.where(dg == 0, 1.0, dg)
         c_rows = cf[d] >= 0
         p = p_sh.shards[d].to_scipy().tocsr()
@@ -745,7 +747,7 @@ def dist_multipass_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
             if cand.size == 0:
                 continue
             r_i, c_j = rows[cand], cl[cand]
-            wv = np.abs(np.asarray(data[cand], np.float64))
+            wv = np.abs(data[cand]).astype(np.float64)
             wsum = np.zeros(nl)
             np.add.at(wsum, r_i, wv)
             ready = wsum > 0

@@ -923,6 +923,12 @@ class DistributedSolver:
         decomposition). ``shard_rows[d]`` = (rows_g, cols_g, vals) of shard
         d's owned rows with global ids. Returns ({'cols','vals'} lower,
         upper or None) stacked (D, Lr, W) and device-sharded."""
+        if any(np.iscomplexobj(v) for _, _, v in shard_rows):
+            # the triangular packs below are real-valued; dropping the
+            # imaginary part would smooth with the wrong operator (mirrors
+            # the block_dim guard -> single-chip fallback)
+            raise NotImplementedError(
+                "distributed TWO_STAGE_GS does not support complex modes")
         a = lvl.a
         n_dev, lr = a.n_dev, a.lr
         part = a.row_part

@@ -24,30 +24,32 @@ those:
   distinct row-lanes (contribution slots) — greedy bipartite edge
   colouring (O(nnz), native kernel in csrc/amgx_host.cpp).
 
-  Pass A (per tile, 8-row chunks)
+  Pass A (per tile, 8-row chunks; hi/lane travel in one int16 plane)
       hs, hv = hi & 7, hi >> 3            # window sub-row -> (vreg, sublane)
       u      = select_v(hv==v, take_along_axis(x_win[v], hs, axis=0))
       t      = take_along_axis(u, lane, axis=1)
-      staging[tile rows] = t * vals       # staging: (128, 128) VMEM block
+      staging[tile rows] = t * vals       # staging: (BPB*128, 128) VMEM
 
-  Pass B (per 128-row staging block)
-      stagT  = transpose(staging)                          # lanes <-> rows
+  Pass B (one step per BPB 128-row staging blocks, amortizing the
+  per-grid-step cost; per block:)
+      stagT  = transpose(staging block)                    # lanes <-> rows
       srt    = take_along_axis(stagT, src, axis=1)         # per-lane sort by q
       P      = lane_cumsum(srt)                            # log-step rolls
       y[l,q] += P[l, en(l,q)] - (P - srt)[l, st(l,q)]      # lane gathers
 
   ``src`` is the static per-(block, lane) permutation grouping a block's
   contributions by destination row q; ``st``/``en`` are static per-
-  (block, lane, q) segment boundaries, encoded (st+1)*128+en in int16.
-  Destinations q are extracted 128 per chunk so every gather source stays
-  a single vreg along its gather dimension.  No scatter is ever needed;
-  each block independently accumulates into a (128, S_p) VMEM accumulator
-  that is transposed into the panel's y rows once per panel.
+  (block, lane, q) segment boundaries, encoded (st+1)*128+en in two int8
+  byte planes.  src and the boundary bytes ride one int8 "bmeta" stream
+  (fewer per-step DMA streams = lower grid overhead).  Destinations q are
+  extracted 128 per chunk so every gather source stays a single vreg
+  along its gather dimension.  No scatter is ever needed; blocks
+  accumulate into a (128, S_p) VMEM accumulator that is transposed into
+  the panel's y rows once per panel.
 
-HBM traffic per stored slot: vals (4 B / 2 B bf16) + hi/lane (1 B each) +
-src (1 B) + st/en (~2 B) plus one x window re-read per (panel, window)
-pair; the arithmetic is ~30 VPU ops per slot, within ~2x of the v5e
-memory bound for f32.
+HBM traffic per stored slot: vals (4 B / 2 B bf16) + hl (2 B) + src (1 B)
++ st/en (~2 B at S_p=128 per extraction chunk) plus one x window re-read
+per (panel, window) pair.
 
 Known limit: scattered matrices with m >> S_p*128*deg*W*128 leave tiles
 nearly empty (the efficiency guard then returns None and the layout
@@ -70,7 +72,9 @@ from jax.experimental.pallas import tpu as pltpu
 def _lane_cumsum(x):
     """Axis-1 inclusive cumsum as a log-step Hillis-Steele scan — Mosaic
     has no lowering for the cumsum primitive, but roll + masked add
-    lowers (first-contact probe) and costs log2(128) vector adds."""
+    lowers (first-contact probe) and costs log2(128) vector adds.  (An
+    MXU triangular-ones matmul was considered and rejected: ~400+ cycles
+    for a (128,128) f32 dot vs ~336 for the scan on v5e.)"""
     n = x.shape[1]
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     s = 1
@@ -109,9 +113,8 @@ def _pack_pairs_python(pair_ptr, rl, cl):
 class GatherMatrix:
     """General-sparsity device operator in the lane-binned gather format."""
 
-    ARRAY_FIELDS = ("vals", "hi", "lane", "src", "sten", "step_flags",
-                    "step_wid", "step_tid", "step_pid", "step_soff",
-                    "step_blk")
+    ARRAY_FIELDS = ("vals", "hl", "bmeta", "step_flags", "step_wid",
+                    "step_tid", "step_pid", "step_soff", "step_bid")
 
     def __init__(self, arrays, meta):
         for k, v in arrays.items():
@@ -137,12 +140,16 @@ class GatherMatrix:
     def dtype(self):
         return self.vals.dtype
 
+    @property
+    def n_blocks(self):
+        return self.bmeta.shape[0] * self.BPB
+
     def __repr__(self):
         return (f"GatherMatrix({self.n_rows}x{self.n_cols}, nnz={self.nnz}, "
                 f"slots={self.slots}, eff={self.nnz / max(1, self.slots):.2f},"
-                f" tiles={self.vals.shape[0]}, blocks={self.src.shape[0]},"
-                f" W={self.W}, S_p={self.S_p}, D={self.D},"
-                f" dtype={self.vals.dtype})")
+                f" tiles={self.vals.shape[0]}, blocks={self.n_blocks},"
+                f" steps={self.step_flags.shape[0]}, W={self.W},"
+                f" S_p={self.S_p}, D={self.D}, dtype={self.vals.dtype})")
 
     # -- application ---------------------------------------------------------
 
@@ -164,28 +171,43 @@ class GatherMatrix:
             y = jnp.pad(y, (0, L - y.shape[0]))
         return y[:L]
 
+    def _decode_bmeta(self):
+        """bmeta (n_bsteps, BPB*R, 128) int8 -> (src, sten) jnp views over
+        all blocks: src (B, 128, 128) i32 and sten (B, Qc, 128, 128) i32."""
+        Qc, BPB = self.Qc, self.BPB
+        R = 128 + 2 * Qc * 128
+        nb = self.bmeta.shape[0] * BPB
+        bm = self.bmeta.reshape(nb, R, 128).astype(jnp.int32)
+        src = bm[:, :128]
+        lo = bm[:, 128:128 + Qc * 128] & 255
+        hi = bm[:, 128 + Qc * 128:]
+        se = (lo | (hi << 8)).reshape(nb, Qc, 128, 128)
+        return src, se
+
     def _apply_ref(self, x2):
         """Reference path (pure jnp; also the CPU execution path). Performs
         the identical gather algebra, fully vectorized over tiles and
         blocks, so the packed arrays are validated by every CPU test."""
-        W, D, S_p, Qc = self.W, self.D, self.S_p, self.Qc
-        n_panels, n_blocks = self.n_panels, self.src.shape[0]
+        W, S_p, Qc = self.W, self.S_p, self.Qc
+        n_panels = self.n_panels
         dt = x2.dtype
         x2w = x2.reshape(self.n_windows, W, 128)
         tw = np.asarray(self.meta["tile_window"])
-        # pass A over all tiles at once
+        hl = self.hl.astype(jnp.int32)
+        hi = hl >> 8                                       # indexed by cl
+        lane = hl & 255                                    # indexed by rl
         xw = x2w[tw]                                       # (T, W, 128)
-        hi = self.hi.astype(jnp.int32)
         u = jnp.take_along_axis(xw, hi, axis=1)            # (T, D, 128)
-        t = jnp.take_along_axis(u, self.lane.astype(jnp.int32), axis=2)
+        t = jnp.take_along_axis(u, lane, axis=2)
         contrib = t * self.vals[...].astype(dt)
         # tiles are contiguous in padded block order by construction
+        src, se = self._decode_bmeta()
+        n_blocks = src.shape[0]
         stag = contrib.reshape(n_blocks, 128, 128)
         stagT = jnp.swapaxes(stag, 1, 2)                   # (B, lane, row)
-        srt = jnp.take_along_axis(stagT, self.src.astype(jnp.int32), axis=2)
+        srt = jnp.take_along_axis(stagT, src, axis=2)
         P = jnp.cumsum(srt, axis=2)
         Pex = P - srt
-        se = self.sten.astype(jnp.int32).reshape(n_blocks, Qc, 128, 128)
         stp1 = se >> 7
         en = se & 127
         Pb = jnp.broadcast_to(P[:, None], (n_blocks, Qc, 128, 128))
@@ -200,20 +222,25 @@ class GatherMatrix:
         return y[:, :S_p].reshape(n_panels * S_p, 128)
 
     def _apply_pallas(self, x2, interpret: bool = False):
-        W, D, S_p, Qc = self.W, self.D, self.S_p, self.Qc
+        W, D, S_p, Qc, BPB = self.W, self.D, self.S_p, self.Qc, self.BPB
         n_steps = int(self.step_flags.shape[0])
         nv = W // 8
+        R = 128 + 2 * Qc * 128
         dt = x2.dtype
 
-        def kernel(flags, wid, tid, pid, soff, blk, x_ref, vals_ref, hi_ref,
-                   lane_ref, src_ref, sten_ref, y_ref, stag, acc):
+        def kernel(flags, wid, tid, pid, soff, bid, x_ref, vals_ref, hl_ref,
+                   bm_ref, y_ref, stag, acc):
             i = pl.program_id(0)
             f = flags[i]
 
             @pl.when(f == 0)
             def _():
-                for j in range(D // 8):
-                    hij = hi_ref[0, j * 8:(j + 1) * 8].astype(jnp.int32)
+                # rolled over 8-row chunks: keeps the Mosaic program small
+                # at large D (a fully unrolled D=128 body overflowed the
+                # remote compiler's request limit)
+                def chunk(j, carry):
+                    hlj = hl_ref[0, pl.ds(j * 8, 8)].astype(jnp.int32)
+                    hij = hlj >> 8
                     hs = hij & 7
                     if nv == 1:
                         u = jnp.take_along_axis(x_ref[:], hs, axis=0)
@@ -224,31 +251,44 @@ class GatherMatrix:
                             g = jnp.take_along_axis(
                                 x_ref[v * 8:(v + 1) * 8], hs, axis=0)
                             u = jnp.where(hv == v, g, u)
-                    lj = lane_ref[0, j * 8:(j + 1) * 8].astype(jnp.int32)
+                    lj = hlj & 255
                     t = jnp.take_along_axis(u, lj, axis=1)
                     stag[pl.ds(soff[i] * D + j * 8, 8)] = \
-                        t * vals_ref[0, j * 8:(j + 1) * 8].astype(dt)
+                        t * vals_ref[0, pl.ds(j * 8, 8)].astype(dt)
+                    return carry
+                jax.lax.fori_loop(0, D // 8, chunk, 0)
 
             @pl.when(f > 0)
             def _():
-                stagT = jnp.swapaxes(stag[:], 0, 1)
-                srt = jnp.take_along_axis(
-                    stagT, src_ref[0].astype(jnp.int32), axis=1)
-                P = _lane_cumsum(srt)
-                Pex = P - srt
                 first = (f & 2) != 0
-                for qc in range(Qc):
-                    se = sten_ref[0, qc * 128:(qc + 1) * 128].astype(
-                        jnp.int32)
-                    stp1 = se >> 7
-                    en = se & 127
-                    e = jnp.take_along_axis(P, en, axis=1)
-                    s0 = jnp.take_along_axis(
-                        Pex, jnp.maximum(stp1 - 1, 0), axis=1)
-                    c = jnp.where(stp1 > 0, e - s0, jnp.zeros_like(e))
-                    prev = jnp.where(first, jnp.zeros_like(c),
-                                     acc[:, qc * 128:(qc + 1) * 128])
-                    acc[:, qc * 128:(qc + 1) * 128] = prev + c
+                for jb in range(BPB):
+                    base = jb * R
+                    src = bm_ref[0, base:base + 128].astype(jnp.int32)
+                    stagT = jnp.swapaxes(
+                        stag[jb * 128:(jb + 1) * 128], 0, 1)
+                    srt = jnp.take_along_axis(stagT, src, axis=1)
+                    P = _lane_cumsum(srt)
+                    Pex = P - srt
+                    for qc in range(Qc):
+                        lo = bm_ref[0, base + 128 + qc * 128:
+                                    base + 128 + (qc + 1) * 128].astype(
+                            jnp.int32) & 255
+                        hi = bm_ref[0, base + 128 + Qc * 128 + qc * 128:
+                                    base + 128 + Qc * 128 +
+                                    (qc + 1) * 128].astype(jnp.int32)
+                        se = lo | (hi << 8)
+                        stp1 = se >> 7
+                        en = se & 127
+                        e = jnp.take_along_axis(P, en, axis=1)
+                        s0 = jnp.take_along_axis(
+                            Pex, jnp.maximum(stp1 - 1, 0), axis=1)
+                        c = jnp.where(stp1 > 0, e - s0, jnp.zeros_like(e))
+                        if jb == 0:
+                            prev = jnp.where(first, jnp.zeros_like(c),
+                                             acc[:, qc * 128:(qc + 1) * 128])
+                        else:
+                            prev = acc[:, qc * 128:(qc + 1) * 128]
+                        acc[:, qc * 128:(qc + 1) * 128] = prev + c
 
             @pl.when((f & 4) != 0)
             def _():
@@ -270,19 +310,14 @@ class GatherMatrix:
                              lambda i, fl, wid, tid, *_: (tid[i], 0, 0)),
                 pl.BlockSpec((1, D, 128),
                              lambda i, fl, wid, tid, *_: (tid[i], 0, 0)),
-                pl.BlockSpec((1, D, 128),
-                             lambda i, fl, wid, tid, *_: (tid[i], 0, 0)),
-                pl.BlockSpec((1, 128, 128),
-                             lambda i, fl, wid, tid, pid, soff, blk:
-                             (blk[i], 0, 0)),
-                pl.BlockSpec((1, Qc * 128, 128),
-                             lambda i, fl, wid, tid, pid, soff, blk:
-                             (blk[i], 0, 0)),
+                pl.BlockSpec((1, BPB * R, 128),
+                             lambda i, fl, wid, tid, pid, soff, bid:
+                             (bid[i], 0, 0)),
             ],
             out_specs=pl.BlockSpec((S_p, 128),
                                    lambda i, fl, wid, tid, pid, *_:
                                    (pid[i], 0)),
-            scratch_shapes=[pltpu.VMEM((128, 128), dt),
+            scratch_shapes=[pltpu.VMEM((BPB * 128, 128), dt),
                             pltpu.VMEM((128, Qc * 128), dt)],
         )
         y = pl.pallas_call(
@@ -291,21 +326,21 @@ class GatherMatrix:
             out_shape=jax.ShapeDtypeStruct((self.n_panels * S_p, 128), dt),
             interpret=interpret,
         )(self.step_flags, self.step_wid, self.step_tid, self.step_pid,
-          self.step_soff, self.step_blk, x2, self.vals, self.hi, self.lane,
-          self.src, self.sten)
+          self.step_soff, self.step_bid, x2, self.vals, self.hl, self.bmeta)
         return y
 
 
 def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
-                  D: Optional[int] = None,
+                  D: Optional[int] = None, BPB: int = 2,
                   max_efficiency_waste: float = 8.0) -> Optional[GatherMatrix]:
     """Build the lane-binned gather format from CSR (setup-phase, host).
 
     W: x-window height in 128-lane sub-rows (cols per window = W*128);
-    multiple of 8, at most 128 (hi indices are int8 and the in-kernel
+    multiple of 8, at most 128 (hi indices are 7 bits and the in-kernel
     select tree is W/8-way).  S_p: panel height in 128-row groups; above
     128 it is rounded to a multiple of 128 (one q-extraction chunk each).
     D: tile depth (rows of 128 slots); must divide 128; None = adaptive.
+    BPB: staging blocks reduced per B-step (amortizes grid overhead).
 
     Returns None for block matrices, complex data, or pathological packing
     efficiency (slots/nnz > max_efficiency_waste)."""
@@ -375,16 +410,20 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
     depth = np.zeros(n_up, np.int64)
     np.maximum.at(depth, edge_pair_idx, s_slot + 1)
     if D is None:
+        # cost model: slot traffic + per-grid-step overhead (~350 ns/step
+        # measured on v5e ~ the time 10k slot-bytes take at HBM speed)
         best = None
-        for cand in (8, 16, 32, 64, 128):
-            cost = int(np.sum(-(-depth // cand)) * cand)
-            if best is None or cost < best[0] or \
-                    (cost == best[0] and cand > best[1]):
+        for cand in (16, 32, 64, 128):
+            slots_c = int(np.sum(-(-depth // cand)) * cand) * 128
+            steps_c = slots_c // (cand * 128) + slots_c // (128 * 128) // BPB
+            cost = slots_c + steps_c * 40000
+            if best is None or cost < best[0]:
                 best = (cost, cand)
         D = best[1]
     if 128 % D != 0:
         raise ValueError(f"tile depth {D} must divide 128")
     tpp = 128 // D                       # tiles per staging block
+    unit = BPB * tpp                     # tiles per B-step
     tiles_per_pair = -(-depth // D)
     tile_base = np.concatenate([[0], np.cumsum(tiles_per_pair)])
     T_real = int(tile_base[-1])
@@ -395,10 +434,10 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
     tile_panel_real = (upairs[tile_pair] // n_windows).astype(np.int64)
     tile_window_real = (upairs[tile_pair] % n_windows).astype(np.int64)
 
-    # pad each panel's tile count to a multiple of tpp (>= 1 block even
-    # for empty panels, so every panel's y rows get written)
+    # pad each panel's tile count to a multiple of the B-step unit (>= 1
+    # unit even for empty panels, so every panel's y rows get written)
     T_p = np.bincount(tile_panel_real, minlength=n_panels)
-    T_p_pad = np.maximum(tpp, -(-T_p // tpp) * tpp)
+    T_p_pad = np.maximum(unit, -(-T_p // unit) * unit)
     pad_base = np.concatenate([[0], np.cumsum(T_p_pad)]).astype(np.int64)
     real_base = np.concatenate([[0], np.cumsum(T_p)]).astype(np.int64)
     T_tot = int(pad_base[-1])
@@ -420,20 +459,26 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
     last = np.maximum.accumulate(np.where(is_real, np.arange(T_tot), -1))
     filled = np.where(last >= 0, tile_window[np.maximum(last, 0)], 0)
     tile_window = np.where(is_real, tile_window, filled)
-    tile_panel = np.searchsorted(pad_base[1:], np.arange(T_tot), "right")
 
     n_blocks_p = (T_p_pad // tpp).astype(np.int64)
     block_base = np.concatenate([[0], np.cumsum(n_blocks_p)]).astype(np.int64)
     B_tot = int(block_base[-1])
     block_panel = np.searchsorted(block_base[1:], np.arange(B_tot), "right")
+    n_bsteps_p = n_blocks_p // BPB
+    bstep_base = np.concatenate([[0],
+                                 np.cumsum(n_bsteps_p)]).astype(np.int64)
+    NB = int(bstep_base[-1])
 
     # -- pack tile arrays ----------------------------------------------------
     vals_a = np.zeros((T_tot, D, 128), dtype)
-    hi_a = np.zeros((T_tot, D, 128), np.int8)
-    lane_a = np.zeros((T_tot, D, 128), np.int8)
+    hl_a = np.zeros((T_tot, D, 128), np.int16)
     vals_a[tile_of_edge, row_in_tile, rl_s] = vals[order].astype(dtype)
-    hi_a[tile_of_edge, row_in_tile, cl_s] = hi_local[order].astype(np.int8)
-    lane_a[tile_of_edge, row_in_tile, rl_s] = cl_s.astype(np.int8)
+    # hi lives in the high byte at the column lane; lane in the low byte at
+    # the row lane (independent positions, one int16 stream)
+    np.bitwise_or.at(hl_a, (tile_of_edge, row_in_tile, cl_s),
+                     (hi_local[order] << 8).astype(np.int16))
+    np.bitwise_or.at(hl_a, (tile_of_edge, row_in_tile, rl_s),
+                     cl_s.astype(np.int16))
 
     # -- per-block sort + segment boundary planes ----------------------------
     stag_row = (tile_in_panel[tile_of_edge_real] * D + row_in_tile)
@@ -463,45 +508,45 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
             rank[seg_end].astype(np.int32)).astype(np.int16)
     sten[gb_[new_seg], (qs_seg // 128) * 128 + l_[new_seg], qs_seg % 128] = \
         code
+    # fold src + sten byte planes into one int8 stream per B-step:
+    # per sub-block: [src (128) | sten-lo (Qc*128) | sten-hi (Qc*128)]
+    R = 128 + 2 * Qc * 128
+    sb = sten.view(np.uint8).reshape(B_tot, Qc * 128, 128, 2)
+    bmeta = np.concatenate(
+        [src, sb[..., 0].view(np.int8), sb[..., 1].view(np.int8)],
+        axis=1)                                        # (B_tot, R, 128)
+    bmeta = bmeta.reshape(NB, BPB * R, 128)
 
-    # -- step schedule: per panel, [A x tpp, B] per block ---------------------
-    steps_per_block = tpp + 1
-    n_steps = B_tot * steps_per_block
-    sflags = np.zeros(n_steps, np.int32)
-    swid = np.zeros(n_steps, np.int32)
-    stid = np.zeros(n_steps, np.int32)
-    spid = np.zeros(n_steps, np.int32)
-    ssoff = np.zeros(n_steps, np.int32)
-    sblk = np.zeros(n_steps, np.int32)
+    # -- step schedule: per panel, [A x unit, B] per B-step -------------------
+    steps_per_unit = unit + 1
+    n_steps = NB * steps_per_unit
     step = np.arange(n_steps)
-    blk_of_step = step // steps_per_block
-    pos = step % steps_per_block
-    is_b = pos == tpp
-    tile_id = blk_of_step * tpp + np.minimum(pos, tpp - 1)
-    sblk[:] = blk_of_step
-    spid[:] = block_panel[blk_of_step]
-    stid[:] = tile_id
-    swid[:] = tile_window[tile_id]
-    ssoff[:] = np.where(is_b, 0, pos)
-    first_blk = block_base[spid] == blk_of_step
-    last_blk = (block_base[spid] + n_blocks_p[spid] - 1) == blk_of_step
-    sflags[:] = np.where(is_b, 1 + 2 * first_blk + 4 * last_blk, 0)
+    bstep_of_step = step // steps_per_unit
+    pos = step % steps_per_unit
+    is_b = pos == unit
+    tile_id = bstep_of_step * unit + np.minimum(pos, unit - 1)
+    sbid = bstep_of_step.astype(np.int32)
+    spid = block_panel[bstep_of_step * BPB].astype(np.int32)
+    stid = tile_id.astype(np.int32)
+    swid = tile_window[tile_id].astype(np.int32)
+    ssoff = np.where(is_b, 0, pos).astype(np.int32)
+    first_b = bstep_base[spid] == bstep_of_step
+    last_b = (bstep_base[spid] + n_bsteps_p[spid] - 1) == bstep_of_step
+    sflags = np.where(is_b, 1 + 2 * first_b + 4 * last_b, 0).astype(np.int32)
 
     arrays = dict(
         vals=jnp.asarray(vals_a),
-        hi=jnp.asarray(hi_a),
-        lane=jnp.asarray(lane_a),
-        src=jnp.asarray(src),
-        sten=jnp.asarray(sten),
+        hl=jnp.asarray(hl_a),
+        bmeta=jnp.asarray(bmeta),
         step_flags=jnp.asarray(sflags),
         step_wid=jnp.asarray(swid),
         step_tid=jnp.asarray(stid),
         step_pid=jnp.asarray(spid),
         step_soff=jnp.asarray(ssoff),
-        step_blk=jnp.asarray(sblk),
+        step_bid=jnp.asarray(sbid),
     )
     meta = dict(n_rows=n, n_cols=m, nnz=int(csr.nnz), slots=int(slots),
-                W=int(W), S_p=int(S_p), D=int(D), Qc=int(Qc),
+                W=int(W), S_p=int(S_p), D=int(D), Qc=int(Qc), BPB=int(BPB),
                 n_windows=int(n_windows), n_panels=int(n_panels),
                 tile_window=tuple(int(v) for v in tile_window),
                 block_panel=tuple(int(v) for v in block_panel))

@@ -240,3 +240,27 @@ def test_energymin_interpolation_properties():
         assert np.abs(P @ np.ones(P.shape[1]) - 1).max() < 1e-12
         assert energy <= prev + 1e-9
         prev = energy
+
+
+def test_merge_singletons_mutual_pair():
+    """Two mutual-strongest singletons must merge into ONE aggregate; the
+    old simultaneous assignment swapped their ids and left both singleton
+    (reference: merge_singletons, size2_selector.cu)."""
+    import scipy.sparse as sp
+    from amgx_tpu.amg.aggregation import merge_singletons
+    # 0-1 strongly coupled pair; 2-3 another; 1-2 weak link
+    w = sp.csr_matrix(np.array([[0, 9, 0, 0],
+                                [9, 0, 1, 0],
+                                [0, 1, 0, 9],
+                                [0, 0, 9, 0]], np.float64))
+    agg = np.arange(4)
+    out = merge_singletons(w, agg.copy(), agg)
+    assert out[0] == out[1] and out[2] == out[3]
+    assert out[0] != out[2]
+    # chain: 0 -> 1, and 1 <-> 2 mutual; all three singletons must land in
+    # one aggregate (pointer jumping through the singleton hop)
+    w2 = sp.csr_matrix(np.array([[0, 9, 0],
+                                 [9, 0, 10],
+                                 [0, 10, 0]], np.float64))
+    out2 = merge_singletons(w2, np.arange(3), np.arange(3))
+    assert out2[0] == out2[1] == out2[2]
