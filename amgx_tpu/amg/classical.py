@@ -169,7 +169,14 @@ def pmis_select(csr: CSRMatrix, strong: np.ndarray, seed: int = 0,
 
 
 def _pmis_hash(n: int, seed: int) -> np.ndarray:
-    x = (np.arange(n, dtype=np.uint64) + np.uint64(seed * 7919 + 1)) \
+    return _pmis_hash_ids(np.arange(n, dtype=np.uint64), seed)
+
+
+def _pmis_hash_ids(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Counter-based (stateless) hash: any slice of global ids hashes
+    without materializing the full O(N) vector — the property the
+    rank-local distributed PMIS depends on."""
+    x = (ids.astype(np.uint64) + np.uint64(seed * 7919 + 1)) \
         * np.uint64(0x9E3779B97F4A7C15)
     x ^= x >> np.uint64(29)
     x *= np.uint64(0xBF58476D1CE4E5B9)

@@ -96,3 +96,69 @@ def reput(arr, sharding: NamedSharding):
     if not is_multiprocess():
         return jax.device_put(arr, sharding)
     return jax.device_put(to_host(arr), sharding)
+
+
+# ---------------------------------------------------------------------------
+# Rank-local setup fabric (O(N/P) per process)
+# ---------------------------------------------------------------------------
+# The reference keeps each rank's partition rank-local and exchanges only
+# neighbour-sized matrix structure (loadDistributedMatrix,
+# distributed_manager.cu:1144/1359; comms_mpi_hostbuffer_stream.cu:835-990).
+# JAX exposes no host point-to-point, so the analog here is: publish
+# boundary-sized payloads with one process_allgather round and let each
+# process pick what it owns/requested. Traffic per round is
+# O(sum of boundaries), never O(N).
+
+def allgather_nd(arr: np.ndarray, trailing_shape=()) -> list:
+    """allgather_host for arrays with fixed trailing dims: each process
+    contributes (k_p, *trailing_shape); returns the per-process arrays."""
+    arr = np.ascontiguousarray(arr).reshape((-1,) + tuple(trailing_shape))
+    flat = allgather_host(arr.reshape(-1))
+    tsz = int(np.prod(trailing_shape, dtype=np.int64)) if trailing_shape \
+        else 1
+    return [a.reshape((-1,) + tuple(trailing_shape)) if tsz else a
+            for a in flat]
+
+
+def gather_per_dev(n_dev: int, local: dict) -> list:
+    """Assemble a full per-device list from each process's {dev: np.ndarray}
+    contributions (device indices are globally unique). Single process:
+    just places the dict into a list."""
+    out = [None] * n_dev
+    if not is_multiprocess():
+        for d, v in local.items():
+            out[d] = v
+        return out
+    devs = np.asarray(sorted(local.keys()), np.int64)
+    if devs.size:
+        vals = [np.ascontiguousarray(np.asarray(local[int(d)]))
+                for d in devs]
+        lens = np.asarray([v.reshape(-1).view(np.uint8).size for v in vals],
+                          np.int64)
+        blob = np.concatenate([v.reshape(-1).view(np.uint8) for v in vals])
+    else:
+        lens = np.zeros(0, np.int64)
+        blob = np.zeros(0, np.uint8)
+    # dtype/shape descriptors ride along as strings (same for all devs of
+    # one call site, but processes may hold devices with distinct shapes)
+    descs = ["|".join([str(np.asarray(local[int(d)]).dtype)] +
+                      [str(int(x))
+                       for x in np.asarray(local[int(d)]).shape])
+             for d in devs]
+    desc_blob = np.frombuffer(("\x00".join(descs)).encode(), np.uint8)
+    all_devs = allgather_host(devs)
+    all_lens = allgather_host(lens)
+    all_blob = allgather_host(blob)
+    all_desc = allgather_host(desc_blob)
+    for p in range(len(all_devs)):
+        descs_p = bytes(all_desc[p]).decode().split("\x00") \
+            if all_desc[p].size else []
+        off = 0
+        for j, d in enumerate(all_devs[p]):
+            parts = descs_p[j].split("|")
+            dt, shape = parts[0], tuple(int(x) for x in parts[1:])
+            nb = int(all_lens[p][j])
+            out[int(d)] = all_blob[p][off:off + nb].view(
+                np.dtype(dt)).reshape(shape)
+            off += nb
+    return out

@@ -46,7 +46,12 @@ FINE = -1
 class ShardedCSR:
     """Row-partitioned CSR: ``shards[d]`` holds the rows device d owns as a
     local CSR whose column ids stay *global* (the pre-renumbering per-rank
-    storage, distributed_manager.cu:1144)."""
+    storage, distributed_manager.cu:1144).
+
+    In a multi-process run each process keeps only its addressable
+    devices' shards (``shards[d] is None`` elsewhere) — the reference's
+    rank-local storage; cross-process data moves only through the
+    boundary-sized ``exchange_*`` helpers below."""
 
     def __init__(self, part: RowPartition, shards: List[CSRMatrix],
                  n_cols: int):
@@ -60,8 +65,18 @@ class ShardedCSR:
         return self.part.n_dev
 
     @property
+    def devs(self) -> List[int]:
+        """Device indices whose shards this process holds."""
+        return [d for d in range(self.part.n_dev)
+                if self.shards[d] is not None]
+
+    @property
+    def is_partial(self) -> bool:
+        return any(s is None for s in self.shards)
+
+    @property
     def nnz(self) -> int:
-        return sum(s.nnz for s in self.shards)
+        return sum(s.nnz for s in self.shards if s is not None)
 
     @classmethod
     def from_global(cls, csr: CSRMatrix, part: RowPartition) -> "ShardedCSR":
@@ -82,30 +97,81 @@ class ShardedCSR:
 
     def to_global(self) -> CSRMatrix:
         """Assemble the global operator (tests / coarse-level dense solve
-        only — never called on fine levels)."""
+        only — never called on fine levels). Partial (multi-process)
+        instances gather the missing shards first — coarse-sized only."""
+        sm = self.gather_full() if self.is_partial else self
         indptr = [np.zeros(1, np.int64)]
         indices, data = [], []
         base = 0
-        for s in self.shards:
+        for s in sm.shards:
             indptr.append(s.indptr[1:] + base)
             base += s.nnz
             indices.append(s.indices)
             data.append(s.data)
         dd = None
-        if all(s.diag_data is not None for s in self.shards):
-            dd = np.concatenate([s.diag_data for s in self.shards])
+        if all(s.diag_data is not None for s in sm.shards):
+            dd = np.concatenate([s.diag_data for s in sm.shards])
         return CSRMatrix(self.n_rows, self.n_cols,
                          np.concatenate(indptr),
                          np.concatenate(indices) if indices else
                          np.zeros(0, np.int32),
                          np.concatenate(data, axis=0),
-                         block_dim=self.shards[0].block_dim, diag_data=dd)
+                         block_dim=sm.shards[sm.devs[0]].block_dim,
+                         diag_data=dd)
+
+    def gather_full(self) -> "ShardedCSR":
+        """All-present copy of a partial instance: gathers every shard
+        cross-process (coarse/consolidation-sized uses only)."""
+        if not self.is_partial:
+            return self
+        from . import multihost as mh
+        fields = {}
+        for d in self.devs:
+            sh = self.shards[d]
+            fields[d] = np.concatenate([
+                np.asarray([sh.n_rows, sh.n_cols, sh.nnz,
+                            sh.block_dim[0], sh.block_dim[1],
+                            0 if sh.diag_data is None else 1], np.int64)
+                .view(np.uint8),
+                np.asarray(sh.indptr, np.int64).view(np.uint8),
+                np.asarray(sh.indices, np.int32).view(np.uint8),
+                np.frombuffer(str(sh.data.dtype).ljust(16).encode(),
+                              np.uint8),
+                np.ascontiguousarray(sh.data).reshape(-1).view(np.uint8),
+                np.zeros(0, np.uint8) if sh.diag_data is None else
+                np.ascontiguousarray(sh.diag_data).reshape(-1)
+                .view(np.uint8)])
+        blobs = mh.gather_per_dev(self.n_dev, fields)
+        shards = []
+        for d, blob in enumerate(blobs):
+            if blob is None:
+                raise ValueError(f"no process holds shard {d}")
+            hdr = blob[:48].view(np.int64)
+            nl, nc, nnz, bx, by, hasdd = (int(v) for v in hdr)
+            o = 48
+            indptr = blob[o:o + 8 * (nl + 1)].view(np.int64); o += 8 * (nl + 1)
+            indices = blob[o:o + 4 * nnz].view(np.int32); o += 4 * nnz
+            dt = np.dtype(bytes(blob[o:o + 16]).decode().strip()); o += 16
+            per = bx * by
+            data = blob[o:o + dt.itemsize * nnz * per].view(dt)
+            o += dt.itemsize * nnz * per
+            data = data.reshape((nnz,) if per == 1 else (nnz, bx, by))
+            dd = None
+            if hasdd:
+                dd = blob[o:].view(dt)
+                dd = dd.reshape((nl,) if per == 1 else (nl, bx, by))
+            shards.append(CSRMatrix(nl, nc, indptr, indices, data,
+                                    block_dim=(bx, by), diag_data=dd))
+        return ShardedCSR(self.part, shards, self.n_cols)
 
     def blocks(self):
         """Per-shard (local_rows, global_cols, vals) triples for
-        DistEllMatrix.from_shards."""
+        DistEllMatrix.from_shards (None where the shard is remote)."""
         out = []
         for s in self.shards:
+            if s is None:
+                out.append(None)
+                continue
             rows_l = np.repeat(np.arange(s.n_rows, dtype=np.int64),
                                s.row_nnz())
             out.append((rows_l, s.indices.astype(np.int64), s.data))
@@ -119,9 +185,13 @@ class ShardedCSR:
         return np.unique(c[(c < r0) | (c >= r1)])
 
     def diagonal(self) -> List[np.ndarray]:
-        """Per-shard diagonals (owned rows only — row-local)."""
+        """Per-shard diagonals (owned rows only — row-local; None where
+        the shard is remote)."""
         out = []
         for d, s in enumerate(self.shards):
+            if s is None:
+                out.append(None)
+                continue
             r0 = int(self.part.offsets[d])
             rows = np.repeat(np.arange(s.n_rows), s.row_nnz())
             if s.block_dim == (1, 1):
@@ -152,6 +222,10 @@ def exchange_col_values(part: RowPartition,
     for each of its halo columns j (the B2L pack/unpack of
     comms_mpi_hostbuffer_stream.cu:637 applied to setup metadata). Traffic
     is O(sum of halo sizes)."""
+    present = [d for d in range(part.n_dev)
+               if d < len(owned_vals) and owned_vals[d] is not None]
+    if len(present) < part.n_dev:
+        return _exchange_col_values_mp(part, owned_vals, halo_cols, present)
     out = []
     for d in range(part.n_dev):
         hc = halo_cols[d]
@@ -168,12 +242,59 @@ def exchange_col_values(part: RowPartition,
     return out
 
 
+def _exchange_col_values_mp(part: RowPartition, owned_vals, halo_cols,
+                            present) -> List:
+    """Cross-process ghost-value exchange: one allgather of the union of
+    requested ids, one of the served (id, value) pairs — boundary-sized
+    (the reference's B2L MPI exchange, comms_mpi_hostbuffer_stream.cu:637).
+    Returns a full-length list with None at remote shards."""
+    from . import multihost as mh
+    reqs = [np.asarray(halo_cols[d], np.int64) for d in present
+            if halo_cols[d] is not None]
+    my_req = np.unique(np.concatenate(reqs)) if reqs else \
+        np.zeros(0, np.int64)
+    union = np.unique(np.concatenate(mh.allgather_host(my_req)))
+    owner = part.owner_of(union) if union.size else \
+        np.zeros(0, np.int64)
+    sid_l, sval_l = [], []
+    for d in present:
+        m = owner == d
+        if m.any():
+            sid_l.append(union[m])
+            v = np.asarray(owned_vals[d])[union[m] - int(part.offsets[d])]
+            sval_l.append(np.ascontiguousarray(v))
+    dtype = np.asarray(owned_vals[present[0]]).dtype if present else \
+        np.dtype(np.float64)
+    trail = tuple(np.asarray(owned_vals[present[0]]).shape[1:]) \
+        if present else ()
+    sid = np.concatenate(sid_l) if sid_l else np.zeros(0, np.int64)
+    sval = np.concatenate(sval_l) if sval_l else \
+        np.zeros((0,) + trail, dtype)
+    all_sid = np.concatenate(mh.allgather_host(sid))
+    all_sval = np.concatenate(
+        [a for a in mh.allgather_nd(sval, trail)]) \
+        if all_sid.size else sval
+    order = np.argsort(all_sid, kind="stable")
+    keys = all_sid[order]
+    out = [None] * part.n_dev
+    for d in present:
+        hc = np.asarray(halo_cols[d], np.int64)
+        if hc.size == 0:
+            out[d] = np.zeros((0,) + tuple(trail), dtype)
+            continue
+        pos = np.searchsorted(keys, hc)
+        out[d] = all_sval[order][pos]
+    return out
+
+
 def exchange_rows(sm: ShardedCSR,
                   rows_needed: Sequence[np.ndarray]) -> List[CSRMatrix]:
     """One-ring halo-*row* exchange (createOneRingHaloRows,
     distributed_manager.cu:1592): shard d receives the full rows (global
     columns) listed in ``rows_needed[d]``, as a small local CSR in that
     order. Traffic is O(boundary-row nnz)."""
+    if sm.is_partial:
+        return _exchange_rows_mp(sm, rows_needed)
     out = []
     for d in range(sm.n_dev):
         need = np.asarray(rows_needed[d], np.int64)
@@ -206,16 +327,140 @@ def exchange_rows(sm: ShardedCSR,
     return out
 
 
+def _exchange_rows_mp(sm: ShardedCSR, rows_needed) -> List:
+    """Cross-process one-ring halo-row exchange: allgather the union of
+    requested row ids, serve owned rows (counts + concatenated cols/vals
+    [+ diag]), allgather the answers — O(boundary-row nnz) traffic
+    (createOneRingHaloRows, distributed_manager.cu:1592). Returns a
+    full-length list with None at remote shards."""
+    from . import multihost as mh
+    devs = sm.devs
+    s0 = sm.shards[devs[0]]
+    have_dd = bool(int(np.min(np.concatenate(mh.allgather_host(
+        np.asarray([all(sm.shards[d].diag_data is not None
+                        for d in devs)], np.int64))))))
+    reqs = [np.asarray(rows_needed[d], np.int64) for d in devs
+            if rows_needed[d] is not None]
+    my_req = np.unique(np.concatenate(reqs)) if reqs else \
+        np.zeros(0, np.int64)
+    union = np.unique(np.concatenate(mh.allgather_host(my_req)))
+    owner = sm.part.owner_of(union) if union.size else \
+        np.zeros(0, np.int64)
+    sid_l, cnt_l, col_l, val_l, dd_l = [], [], [], [], []
+    for d in devs:
+        m = owner == d
+        if not m.any():
+            continue
+        sh = sm.shards[d]
+        li = (union[m] - int(sm.part.offsets[d])).astype(np.int64)
+        p0, p1 = sh.indptr[li], sh.indptr[li + 1]
+        cnt = (p1 - p0).astype(np.int64)
+        pos = (np.arange(int(cnt.sum())) -
+               np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt) +
+               np.repeat(p0, cnt)).astype(np.int64)
+        sid_l.append(union[m])
+        cnt_l.append(cnt)
+        col_l.append(sh.indices[pos])
+        val_l.append(np.ascontiguousarray(sh.data[pos]))
+        if have_dd:
+            dd_l.append(np.ascontiguousarray(sh.diag_data[li]))
+    trail = tuple(s0.data.shape[1:])
+    dtrail = tuple(s0.diag_data.shape[1:]) if have_dd else ()
+    dtype = s0.data.dtype
+    sid = np.concatenate(sid_l) if sid_l else np.zeros(0, np.int64)
+    cnt = np.concatenate(cnt_l) if cnt_l else np.zeros(0, np.int64)
+    col = np.concatenate(col_l) if col_l else np.zeros(0, np.int32)
+    val = np.concatenate(val_l) if val_l else np.zeros((0,) + trail, dtype)
+    all_sid = np.concatenate(mh.allgather_host(sid))
+    all_cnt = np.concatenate(mh.allgather_host(cnt))
+    all_col = np.concatenate(mh.allgather_host(col))
+    all_val = np.concatenate(mh.allgather_nd(val, trail)) if \
+        all_sid.size else val
+    if have_dd:
+        dd = np.concatenate(dd_l) if dd_l else \
+            np.zeros((0,) + dtrail, dtype)
+        all_dd = np.concatenate(mh.allgather_nd(dd, dtrail)) if \
+            all_sid.size else dd
+    order = np.argsort(all_sid, kind="stable")
+    keys = all_sid[order]
+    cnt_s = all_cnt[order]
+    starts_nz = np.concatenate([[0], np.cumsum(all_cnt)])[:-1]
+    starts_s = starts_nz[order]
+    out = [None] * sm.n_dev
+    for d in devs:
+        need = np.asarray(rows_needed[d], np.int64)
+        if need.size == 0:
+            out[d] = CSRMatrix(0, sm.n_cols, np.zeros(1, np.int64),
+                               np.zeros(0, np.int32),
+                               np.zeros((0,) + trail, dtype))
+            continue
+        pos = np.searchsorted(keys, need)
+        cts = cnt_s[pos]
+        tot = int(cts.sum())
+        src = (np.arange(tot) -
+               np.repeat(np.concatenate([[0], np.cumsum(cts)[:-1]]), cts) +
+               np.repeat(starts_s[pos], cts)).astype(np.int64)
+        out[d] = CSRMatrix(
+            need.size, sm.n_cols,
+            np.concatenate([[0], np.cumsum(cts)]).astype(np.int64),
+            all_col[src], all_val[src], block_dim=s0.block_dim,
+            diag_data=all_dd[order][pos] if have_dd else None)
+    return out
+
+
 def send_coo_to_owners(part: RowPartition,
                        contribs: Sequence[Tuple[np.ndarray, np.ndarray,
                                                 np.ndarray]],
-                       n_cols: int) -> ShardedCSR:
+                       n_cols: int,
+                       local_devs: Optional[Sequence[int]] = None
+                       ) -> ShardedCSR:
     """Scatter COO contributions (global rows/cols) to the shards owning
     their rows and sum duplicates — the halo-row accumulation step of the
     distributed Galerkin product (computeAOperator_distributed,
     classical_amg_level.cu:942). Off-shard traffic is only the entries
-    whose row another shard owns (boundary-sized)."""
+    whose row another shard owns (boundary-sized); in a multi-process run
+    (``local_devs`` given) those ride one allgather and only local shards
+    are built."""
     n_dev = part.n_dev
+    contribs = [c for c in contribs if c is not None]
+    dtype = contribs[0][2].dtype if contribs else np.dtype(np.float64)
+    trail = tuple(contribs[0][2].shape[1:]) if contribs else ()
+    if local_devs is not None and len(local_devs) < n_dev:
+        from . import multihost as mh
+        local_set = set(int(d) for d in local_devs)
+        keep_r, keep_c, keep_v = [], [], []
+        off_r, off_c, off_v = [], [], []
+        for rows, cols, vals in contribs:
+            if rows.size == 0:
+                continue
+            owner = part.owner_of(rows)
+            mine = np.isin(owner, list(local_set))
+            keep_r.append(rows[mine])
+            keep_c.append(cols[mine])
+            keep_v.append(vals[mine])
+            off_r.append(rows[~mine])
+            off_c.append(cols[~mine])
+            off_v.append(vals[~mine])
+        ro = np.concatenate(off_r) if off_r else np.zeros(0, np.int64)
+        co = np.concatenate(off_c) if off_c else np.zeros(0, np.int64)
+        vo = np.concatenate(off_v, axis=0) if off_v else \
+            np.zeros((0,) + trail, dtype)
+        all_r = np.concatenate(mh.allgather_host(ro.astype(np.int64)))
+        all_c = np.concatenate(mh.allgather_host(co.astype(np.int64)))
+        all_v = np.concatenate(mh.allgather_nd(vo, trail)) if \
+            all_r.size else vo
+        own = np.isin(part.owner_of(all_r), list(local_set)) if \
+            all_r.size else np.zeros(0, bool)
+        contribs = [(np.concatenate(keep_r) if keep_r else
+                     np.zeros(0, np.int64),
+                     np.concatenate(keep_c) if keep_c else
+                     np.zeros(0, np.int64),
+                     np.concatenate(keep_v, axis=0) if keep_v else
+                     np.zeros((0,) + trail, dtype)),
+                    (all_r[own], all_c[own], all_v[own])]
+        build = sorted(local_set)
+    else:
+        build = range(n_dev)
     rows_by = [[] for _ in range(n_dev)]
     cols_by = [[] for _ in range(n_dev)]
     vals_by = [[] for _ in range(n_dev)]
@@ -228,20 +473,19 @@ def send_coo_to_owners(part: RowPartition,
             rows_by[o].append(rows[m])
             cols_by[o].append(cols[m])
             vals_by[o].append(vals[m])
-    dtype = contribs[0][2].dtype if contribs else np.float64
-    shards = []
-    for d in range(n_dev):
+    shards = [None] * n_dev
+    for d in build:
         r0 = int(part.offsets[d])
         nl = part.size(d)
         if rows_by[d]:
             r = np.concatenate(rows_by[d]) - r0
             c = np.concatenate(cols_by[d])
             v = np.concatenate(vals_by[d], axis=0)
-            shards.append(CSRMatrix.from_coo(nl, n_cols, r, c, v))
+            shards[d] = CSRMatrix.from_coo(nl, n_cols, r, c, v)
         else:
-            shards.append(CSRMatrix(nl, n_cols, np.zeros(nl + 1, np.int64),
-                                    np.zeros(0, np.int32),
-                                    np.zeros((0,), dtype)))
+            shards[d] = CSRMatrix(nl, n_cols, np.zeros(nl + 1, np.int64),
+                                  np.zeros(0, np.int32),
+                                  np.zeros((0,) + trail, dtype))
     return ShardedCSR(part, shards, n_cols)
 
 
@@ -270,6 +514,26 @@ def extended_local(sm: ShardedCSR, d: int
     return ext, halo
 
 
+def _mh_scalar(partial: bool, val: float, op=max) -> float:
+    """Cross-process scalar all-reduce (no-op when all shards local)."""
+    if not partial:
+        return val
+    from . import multihost as mh
+    return op(float(v[0]) for v in mh.allgather_host(
+        np.asarray([val], np.float64)))
+
+
+def _counts_to_offsets(sm: ShardedCSR, counts: dict) -> np.ndarray:
+    """Per-shard count dict -> global row offsets (one tiny allgather in
+    multi-process runs)."""
+    from . import multihost as mh
+    full = mh.gather_per_dev(
+        sm.n_dev, {d: np.asarray([int(c)], np.int64)
+                   for d, c in counts.items()})
+    return np.concatenate(
+        [[0], np.cumsum([int(c[0]) for c in full])]).astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Distributed PMIS (selectors/pmis.cu, shard-parallel form)
 # ---------------------------------------------------------------------------
@@ -280,10 +544,10 @@ def dist_strength(sm: ShardedCSR, strength: str, theta: float,
     (strength/ahat.cu), so each shard computes its owned rows from the
     extended-local view alone — no exchange needed."""
     from ..amg.classical import strong_connections
-    out = []
-    for d in range(sm.n_dev):
+    out = [None] * sm.n_dev
+    for d in sm.devs:
         ext, _ = extended_local(sm, d)
-        out.append(strong_connections(ext, strength, theta, max_row_sum))
+        out[d] = strong_connections(ext, strength, theta, max_row_sum)
     return out
 
 
@@ -297,18 +561,54 @@ def _square_edges(part: RowPartition,
     graph, so per-shard work stays O(rows touched x degree^2)."""
     import scipy.sparse as sp
     n_dev = part.n_dev
-    adjs = []
-    for d in range(n_dev):
+    present = [d for d in range(n_dev) if edges[d] is not None]
+    adjs = [None] * n_dev
+    for d in present:
         nl = part.size(d)
         src, dst = edges[d]
-        adjs.append(sp.csr_matrix(
-            (np.ones(src.size), (src, dst)), shape=(nl, n_rows)))
-    out = []
-    for d in range(n_dev):
+        adjs[d] = sp.csr_matrix(
+            (np.ones(src.size), (src, dst)), shape=(nl, n_rows))
+    remote_rows = {}
+    if len(present) < n_dev:
+        # cross-process: serve referenced adjacency rows with one
+        # boundary-sized allgather round (row ids + counts + columns)
+        from . import multihost as mh
+        refs = []
+        for d in present:
+            dst = edges[d][1]
+            if dst.size:
+                ref = np.unique(dst)
+                refs.append(ref[~np.isin(part.owner_of(ref), present)])
+        my_req = np.unique(np.concatenate(refs)) if refs else \
+            np.zeros(0, np.int64)
+        union = np.unique(np.concatenate(mh.allgather_host(my_req)))
+        uown = part.owner_of(union) if union.size else \
+            np.zeros(0, np.int64)
+        sid_l, cnt_l, col_l = [], [], []
+        for d in present:
+            m = uown == d
+            if not m.any():
+                continue
+            bo = adjs[d][union[m] - int(part.offsets[d])]
+            sid_l.append(union[m])
+            cnt_l.append(np.diff(bo.indptr).astype(np.int64))
+            col_l.append(bo.indices.astype(np.int64))
+        sid = np.concatenate(sid_l) if sid_l else np.zeros(0, np.int64)
+        cnt = np.concatenate(cnt_l) if cnt_l else np.zeros(0, np.int64)
+        col = np.concatenate(col_l) if col_l else np.zeros(0, np.int64)
+        all_sid = np.concatenate(mh.allgather_host(sid))
+        all_cnt = np.concatenate(mh.allgather_host(cnt))
+        all_col = np.concatenate(mh.allgather_host(col))
+        starts = np.concatenate([[0], np.cumsum(all_cnt)])
+        for j in range(all_sid.size):
+            remote_rows[int(all_sid[j])] = \
+                all_col[int(starts[j]):int(starts[j + 1])]
+    out = [None] * n_dev
+    for d in present:
         r0 = int(part.offsets[d])
         src, dst = edges[d]
         if src.size == 0:
-            out.append((src, dst))
+            out[d] = (src, dst)
             continue
         ref = np.unique(dst)
         owner = part.owner_of(ref)
@@ -318,10 +618,17 @@ def _square_edges(part: RowPartition,
         for o in np.unique(owner):
             m = owner == o
             sel = ref[m]
-            bo = adjs[int(o)][sel - int(part.offsets[int(o)])]
-            rows_parts.append(np.repeat(np.flatnonzero(m),
-                                        np.diff(bo.indptr)))
-            cols_parts.append(bo.indices.astype(np.int64))
+            if adjs[int(o)] is not None:
+                bo = adjs[int(o)][sel - int(part.offsets[int(o)])]
+                rows_parts.append(np.repeat(np.flatnonzero(m),
+                                            np.diff(bo.indptr)))
+                cols_parts.append(bo.indices.astype(np.int64))
+            else:
+                rws = np.flatnonzero(m)
+                for k, g in zip(rws, sel):
+                    cc = remote_rows.get(int(g), np.zeros(0, np.int64))
+                    rows_parts.append(np.full(cc.size, k, np.int64))
+                    cols_parts.append(cc)
         b_rows = np.concatenate(rows_parts)
         b_cols = np.concatenate(cols_parts)
         b = sp.csr_matrix((np.ones(b_rows.size), (b_rows, b_cols)),
@@ -335,7 +642,7 @@ def _square_edges(part: RowPartition,
         dst2 = s2.col[keep].astype(np.int64)
         key = src2 * np.int64(n_rows + 1) + dst2
         _, first = np.unique(key, return_index=True)
-        out.append((src2[first], dst2[first]))
+        out[d] = (src2[first], dst2[first])
     return out
 
 
@@ -351,16 +658,21 @@ def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0,
     RowPartition, n_coarse). Global coarse numbering is by fine row id, so
     it is automatically contiguous per shard.
     """
-    from ..amg.classical import _pmis_hash
+    from ..amg.classical import _pmis_hash_ids
     n_dev = sm.n_dev
+    devs = sm.devs
+    devs_set = set(devs)
+    partial = sm.is_partial
     # per-shard symmetrized strength adjacency in extended-local col space:
     # local strong edges  +  reverse edges received from neighbours
-    exts, halos, adj = [], [], []
+    exts = [None] * n_dev
+    halos = [None] * n_dev
+    adj = [None] * n_dev
     rev_edges = [[] for _ in range(n_dev)]       # (src_global, dst_global)
-    for d in range(n_dev):
+    for d in devs:
         ext, halo = extended_local(sm, d)
-        exts.append(ext)
-        halos.append(halo)
+        exts[d] = ext
+        halos[d] = halo
         r0 = int(sm.part.offsets[d])
         rows = np.repeat(np.arange(ext.n_rows, dtype=np.int64),
                          ext.row_nnz())
@@ -374,12 +686,35 @@ def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0,
             for o in np.unique(owner):
                 m = owner == o
                 rev_edges[o].append((dst_g[m], src_g[m]))
-        adj.append((rows[st], ext.indices[st].astype(np.int64)))
+        adj[d] = (rows[st], ext.indices[st].astype(np.int64))
+
+    if partial:
+        # reverse edges destined to remote shards ride one boundary-sized
+        # allgather (the reference sends these with neighbour MPI traffic,
+        # comms_mpi_hostbuffer_stream.cu:835)
+        from . import multihost as mh
+        off_d, off_s = [], []
+        for o in range(n_dev):
+            if o not in devs_set and rev_edges[o]:
+                for (dg, sg) in rev_edges[o]:
+                    off_d.append(dg)
+                    off_s.append(sg)
+                rev_edges[o] = []
+        dg = np.concatenate(off_d) if off_d else np.zeros(0, np.int64)
+        sg = np.concatenate(off_s) if off_s else np.zeros(0, np.int64)
+        all_dg = np.concatenate(mh.allgather_host(dg))
+        all_sg = np.concatenate(mh.allgather_host(sg))
+        if all_dg.size:
+            own = sm.part.owner_of(all_dg)
+            for d in devs:
+                m = own == d
+                if m.any():
+                    rev_edges[d].append((all_dg[m], all_sg[m]))
 
     # assemble per-shard symmetric edge lists (global targets, dedup)
-    edges = []                                   # per shard: (src_l, dst_g)
-    indeg = []                                   # per shard: in-degree of S
-    for d in range(n_dev):
+    edges = [None] * n_dev                       # per shard: (src_l, dst_g)
+    indeg = [None] * n_dev                       # per shard: in-degree of S
+    for d in devs:
         r0 = int(sm.part.offsets[d])
         nl = exts[d].n_rows
         src_l, dst_l = adj[d]
@@ -402,17 +737,17 @@ def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0,
         key = src_all * (sm.n_rows + 1) + dst_all
         _, first = np.unique(key, return_index=True)
         src_all, dst_all = src_all[first], dst_all[first]
-        edges.append((src_all, dst_all))
+        edges[d] = (src_all, dst_all)
         # in-degree of S restricted to owned targets: local strong edges
         # pointing at owned cols + received reverse-edge counts equal the
         # column sums of S (lam in pmis_select)
         deg = np.zeros(nl)
         own_tgt = adj[d][1] < nl
         np.add.at(deg, adj[d][1][own_tgt], 1.0)
-        indeg.append(deg)
+        indeg[d] = deg
     # add cross-shard S in-degree: each strong edge (i -> halo j) counts at
     # j's owner. rev_edges[o] carries exactly those as (dst_g=j, src_g=i).
-    for d in range(n_dev):
+    for d in devs:
         r0 = int(sm.part.offsets[d])
         for (dst_g, _src) in rev_edges[d]:
             np.add.at(indeg[d], dst_g - r0, 1.0)
@@ -423,11 +758,13 @@ def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0,
         # mirrors pmis_select(aggressive=True)
         edges = _square_edges(sm.part, edges, sm.n_rows)
 
-    w = [indeg[d] + _pmis_hash(sm.n_rows, seed)[
-        int(sm.part.offsets[d]):int(sm.part.offsets[d + 1])]
-        for d in range(n_dev)]
-    state = [np.zeros(exts[d].n_rows, np.int8) for d in range(n_dev)]
-    for d in range(n_dev):
+    w = [None] * n_dev
+    state = [None] * n_dev
+    for d in devs:
+        r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+        w[d] = indeg[d] + _pmis_hash_ids(
+            np.arange(r0, r1, dtype=np.uint64), seed)
+        state[d] = np.zeros(exts[d].n_rows, np.int8)
         iso = np.ones(exts[d].n_rows, bool)
         iso[np.unique(edges[d][0])] = False
         state[d][iso & (indeg[d] == 0)] = -1
@@ -435,21 +772,31 @@ def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0,
     # ghost set = remote targets of the symmetrized edge lists (a superset
     # of the matrix halo when the strength mask is asymmetric: a received
     # reverse edge can point at a node that is not one of our columns)
-    ghosts = []
-    for d in range(n_dev):
+    ghosts = [None] * n_dev
+    for d in devs:
         r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
         dst = edges[d][1]
-        ghosts.append(np.unique(dst[(dst < r0) | (dst >= r1)]))
+        ghosts[d] = np.unique(dst[(dst < r0) | (dst >= r1)])
 
     def ghost(per_shard):
         return exchange_col_values(sm.part, per_shard, ghosts)
 
-    while any((s == 0).any() for s in state):
+    def undecided():
+        # all processes must agree on loop continuation (the exchanges
+        # below are collective)
+        local = any((state[d] == 0).any() for d in devs)
+        if not partial:
+            return local
+        from . import multihost as mh
+        return bool(max(int(v[0]) for v in mh.allgather_host(
+            np.asarray([int(local)], np.int64))))
+
+    while undecided():
         g_state = ghost(state)
         g_w = ghost(w)
         winners_any = False
-        new_w = []
-        for d in range(n_dev):
+        new_w = [None] * n_dev
+        for d in devs:
             src, dst = edges[d]
             und = state[d] == 0
             r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
@@ -468,23 +815,37 @@ def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0,
             if m.any():
                 np.maximum.at(nb_max, src[m], dst_w[m])
             winners = und & (w[d] > nb_max)
-            new_w.append(winners)
+            new_w[d] = winners
             winners_any = winners_any or bool(winners.any())
+        if partial:
+            from . import multihost as mh
+            winners_any = bool(max(int(v[0]) for v in mh.allgather_host(
+                np.asarray([int(winners_any)], np.int64))))
         if not winners_any:
             # deadlock fallback identical to pmis_select: the globally
             # first undecided point becomes C (one all-reduce)
-            for d in range(n_dev):
+            first_u = sm.n_rows
+            for d in devs:
                 u = np.nonzero(state[d] == 0)[0]
                 if u.size:
-                    new_w[d] = np.zeros(exts[d].n_rows, bool)
-                    new_w[d][u[0]] = True
+                    first_u = int(sm.part.offsets[d]) + int(u[0])
                     break
-        for d in range(n_dev):
+            if partial:
+                from . import multihost as mh
+                first_u = int(min(int(v[0]) for v in mh.allgather_host(
+                    np.asarray([first_u], np.int64))))
+            for d in devs:
+                r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+                if r0 <= first_u < r1:
+                    new_w[d] = np.zeros(exts[d].n_rows, bool)
+                    new_w[d][first_u - r0] = True
+        for d in devs:
             state[d][new_w[d]] = 1
         # undecided neighbours of new C points become F; cross-shard
         # demotions travel with the next ghost exchange of winner flags
-        g_win = ghost([wn.astype(np.int8) for wn in new_w])
-        for d in range(n_dev):
+        g_win = ghost([None if wn is None else wn.astype(np.int8)
+                       for wn in new_w])
+        for d in devs:
             src, dst = edges[d]
             r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
             own = (dst >= r0) & (dst < r1)
@@ -503,14 +864,18 @@ def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0,
                 s2 = src[rem_win]
                 state[d][s2[state[d][s2] == 0]] = -1
 
-    counts = [int((s == 1).sum()) for s in state]
+    from . import multihost as mh
+    counts = mh.gather_per_dev(
+        n_dev, {d: np.asarray([int((state[d] == 1).sum())], np.int64)
+                for d in devs})
+    counts = [int(c[0]) for c in counts]
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    cf = []
-    for d in range(n_dev):
+    cf = [None] * n_dev
+    for d in devs:
         m = np.full(exts[d].n_rows, FINE, np.int64)
         c = np.nonzero(state[d] == 1)[0]
         m[c] = offsets[d] + np.arange(c.size)
-        cf.append(m)
+        cf[d] = m
     return cf, RowPartition(offsets), int(offsets[-1])
 
 
@@ -525,15 +890,15 @@ def dist_direct_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
     cf of the one-ring (ghost cf exchange), matching distance1.cu's
     boundary handling. Output P rows are owned, columns global coarse."""
     from ..amg.classical import direct_interpolation
-    halos = [sm.halo_cols(d) for d in range(sm.n_dev)]
+    halos = [None if sm.shards[d] is None else sm.halo_cols(d)
+             for d in range(sm.n_dev)]
     g_cf = exchange_col_values(sm.part, cf, halos)
-    shards = []
-    for d in range(sm.n_dev):
+    shards = [None] * sm.n_dev
+    for d in sm.devs:
         ext, halo = extended_local(sm, d)
         cf_ext = np.concatenate([cf[d], g_cf[d]]) if halo.size else cf[d]
-        p = direct_interpolation(ext, strong[d], cf[d],
-                                 col_cf_map=cf_ext, nc=nc)
-        shards.append(p)
+        shards[d] = direct_interpolation(ext, strong[d], cf[d],
+                                         col_cf_map=cf_ext, nc=nc)
     return ShardedCSR(sm.part, shards, nc)
 
 
@@ -545,20 +910,26 @@ def dist_cr(sm: ShardedCSR, sweeps: int = 5, theta_cr: float = 0.7
     per sweep, then a global max-reduce for the slow-point threshold."""
     from ..amg.classical import FINE
     n_dev = sm.n_dev
-    rng = np.random.default_rng(0)
-    e_glob = rng.random(sm.n_rows)          # identical to the single-chip e0
-    e = [e_glob[int(sm.part.offsets[d]):int(sm.part.offsets[d + 1])].copy()
-         for d in range(n_dev)]
-    halos = [sm.halo_cols(d) for d in range(n_dev)]
-    exts = [extended_local(sm, d)[0] for d in range(n_dev)]
+    devs = sm.devs
+    # e0 slices match the single-chip rng.random(n) draw exactly without
+    # materializing O(N) per process: PCG64 advances by draw count
+    e = [None] * n_dev
+    for d in devs:
+        r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+        g = np.random.Generator(np.random.PCG64(0).advance(r0))
+        e[d] = g.random(r1 - r0)
+    halos = [None if sm.shards[d] is None else sm.halo_cols(d)
+             for d in range(n_dev)]
+    exts = [None if sm.shards[d] is None else extended_local(sm, d)[0]
+            for d in range(n_dev)]
     diags = sm.diagonal()
-    dinv = []
-    for d in range(n_dev):
+    dinv = [None] * n_dev
+    for d in devs:
         dg = np.asarray(diags[d], np.float64)
-        dinv.append(1.0 / np.where(dg == 0, 1.0, dg))
+        dinv[d] = 1.0 / np.where(dg == 0, 1.0, dg)
     for _ in range(sweeps):
         g_e = exchange_col_values(sm.part, e, halos)
-        for d in range(n_dev):
+        for d in devs:
             ext = exts[d]
             e_ext = np.concatenate([e[d], g_e[d]]) if halos[d].size \
                 else e[d]
@@ -568,26 +939,38 @@ def dist_cr(sm: ShardedCSR, sweeps: int = 5, theta_cr: float = 0.7
             ae = np.zeros(ext.n_rows)
             np.add.at(ae, rows, data * e_ext[ext.indices])
             e[d] = e[d] - ae * dinv[d] * 0.7
-    emax = max((np.abs(ed).max() if ed.size else 0.0) for ed in e)
-    counts = []
-    slow = []
-    for d in range(n_dev):
+    emax = _mh_scalar(sm.is_partial,
+                      max(((np.abs(e[d]).max() if e[d].size else 0.0)
+                           for d in devs), default=0.0))
+    counts = {}
+    slow = [None] * n_dev
+    for d in devs:
         sl = np.abs(e[d]) >= theta_cr * emax
-        slow.append(sl)
-        counts.append(int(sl.sum()))
-    if sum(counts) == 0:
-        # degenerate: promote the single globally largest |e|
-        d_best = int(np.argmax([np.abs(ed).max() if ed.size else -1.0
-                                for ed in e]))
-        slow[d_best][int(np.argmax(np.abs(e[d_best])))] = True
-        counts[d_best] = 1
-    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    cf = []
-    for d in range(n_dev):
+        slow[d] = sl
+        counts[d] = int(sl.sum())
+    total = _mh_scalar(sm.is_partial, float(sum(counts.values())),
+                       op=sum)
+    if total == 0:
+        # degenerate: promote the single globally largest |e| — the FIRST
+        # global index achieving emax, matching single-chip argmax
+        first = float(sm.n_rows)
+        for d in devs:
+            if e[d].size and np.abs(e[d]).max() >= emax:
+                first = min(first, float(int(sm.part.offsets[d]) +
+                                         int(np.argmax(np.abs(e[d])))))
+        first = int(_mh_scalar(sm.is_partial, first, op=min))
+        for d in devs:
+            r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+            if r0 <= first < r1:
+                slow[d][first - r0] = True
+                counts[d] = 1
+    offsets = _counts_to_offsets(sm, counts)
+    cf = [None] * n_dev
+    for d in devs:
         m = np.full(e[d].shape[0], FINE, np.int64)
         c = np.nonzero(slow[d])[0]
         m[c] = offsets[d] + np.arange(c.size)
-        cf.append(m)
+        cf[d] = m
     return cf, RowPartition(offsets), int(offsets[-1])
 
 
@@ -599,15 +982,19 @@ def dist_ensure_coverage(sm: ShardedCSR, strong: List[np.ndarray],
     exchanged for each of the two hops)."""
     from ..amg.classical import FINE
     n_dev = sm.n_dev
-    halos = [sm.halo_cols(d) for d in range(n_dev)]
-    exts = [extended_local(sm, d)[0] for d in range(n_dev)]
-    c = [cf[d] >= 0 for d in range(n_dev)]
+    devs = sm.devs
+    halos = [None if sm.shards[d] is None else sm.halo_cols(d)
+             for d in range(n_dev)]
+    exts = [None if sm.shards[d] is None else extended_local(sm, d)[0]
+            for d in range(n_dev)]
+    c = [None if cf[d] is None else cf[d] >= 0 for d in range(n_dev)]
 
     def hop(flags):
-        g = exchange_col_values(sm.part,
-                                [f.astype(np.int8) for f in flags], halos)
-        out = []
-        for d in range(n_dev):
+        g = exchange_col_values(
+            sm.part, [None if f is None else f.astype(np.int8)
+                      for f in flags], halos)
+        out = [None] * n_dev
+        for d in devs:
             ext = exts[d]
             rows = np.repeat(np.arange(ext.n_rows), ext.row_nnz())
             r0 = int(sm.part.offsets[d])
@@ -624,23 +1011,23 @@ def dist_ensure_coverage(sm: ShardedCSR, strong: List[np.ndarray],
             cov = np.zeros(ext.n_rows, bool)
             hit = keep & fl_ext[ext.indices]
             cov[np.unique(rows[hit])] = True
-            out.append(cov)
+            out[d] = cov
         return out
 
     cov1 = hop(c)
     cov2 = hop(cov1)
-    counts, c_new = [], []
-    for d in range(n_dev):
+    counts, c_new = {}, [None] * n_dev
+    for d in devs:
         cn = c[d] | (~c[d] & ~cov1[d] & ~cov2[d])
-        c_new.append(cn)
-        counts.append(int(cn.sum()))
-    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    out_cf = []
-    for d in range(n_dev):
+        c_new[d] = cn
+        counts[d] = int(cn.sum())
+    offsets = _counts_to_offsets(sm, counts)
+    out_cf = [None] * n_dev
+    for d in devs:
         m = np.full(c_new[d].shape[0], FINE, np.int64)
         idx = np.nonzero(c_new[d])[0]
         m[idx] = offsets[d] + np.arange(idx.size)
-        out_cf.append(m)
+        out_cf[d] = m
     return out_cf, RowPartition(offsets), int(offsets[-1])
 
 
@@ -655,10 +1042,13 @@ def dist_em_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
     p_sh = dist_distance2_interpolation(sm, strong, cf, nc, strength,
                                         theta)
     n_dev = sm.n_dev
-    halos = [sm.halo_cols(d) for d in range(n_dev)]
+    devs = sm.devs
+    halos = [None if sm.shards[d] is None else sm.halo_cols(d)
+             for d in range(n_dev)]
     diags = sm.diagonal()
-    work, shards = [], []
-    for d in range(n_dev):
+    work = [None] * n_dev
+    shards = [None] * n_dev
+    for d in devs:
         ext, _ = extended_local(sm, d)
         data = ext.data if ext.block_dim == (1, 1) else ext.data[:, 0, 0]
         a_loc = sp.csr_matrix((np.asarray(data, np.float64), ext.indices,
@@ -677,14 +1067,13 @@ def dist_em_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
         cnt = np.asarray(pattern.sum(axis=1)).ravel()
         cnt_inv = np.where(cnt > 0, 1.0 / np.where(cnt == 0, 1.0, cnt),
                            0.0)
-        work.append((a_loc, dinv, c_rows, pattern, cnt_inv))
-        shards.append(CSRMatrix(p.shape[0], nc, p.indptr, p.indices,
-                                p.data))
+        work[d] = (a_loc, dinv, c_rows, pattern, cnt_inv)
+        shards[d] = CSRMatrix(p.shape[0], nc, p.indptr, p.indices, p.data)
     p_sh = ShardedCSR(sm.part, shards, nc)
     for _ in range(sweeps):
         p_halo = exchange_rows(p_sh, halos)
-        new_shards = []
-        for d in range(n_dev):
+        new_shards = [None] * n_dev
+        for d in devs:
             a_loc, dinv, c_rows, pattern, cnt_inv = work[d]
             p_own = p_sh.shards[d].to_scipy().tocsr()
             p_ext = sp.vstack([p_own, p_halo[d].to_scipy()]).tocsr() \
@@ -695,15 +1084,14 @@ def dist_em_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
             upd = (upd - sp.diags(mean) @ pattern).tocsr()
             upd = sp.diags((~c_rows).astype(np.float64)) @ upd
             p = (p_own - 0.5 * upd).tocsr()
-            new_shards.append(CSRMatrix(p.shape[0], nc, p.indptr,
-                                        p.indices, p.data))
+            new_shards[d] = CSRMatrix(p.shape[0], nc, p.indptr,
+                                      p.indices, p.data)
         p_sh = ShardedCSR(sm.part, new_shards, nc)
-    shards = []
-    for d in range(n_dev):
+    shards = [None] * n_dev
+    for d in devs:
         s = p_sh.shards[d].to_scipy().tocsr()
         s.eliminate_zeros()
-        shards.append(CSRMatrix(s.shape[0], nc, s.indptr, s.indices,
-                                s.data))
+        shards[d] = CSRMatrix(s.shape[0], nc, s.indptr, s.indices, s.data)
     return ShardedCSR(sm.part, shards, nc)
 
 
@@ -719,20 +1107,28 @@ def dist_multipass_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
     way). Mirrors the frontier-at-a-time single-matrix formulation."""
     import scipy.sparse as sp
     n_dev = sm.n_dev
+    devs = sm.devs
+    partial = sm.is_partial
     p_sh = dist_direct_interpolation(sm, strong, cf, nc)
-    halos = [sm.halo_cols(d) for d in range(n_dev)]
-    interped = [(np.diff(p_sh.shards[d].indptr) > 0) | (cf[d] >= 0)
+    halos = [None if sm.shards[d] is None else sm.halo_cols(d)
+             for d in range(n_dev)]
+    interped = [None if cf[d] is None else
+                (np.diff(p_sh.shards[d].indptr) > 0) | (cf[d] >= 0)
                 for d in range(n_dev)]
     for _ in range(max_passes):
-        if all(i.all() for i in interped):
+        done = all(interped[d].all() for d in devs)
+        if partial:
+            done = bool(_mh_scalar(True, float(done), op=min))
+        if done:
             break
         g_interp = exchange_col_values(
-            sm.part, [i.astype(np.int8) for i in interped], halos)
+            sm.part, [None if i is None else i.astype(np.int8)
+                      for i in interped], halos)
         p_halo = exchange_rows(p_sh, halos)      # current one-ring P rows
         new_shards = list(p_sh.shards)
-        new_interped = [i.copy() for i in interped]
+        new_interped = [None if i is None else i.copy() for i in interped]
         progressed = False
-        for d in range(n_dev):
+        for d in devs:
             ext, halo = extended_local(sm, d)
             nl = ext.n_rows
             rows = np.repeat(np.arange(nl), ext.row_nnz())
@@ -766,16 +1162,17 @@ def dist_multipass_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
                                       comb.data)
             new_interped[d] = interped[d] | ready
             progressed = True
+        if partial:
+            progressed = bool(_mh_scalar(True, float(progressed)))
         if not progressed:
             break
         p_sh = ShardedCSR(sm.part, new_shards, nc)
         interped = new_interped
-    shards = []
-    for d in range(n_dev):
+    shards = [None] * n_dev
+    for d in devs:
         s = p_sh.shards[d].to_scipy().tocsr()
         s.eliminate_zeros()
-        shards.append(CSRMatrix(s.shape[0], nc, s.indptr, s.indices,
-                                s.data))
+        shards[d] = CSRMatrix(s.shape[0], nc, s.indptr, s.indices, s.data)
     return ShardedCSR(sm.part, shards, nc)
 
 
