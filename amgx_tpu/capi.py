@@ -174,6 +174,27 @@ class _SolverHandle:
     # reference: AMG_Solver::setup_capi (amg_solver.cu:197)
     def setup(self, m: Matrix):
         m.mode = self.mode
+        if getattr(m, "_sharded", None) is not None:
+            # rank-local upload: O(N/P) per process end-to-end — the
+            # distributed solver consumes the partial ShardedCSR directly
+            # (loadDistributedMatrix semantics). Configs outside the
+            # distributed catalog assemble the global operator once and
+            # fall back to the single-chip solver (honest O(N) fallback).
+            import jax as _jax
+            from .distributed import DistributedSolver
+            from .distributed.solve import make_mesh
+            sm = m._sharded
+            try:
+                self.dist_solver = DistributedSolver(
+                    self.cfg, make_mesh(sm.n_dev))
+                self.dist_solver.setup(sm)
+                self._pv_order = None
+                self._rank_local = m._rank_local
+                self._rl_bx = sm.block_dim[0]
+                return
+            except NotImplementedError:
+                self.dist_solver = None
+                m.csr = sm.gather_full().to_global()
         if m.manager is not None:
             # distributed upload: run the SPMD solve over the mesh
             # (reference: the MPI solve path). Falls back to the global
@@ -201,7 +222,9 @@ class _SolverHandle:
 
     def resetup(self, m: Matrix):
         if self.dist_solver is not None:
-            self.dist_solver.resetup(m.csr)
+            self.dist_solver.resetup(
+                m._sharded if getattr(m, "_sharded", None) is not None
+                else m.csr)
         else:
             self.solver.resetup(m)
 
@@ -223,7 +246,14 @@ class _SolverHandle:
             bx = getattr(self, "_rl_bx", 1)
             lo, hi = int(proc_offsets[pid]) * bx, \
                 int(proc_offsets[pid + 1]) * bx
-            if bd is not None and len(bd) == hi - lo:
+            rank_local_solver = (
+                self.dist_solver is not None and
+                getattr(self.dist_solver, "_rank_rows", None) is not None)
+            if bd is not None and len(bd) == hi - lo and \
+                    not rank_local_solver:
+                # legacy global-vector solver: assemble the full vector
+                # once (the rank-local DistributedSolver path below keeps
+                # vectors O(N/P) per process instead)
                 from .distributed.multihost import allgather_host
                 rl_slice = slice(lo, hi)
                 bd = np.concatenate(allgather_host(np.asarray(bd)))
@@ -443,44 +473,88 @@ def AMGX_matrix_upload_distributed(m: Matrix, n_global: int, n_local: int,
         # each rank passes ONLY its owned rows (global column indices) and
         # the library assembles the distributed operator
         # (amgx_c.cu:1715 -> loadDistributedMatrix,
-        # distributed_manager.cu:1144/1280). Here each JAX process is a
-        # rank-group: rank-local pieces are allgathered host-side once at
-        # entry (O(N) per host, entry only — below level 0 setup stays
-        # O(N/P)), ownership is contiguous in process order, and each
-        # process's block is subdivided over its local devices.
+        # distributed_manager.cu:1144/1280). Rank-local rows stay on this
+        # process: only P row-count scalars cross processes here; cols/vals
+        # device arrays are assembled from process-local shards
+        # (O(nnz/P) host memory per process). Ownership is contiguous in
+        # process order; each process's block is subdivided over its local
+        # devices.
         from .distributed.multihost import allgather_host, is_multiprocess
+        from .distributed.setup import ShardedCSR
         if not is_multiprocess():
             raise ValueError(
                 "rank-local upload (n < n_global with n+1 row_ptrs) "
                 "requires a multi-process run (jax.distributed); single-"
                 "process callers pass the full global system")
-        counts = np.diff(row_ptrs).astype(np.int64)
-        parts_counts = allgather_host(counts)
-        parts_cols = allgather_host(np.asarray(col_indices).ravel())
-        parts_data = allgather_host(data.ravel())
-        proc_rows = np.array([c.shape[0] for c in parts_counts], np.int64)
+        proc_rows = np.concatenate(
+            allgather_host(np.asarray([n_local], np.int64)))
         if int(proc_rows.sum()) != n_global:
             raise ValueError(
                 f"rank-local uploads cover {int(proc_rows.sum())} rows, "
                 f"expected n_global={n_global}")
-        row_ptrs = np.concatenate(
-            [[0], np.cumsum(np.concatenate(parts_counts))])
-        col_indices = np.concatenate(parts_cols)
-        data = np.concatenate(parts_data)
-        if diag_data is not None:
-            diag_data = np.concatenate(
-                allgather_host(np.asarray(diag_data).ravel()))
         proc_offsets = np.concatenate([[0], np.cumsum(proc_rows)])
-        ld = _jax.local_device_count()
+        pid = int(_jax.process_index())
+        devs_all = _jax.devices()
+        dev_pid = [dev.process_index for dev in devs_all]
+        if any(dev_pid[i] > dev_pid[i + 1] for i in
+               range(len(dev_pid) - 1)):
+            raise RuntimeError("jax.devices() is not process-contiguous; "
+                               "rank-local upload assumes rank-ordered "
+                               "device ids")
+        ld_by = np.bincount(dev_pid, minlength=proc_rows.shape[0])
         offs = [0]
         for p in range(proc_rows.shape[0]):
-            offs.extend((RowPartition.equal(int(proc_rows[p]), ld)
+            offs.extend((RowPartition.equal(int(proc_rows[p]),
+                                            int(ld_by[p]))
                          .offsets[1:] + int(proc_offsets[p])).tolist())
-        if dist is None:
-            _, dist = AMGX_distribution_create()
-        dist.partition_offsets = np.asarray(offs, np.int64)
-        dist.partition_vector = None
-        m._rank_local = (proc_offsets, int(_jax.process_index()))
+        row_part = RowPartition(np.asarray(offs, np.int64))
+        if (block_dimx, block_dimy) != (1, 1):
+            data = data.reshape(-1, block_dimx, block_dimy)
+        rp_loc = np.asarray(row_ptrs, np.int64)
+        ci_loc = np.asarray(col_indices)
+        dd_loc = None if diag_data is None else \
+            np.asarray(diag_data).reshape(
+                (-1,) if (block_dimx, block_dimy) == (1, 1)
+                else (-1, block_dimx, block_dimy))
+        lo = int(proc_offsets[pid])
+        shards = [None] * row_part.n_dev
+        for d, dev in enumerate(devs_all):
+            if dev.process_index != pid:
+                continue
+            r0 = int(row_part.offsets[d]) - lo
+            r1 = int(row_part.offsets[d + 1]) - lo
+            p0, p1 = int(rp_loc[r0]), int(rp_loc[r1])
+            sh = _CSR(r1 - r0, n_global, rp_loc[r0:r1 + 1] - p0,
+                      ci_loc[p0:p1], data[p0:p1],
+                      block_dim=(block_dimx, block_dimy))
+            if dd_loc is not None:
+                # DIAG property: fold the external diagonal at its GLOBAL
+                # column (fold_diagonal targets local column i — wrong for
+                # rank-local shards whose columns are global ids)
+                g0 = int(row_part.offsets[d])
+                rows_c = np.concatenate(
+                    [np.repeat(np.arange(r1 - r0), sh.row_nnz()),
+                     np.arange(r1 - r0)])
+                cols_c = np.concatenate(
+                    [sh.indices.astype(np.int64),
+                     np.arange(g0, g0 + (r1 - r0))])
+                vals_c = np.concatenate([sh.data, dd_loc[r0:r1]], axis=0)
+                sh = _CSR.from_coo(r1 - r0, n_global, rows_c, cols_c,
+                                   vals_c,
+                                   block_dim=(block_dimx, block_dimy))
+            shards[d] = sh
+        m._sharded = ShardedCSR(row_part, shards, n_global)
+        m._rank_local = (proc_offsets, pid)
+        m._pv_order = None
+        m.csr = None            # no global operator on any host
+        m.initialized = True
+        m._device_op = None
+        m.manager = None
+        if dist is not None:
+            dist.partition_offsets = np.asarray(offs, np.int64)
+            dist.partition_vector = None
+        return RC_OK
+    m._sharded = None
     if (block_dimx, block_dimy) != (1, 1):
         data = data.reshape(-1, block_dimx, block_dimy)
     csr = _CSR(n_global, n_global, np.asarray(row_ptrs),

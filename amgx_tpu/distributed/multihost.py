@@ -66,6 +66,12 @@ def to_host(arr) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
+gathered_bytes = 0      # cumulative per-process allgather payload
+max_gather_bytes = 0    # largest single payload: tests assert this stays
+                        # boundary-sized (an O(N) regression ships the
+                        # operator in one call)
+
+
 def allgather_host(arr: np.ndarray) -> list:
     """Gather a variable-length 1-D host array from every process; returns
     the per-process arrays in process order (single process: ``[arr]``).
@@ -74,7 +80,10 @@ def allgather_host(arr: np.ndarray) -> list:
     MPI point-to-point (distributed_manager.cu:1144, distributed_io.cu);
     here rank-local host data rides one byte-padded ``process_allgather``
     (any dtype, lengths may differ per process)."""
+    global gathered_bytes, max_gather_bytes
     arr = np.ascontiguousarray(arr)
+    gathered_bytes += arr.nbytes
+    max_gather_bytes = max(max_gather_bytes, arr.nbytes)
     if not is_multiprocess():
         return [arr]
     from jax.experimental import multihost_utils
@@ -118,6 +127,47 @@ def allgather_nd(arr: np.ndarray, trailing_shape=()) -> list:
         else 1
     return [a.reshape((-1,) + tuple(trailing_shape)) if tsz else a
             for a in flat]
+
+
+def allreduce_scalar(val: float, op=max) -> float:
+    """Cross-process scalar all-reduce (identity in single-process runs)."""
+    if not is_multiprocess():
+        return float(val)
+    return op(float(v[0]) for v in allgather_host(
+        np.asarray([val], np.float64)))
+
+
+def allreduce_union(arr: np.ndarray) -> np.ndarray:
+    """Sorted union of a small int array across processes."""
+    if not is_multiprocess():
+        return np.unique(arr)
+    return np.unique(np.concatenate(allgather_host(np.asarray(arr))))
+
+
+def put_stacked(rows_by_dev: dict, n_dev: int, row_shape, dtype,
+                mesh: Mesh, axis: str = "x"):
+    """Per-device rows -> (n_dev, *row_shape) array sharded over the mesh
+    axis. ``rows_by_dev`` maps global device index -> host row; each
+    process supplies ONLY its addressable devices' rows, so per-process
+    host memory stays O(N/P) (the reference's rank-local device upload,
+    distributed_manager.cu:1144). Missing local rows are zero-filled."""
+    shape = (int(n_dev),) + tuple(int(s) for s in row_shape)
+    sh = NamedSharding(mesh, P(axis))
+    if not is_multiprocess():
+        out = np.zeros(shape, dtype)
+        for d, v in rows_by_dev.items():
+            out[d] = np.asarray(v, dtype)
+        return jax.device_put(out, sh)
+    pid = jax.process_index()
+    arrs = []
+    for d, dev in enumerate(mesh.devices.flat):
+        if dev.process_index != pid:
+            continue
+        v = rows_by_dev.get(d)
+        row = np.zeros(shape[1:], dtype) if v is None else \
+            np.ascontiguousarray(np.asarray(v, dtype))
+        arrs.append(jax.device_put(row[None], dev))
+    return jax.make_array_from_single_device_arrays(shape, sh, arrs)
 
 
 def gather_per_dev(n_dev: int, local: dict) -> list:

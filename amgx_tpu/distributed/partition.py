@@ -175,17 +175,41 @@ class DistEllMatrix:
         (reference: each rank assembles from its own rows,
         distributed_manager.cu:1388 renumberMatrixOneRing). ``blocks[d]`` is
         a (local_rows, global_cols, vals) triple covering only the rows
-        device d owns; no global operator is materialized."""
+        device d owns; no global operator is materialized.
+
+        ``blocks[d]`` may be None in multi-process runs: each process
+        passes only its addressable devices' blocks (the reference's
+        rank-local storage, distributed_manager.cu:1144). Cross-process
+        metadata — every device's halo column set, the global ELL width —
+        moves with boundary-sized allgathers; cols/vals device arrays are
+        assembled from process-local shards only (O(nnz/P) host memory
+        per process)."""
+        from . import multihost as mh
         bx, by = block_dim
         n_dev = row_part.n_dev
+        local_devs = [d for d in range(n_dev) if blocks[d] is not None]
+        partial = len(local_devs) < n_dev
+        if partial and mesh is None:
+            raise ValueError("partial per-shard blocks require a mesh")
         if dtype is None:
-            dtype = blocks[0][2].dtype
+            dtype = blocks[local_devs[0]][2].dtype
 
         lr = _round_up(int(np.max(np.diff(row_part.offsets))), 8)
         lc = _round_up(int(np.max(np.diff(col_part.offsets))), 8)
 
-        per_dev = []
-        for d in range(n_dev):
+        def stack(rows_by_dev, row_shape, dt):
+            # device-array assembly from per-device host rows; partial
+            # mode places only addressable shards (O(N/P) per process)
+            if mesh is not None:
+                return mh.put_stacked(rows_by_dev, n_dev, row_shape,
+                                      np.dtype(dt), mesh, axis)
+            out = np.zeros((n_dev,) + tuple(row_shape), dt)
+            for d, v in rows_by_dev.items():
+                out[d] = v
+            return jnp.asarray(out)
+
+        per_dev = {}
+        for d in local_devs:
             r0, r1 = row_part.offsets[d], row_part.offsets[d + 1]
             rows_l, cols_g, vals = blocks[d]
             rows_l = np.asarray(rows_l, np.int64)
@@ -205,9 +229,20 @@ class DistEllMatrix:
             n_loc = r1 - r0
             has_halo = np.zeros(n_loc, bool)
             np.logical_or.at(has_halo, rows_l, ~owned)
-            per_dev.append(dict(rows_l=rows_l, cols_l=cols_l, vals=vals,
-                                halo_g=halo_g, has_halo=has_halo,
-                                n_loc=n_loc))
+            per_dev[d] = dict(rows_l=rows_l, cols_l=cols_l, vals=vals,
+                              halo_g=halo_g, has_halo=has_halo,
+                              n_loc=n_loc)
+
+        # every device's halo column set (boundary-sized): the one piece of
+        # cross-process metadata the pack/ring tables need
+        if partial:
+            all_halo = mh.gather_per_dev(
+                n_dev, {d: per_dev[d]["halo_g"].astype(np.int64)
+                        for d in local_devs})
+            all_halo = [np.zeros(0, np.int64) if h is None else h
+                        for h in all_halo]
+        else:
+            all_halo = [per_dev[d]["halo_g"] for d in range(n_dev)]
 
         # interior-first permutation per device (renumberMatrixOneRing).
         # The permutation relabels the row space; when the column space IS
@@ -219,9 +254,20 @@ class DistEllMatrix:
             np.array_equal(col_part.offsets, row_part.offsets)
             and n_rows == n_cols)
         reorder = sort_interior_first and same_space
-        row_perm = np.zeros((n_dev, lr), np.int64)
-        ranks = []
-        for d, info in enumerate(per_dev):
+        if partial and reorder:
+            # interior-first relabeling needs every owner's permutation to
+            # relabel pack tables — rank-local callers use natural order
+            # (the sharded setup always does)
+            raise NotImplementedError(
+                "interior-first row sorting is not supported with "
+                "rank-local (partial) blocks; pass "
+                "sort_interior_first=False")
+        # natural order in partial mode: the permutation is implied by the
+        # offsets, so no O(N) table is kept per process
+        row_perm = None if partial else np.zeros((n_dev, lr), np.int64)
+        ranks = {}
+        for d in local_devs:
+            info = per_dev[d]
             n_loc = info["n_loc"]
             if reorder:
                 order = np.argsort(info["has_halo"], kind="stable")
@@ -229,15 +275,17 @@ class DistEllMatrix:
                 order = np.arange(n_loc)
             rank = np.empty(n_loc, np.int64)
             rank[order] = np.arange(n_loc)
-            ranks.append(rank)
+            ranks[d] = rank
             info["rows_l"] = rank[info["rows_l"]]
             info["interior"] = int((~info["has_halo"]).sum()) \
                 if reorder else 0
-            row_perm[d, :n_loc] = row_part.offsets[d] + order
-            row_perm[d, n_loc:] = -1
+            if row_perm is not None:
+                row_perm[d, :n_loc] = row_part.offsets[d] + order
+                row_perm[d, n_loc:] = -1
             info["order"] = order
         if reorder:
-            for d, info in enumerate(per_dev):
+            for d in local_devs:
+                info = per_dev[d]
                 owned_mask = info["cols_l"] < lc
                 info["cols_l"][owned_mask] = \
                     ranks[d][info["cols_l"][owned_mask]]
@@ -245,16 +293,18 @@ class DistEllMatrix:
         # boundary (B2L) tables: what each device must send
         # halo_g of device d lives on owner o at local slot (g - c0_o); the
         # owner packs those slots; we need consistent pack lists per owner
-        all_g = np.concatenate([i["halo_g"] for i in per_dev]) \
-            if per_dev else np.zeros(0, np.int64)
+        all_g = np.concatenate(all_halo) if all_halo else \
+            np.zeros(0, np.int64)
         all_o = col_part.owner_of(all_g) if all_g.size else \
             np.zeros(0, np.int64)
         pack_lists = [np.unique(all_g[all_o == o]) for o in range(n_dev)]
         bmax = _round_up(max(1, max(p.size for p in pack_lists)), 8)
-        hmax = _round_up(max(1, max(len(i["halo_g"]) for i in per_dev)), 8)
+        hmax = _round_up(max(1, max(h.size for h in all_halo)), 8)
 
         # NOTE: pack_idx indexes the *column-space* local vector of the owner
-        # (through the owner's interior-first relabeling when active)
+        # (through the owner's interior-first relabeling when active).
+        # These tables are boundary-sized, so every process computes the
+        # full set even in partial mode.
         pack_idx = np.zeros((n_dev, bmax), np.int32)
         for o in range(n_dev):
             if not pack_lists[o].size:
@@ -264,8 +314,8 @@ class DistEllMatrix:
                 slot = ranks[o][slot]
             pack_idx[o, :slot.size] = slot
         halo_from = np.zeros((n_dev, hmax), np.int32)
-        for d, info in enumerate(per_dev):
-            hg = info["halo_g"]
+        for d in range(n_dev):
+            hg = all_halo[d]
             if not hg.size:
                 continue
             owners = col_part.owner_of(hg)
@@ -283,8 +333,8 @@ class DistEllMatrix:
         # instead of an O(P*Bmax) all_gather; dense neighbourhoods
         # (|R| > 4) keep the all_gather form.
         offs_all = set()
-        for d, info in enumerate(per_dev):
-            hg = info["halo_g"]
+        for d in range(n_dev):
+            hg = all_halo[d]
             if hg.size:
                 owners = col_part.owner_of(hg)
                 offs_all.update(((owners - d) % n_dev).tolist())
@@ -298,7 +348,7 @@ class DistEllMatrix:
             for k, r in enumerate(ring_offs):
                 for o in range(n_dev):
                     d_recv = (o - r) % n_dev
-                    hg = per_dev[d_recv]["halo_g"]
+                    hg = all_halo[d_recv]
                     if hg.size:
                         owners = col_part.owner_of(hg)
                         pack_sets[k][o] = np.unique(hg[owners == o])
@@ -314,8 +364,8 @@ class DistEllMatrix:
                             slot = ranks[o][slot]
                         pack_nbr[o, k, :pl_.size] = slot
             halo_nbr = np.zeros((n_dev, hmax), np.int32)
-            for d, info in enumerate(per_dev):
-                hg = info["halo_g"]
+            for d in range(n_dev):
+                hg = all_halo[d]
                 if not hg.size:
                     continue
                 owners = col_part.owner_of(hg)
@@ -333,30 +383,53 @@ class DistEllMatrix:
                 for r in ring_offs)
 
         # ELL assembly with the halo slot base rewritten to lc (already) and
-        # halo slots offset into the concatenated [x_local | halo] vector
+        # halo slots offset into the concatenated [x_local | halo] vector.
+        # The ELL width is a global shape constant: cross-process max in
+        # partial mode (boundary-sized scalar traffic only).
         w = 1
-        for info in per_dev:
+        for d in local_devs:
+            info = per_dev[d]
             if info["rows_l"].size:
                 w = max(w, int(np.bincount(info["rows_l"]).max()))
-        cols = np.zeros((n_dev, lr, w), np.int32)
-        vshape = (n_dev, lr, w) if (bx, by) == (1, 1) else \
-            (n_dev, lr, w, bx, by)
-        vals = np.zeros(vshape, dtype)
+        if partial:
+            w = int(mh.allreduce_scalar(w, max))
+        row_vshape = (lr, w) if (bx, by) == (1, 1) else (lr, w, bx, by)
+        if partial:
+            cols_np = vals_np = None
+        else:
+            cols_np = np.zeros((n_dev, lr, w), np.int32)
+            vals_np = np.zeros((n_dev,) + row_vshape, dtype)
+        cols_by, vals_by = {}, {}
         interior = np.zeros(n_dev, np.int32)
-        total_nnz = 0
-        for d, info in enumerate(per_dev):
+        nnz_local = 0
+        for d in local_devs:
+            info = per_dev[d]
             rl, cl, vl = info["rows_l"], info["cols_l"], info["vals"]
             order = np.argsort(rl, kind="stable")
             rl, cl, vl = rl[order], cl[order], vl[order]
+            c_d = cols_np[d] if cols_np is not None else \
+                np.zeros((lr, w), np.int32)
+            v_d = vals_np[d] if vals_np is not None else \
+                np.zeros(row_vshape, dtype)
             if rl.size:
                 starts = np.searchsorted(rl, np.arange(info["n_loc"]))
                 slot = np.arange(rl.size) - starts[rl]
-                cols[d, rl, slot] = cl
-                vals[d, rl, slot] = vl.astype(dtype)
+                c_d[rl, slot] = cl
+                v_d[rl, slot] = vl.astype(dtype)
+            cols_by[d] = c_d
+            vals_by[d] = v_d
             interior[d] = info["interior"]
-            total_nnz += vl.size
+            nnz_local += vl.size
+        total_nnz = int(mh.allreduce_scalar(nnz_local, sum)) if partial \
+            else nnz_local
 
-        dm = cls(jnp.asarray(cols), jnp.asarray(vals),
+        if partial:
+            cols_dev = stack(cols_by, (lr, w), np.int32)
+            vals_dev = stack(vals_by, row_vshape, dtype)
+        else:
+            cols_dev = jnp.asarray(cols_np)
+            vals_dev = jnp.asarray(vals_np)
+        dm = cls(cols_dev, vals_dev,
                  jnp.asarray(pack_idx), jnp.asarray(halo_from),
                  jnp.asarray(interior), n_rows, n_cols,
                  row_part, col_part, lr, lc, total_nnz, row_perm,
@@ -365,7 +438,7 @@ class DistEllMatrix:
         # operators whose every nonzero hits an owned column need no halo
         # exchange at all (e.g. block-diagonal P/R from shard-local
         # aggregation): their SpMV is collective-free
-        dm.halo_free = all(info["halo_g"].size == 0 for info in per_dev)
+        dm.halo_free = all(h.size == 0 for h in all_halo)
         dm.nbr_perms = nbr_perms
         dm.pack_nbr = None if pack_nbr is None else jnp.asarray(pack_nbr)
         dm.halo_nbr = None if halo_nbr is None else jnp.asarray(halo_nbr)
@@ -373,9 +446,13 @@ class DistEllMatrix:
         dm.dia_offsets = None
         dm.band_strips = None
         if (bx, by) == (1, 1) and not reorder and same_space:
-            dm._try_structured(cols, vals, lc)
-            if dm.dia_bands is None:
-                dm._try_band_strips(cols, vals, lc)
+            if partial:
+                dm._try_structured_partial(cols_by, vals_by, lc, local_devs,
+                                           mesh, axis)
+            else:
+                dm._try_structured(cols_np, vals_np, lc)
+                if dm.dia_bands is None:
+                    dm._try_band_strips(cols_np, vals_np, lc)
         if mesh is not None:
             dm.shard(mesh, axis)
         return dm
@@ -429,6 +506,78 @@ class DistEllMatrix:
             if m_bot else None
         self.halo_cols_bot = jnp.asarray(cols[:, lr - m_bot:]) if m_bot \
             else None
+
+    def _try_structured_partial(self, cols_by: dict, vals_by: dict,
+                                lc: int, local_devs, mesh: Mesh,
+                                axis: str, max_bands: int = 32) -> None:
+        """Rank-local variant of _try_structured: each process inspects only
+        its addressable shards; the band-offset set rides a cross-process
+        union and the margins a scalar max-reduce (boundary-sized traffic),
+        then the stacked DIA/halo arrays are assembled shard-locally via
+        put_stacked — O(N/P) host memory per process (the reference's
+        rank-local storage, distributed_manager.cu:1144)."""
+        from . import multihost as mh
+        lr = self.lr
+        rows = np.arange(lr)[:, None]
+        offs_loc = set()
+        owned_by = {}
+        for d in local_devs:
+            c, v = cols_by[d], vals_by[d]
+            owned = (v != 0) & (c < lc)
+            owned_by[d] = owned
+            if owned.any():
+                offs_loc.update(
+                    np.unique(c[owned].astype(np.int64)
+                              - np.broadcast_to(rows, c.shape)[owned])
+                    .tolist())
+        uniq = mh.allreduce_union(
+            np.asarray(sorted(offs_loc), np.int64))
+        if uniq.size == 0 or uniq.size > max_bands:
+            return                     # identical union -> all agree
+        dt = vals_by[local_devs[0]].dtype
+        w = cols_by[local_devs[0]].shape[1]
+        bands_by, halo_by = {}, {}
+        m_top = m_bot = 0
+        for d in local_devs:
+            c, v = cols_by[d], vals_by[d]
+            owned = owned_by[d]
+            bands = np.zeros((uniq.size, lr), dt)
+            hv = np.array(v)
+            sel = np.nonzero(owned)
+            if sel[0].size:
+                rr, _ = sel
+                bi = np.searchsorted(uniq,
+                                     c[sel].astype(np.int64) - rr)
+                np.add.at(bands, (bi, rr), v[sel])
+                hv[sel] = 0.0
+            bands_by[d] = bands
+            halo_by[d] = hv
+            for r in np.nonzero((hv != 0).any(axis=1))[0]:
+                if r <= lr - 1 - r:
+                    m_top = max(m_top, r + 1)
+                else:
+                    m_bot = max(m_bot, lr - r)
+        m_top = int(mh.allreduce_scalar(m_top, max))
+        m_bot = int(mh.allreduce_scalar(m_bot, max))
+        if m_top + m_bot >= lr:
+            m_top, m_bot = lr, 0
+        n_dev = self.n_dev
+        self.dia_offsets = tuple(int(o) for o in uniq)
+        self.dia_bands = mh.put_stacked(bands_by, n_dev,
+                                        (uniq.size, lr), dt, mesh, axis)
+        self.margins = (m_top, m_bot)
+        self.halo_vals_top = mh.put_stacked(
+            {d: halo_by[d][:m_top] for d in local_devs}, n_dev,
+            (m_top, w), dt, mesh, axis) if m_top else None
+        self.halo_cols_top = mh.put_stacked(
+            {d: cols_by[d][:m_top] for d in local_devs}, n_dev,
+            (m_top, w), np.int32, mesh, axis) if m_top else None
+        self.halo_vals_bot = mh.put_stacked(
+            {d: halo_by[d][lr - m_bot:] for d in local_devs}, n_dev,
+            (m_bot, w), dt, mesh, axis) if m_bot else None
+        self.halo_cols_bot = mh.put_stacked(
+            {d: cols_by[d][lr - m_bot:] for d in local_devs}, n_dev,
+            (m_bot, w), np.int32, mesh, axis) if m_bot else None
 
     def _try_band_strips(self, cols: np.ndarray, vals: np.ndarray,
                          lc: int, tile_rows: int = 128,
@@ -500,26 +649,34 @@ class DistEllMatrix:
     def shard(self, mesh: Mesh, axis: str = "x") -> None:
         from .multihost import reput
         s = NamedSharding(mesh, P(axis))
-        self.cols = reput(self.cols, s)
-        self.vals = reput(self.vals, s)
-        self.pack_idx = reput(self.pack_idx, s)
-        self.halo_from = reput(self.halo_from, s)
-        self.interior_rows = reput(self.interior_rows, s)
+
+        def rp(a):
+            # already placed (partial-mode put_stacked arrays): keep —
+            # a reput would round-trip O(N) through every host
+            if isinstance(a, jax.Array) and a.sharding == s:
+                return a
+            return reput(a, s)
+
+        self.cols = rp(self.cols)
+        self.vals = rp(self.vals)
+        self.pack_idx = rp(self.pack_idx)
+        self.halo_from = rp(self.halo_from)
+        self.interior_rows = rp(self.interior_rows)
         if getattr(self, "pack_nbr", None) is not None:
-            self.pack_nbr = reput(self.pack_nbr, s)
-            self.halo_nbr = reput(self.halo_nbr, s)
+            self.pack_nbr = rp(self.pack_nbr)
+            self.halo_nbr = rp(self.halo_nbr)
         if getattr(self, "dia_bands", None) is not None:
-            self.dia_bands = reput(self.dia_bands, s)
+            self.dia_bands = rp(self.dia_bands)
         if getattr(self, "band_strips", None) is not None:
-            self.band_strips = reput(self.band_strips, s)
-            self.band_base = reput(self.band_base, s)
+            self.band_strips = rp(self.band_strips)
+            self.band_base = rp(self.band_base)
         if getattr(self, "dia_bands", None) is not None or \
                 getattr(self, "band_strips", None) is not None:
             for name in ("halo_vals_top", "halo_cols_top",
                          "halo_vals_bot", "halo_cols_bot"):
                 v = getattr(self, name, None)
                 if v is not None:
-                    setattr(self, name, reput(v, s))
+                    setattr(self, name, rp(v))
 
     # -- vector scatter/gather -------------------------------------------------
 
@@ -551,6 +708,55 @@ class DistEllMatrix:
             # process materializes only its addressable shards)
             return jax.device_put(out, NamedSharding(mesh, P(axis)))
         return jnp.asarray(out)
+
+    def scatter_vector_local(self, v_local: np.ndarray, lo: int, hi: int,
+                             mesh: Mesh, axis: str = "x",
+                             space: str = "rows"):
+        """Rank-local vector entry: this process supplies ONLY rows
+        [lo, hi) — its owned window — and the sharded (D, Lpad) array is
+        assembled from every process's addressable pieces (the reference's
+        per-rank vector upload, amgx_c.cu vector upload on distributed
+        matrices). Requires natural (unpermuted) row order, which the
+        partial-shards construction guarantees."""
+        from . import multihost as mh
+        part = self.row_part if space == "rows" else self.col_part
+        lpad = self.lr if space == "rows" else self.lc
+        perm = self.row_perm if space == "rows" else self.col_perm
+        if perm is not None:
+            raise ValueError("rank-local vectors require natural row order")
+        bdim = self.block_dim[0] if space == "rows" else self.block_dim[1]
+        v = np.asarray(v_local).reshape(-1)
+        rows_by = {}
+        for d in range(part.n_dev):
+            r0, r1 = int(part.offsets[d]), int(part.offsets[d + 1])
+            if r0 < lo or r1 > hi:
+                continue                       # another process's shard
+            row = np.zeros(lpad * bdim, v.dtype)
+            row[:(r1 - r0) * bdim] = v[(r0 - lo) * bdim:(r1 - lo) * bdim]
+            rows_by[d] = row
+        return mh.put_stacked(rows_by, part.n_dev, (lpad * bdim,),
+                              v.dtype, mesh, axis)
+
+    def gather_vector_local(self, arr, lo: int, hi: int,
+                            space: str = "rows") -> np.ndarray:
+        """Rank-local vector exit: return ONLY rows [lo, hi) from this
+        process's addressable shards — no cross-process gather (the
+        reference's per-rank vector download)."""
+        part = self.row_part if space == "rows" else self.col_part
+        bdim = self.block_dim[0] if space == "rows" else self.block_dim[1]
+        out = None
+        for shard in arr.addressable_shards:
+            d = shard.index[0]
+            d = int(d.start) if isinstance(d, slice) else int(d)
+            r0, r1 = int(part.offsets[d]), int(part.offsets[d + 1])
+            if r0 < lo or r1 > hi:
+                continue
+            data = np.asarray(shard.data).reshape(-1)
+            if out is None:
+                out = np.zeros((hi - lo) * bdim, data.dtype)
+            out[(r0 - lo) * bdim:(r1 - lo) * bdim] = \
+                data[:(r1 - r0) * bdim]
+        return out if out is not None else np.zeros(0)
 
     def gather_vector(self, arr, space: str = "rows") -> np.ndarray:
         from .multihost import to_host

@@ -75,6 +75,11 @@ class ShardedCSR:
         return any(s is None for s in self.shards)
 
     @property
+    def block_dim(self):
+        """Uniform across shards; read from the first local one."""
+        return self.shards[self.devs[0]].block_dim
+
+    @property
     def nnz(self) -> int:
         return sum(s.nnz for s in self.shards if s is not None)
 
@@ -229,12 +234,14 @@ def exchange_col_values(part: RowPartition,
     out = []
     for d in range(part.n_dev):
         hc = halo_cols[d]
+        trail = tuple(np.asarray(owned_vals[d]).shape[1:]) \
+            if len(owned_vals) else ()
         if hc.size == 0:
-            out.append(np.zeros(0, owned_vals[d].dtype
+            out.append(np.zeros((0,) + trail, owned_vals[d].dtype
                                 if len(owned_vals) else np.float64))
             continue
         owner = part.owner_of(hc)
-        vals = np.empty(hc.shape[0], owned_vals[d].dtype)
+        vals = np.empty((hc.shape[0],) + trail, owned_vals[d].dtype)
         for o in np.unique(owner):
             m = owner == o
             vals[m] = owned_vals[o][hc[m] - int(part.offsets[o])]
@@ -519,8 +526,7 @@ def _mh_scalar(partial: bool, val: float, op=max) -> float:
     if not partial:
         return val
     from . import multihost as mh
-    return op(float(v[0]) for v in mh.allgather_host(
-        np.asarray([val], np.float64)))
+    return mh.allreduce_scalar(val, op)
 
 
 def _counts_to_offsets(sm: ShardedCSR, counts: dict) -> np.ndarray:
@@ -1187,12 +1193,19 @@ def dist_distance2_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
     strong masks, extends cf over the two-ring columns, and runs the same
     substitution + scaling as the single-matrix code on the stacked
     [owned | halo-row] system."""
-    from ..amg.classical import strong_connections, direct_interpolation
-    halos = [sm.halo_cols(d) for d in range(sm.n_dev)]
+    from ..amg.classical import strong_connections
+    devs = sm.devs
+    halos = [None if sm.shards[d] is None else sm.halo_cols(d)
+             for d in range(sm.n_dev)]
     g_cf = exchange_col_values(sm.part, cf, halos)
     halo_rows = exchange_rows(sm, halos)
-    shards = []
-    for d in range(sm.n_dev):
+    # pass 1 (shard-local): build the stacked [owned | halo-row] systems
+    # and collect each shard's two-ring extra columns, so the cf fetch for
+    # the extras is ONE collective exchange (a per-shard exchange inside
+    # the loop would deadlock processes owning different shard counts)
+    work = [None] * sm.n_dev
+    extras = [None] * sm.n_dev
+    for d in devs:
         s = sm.shards[d]
         r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
         nl = r1 - r0
@@ -1227,29 +1240,34 @@ def dist_distance2_interpolation(sm: ShardedCSR, strong: List[np.ndarray],
                             np.concatenate([s.diag_data, hr.diag_data]))
         st_all = strong_connections(stacked, strength, theta, max_row_sum)
         # cf over the stacked column space: stacked rows carry their cf;
-        # two-ring extras fetch cf by ownership
+        # two-ring extras fetch cf by ownership (pass 2, one exchange)
         cf_rows = np.concatenate([cf[d], g_cf[d]]) if nh else cf[d]
         cf_cols = np.full(n_stack_cols, FINE, np.int64)
         cf_cols[:row_gid.size] = cf_rows
-        extra_g = uniq[extra]
-        if extra_g.size:
-            g_extra = exchange_col_values(
-                sm.part, cf, [extra_g if dd == d else
-                              np.zeros(0, np.int64)
-                              for dd in range(sm.n_dev)])[d]
-            cf_cols[row_gid.size:] = g_extra
+        extras[d] = uniq[extra]
+        work[d] = (stacked, st_all, cf_rows, cf_cols, nl)
+    g_extra = exchange_col_values(sm.part, cf, extras)
+    shards = [None] * sm.n_dev
+    for d in devs:
+        stacked, st_all, cf_rows, cf_cols, nl = work[d]
+        n_stack_rows = cf_rows.shape[0]
+        if extras[d].size:
+            cf_cols[n_stack_rows:] = g_extra[d]
         p_stacked = _distance2_rows(stacked, st_all, cf_rows, cf_cols, nc)
         # keep owned rows only
         p0 = int(p_stacked.indptr[nl])
-        shards.append(CSRMatrix(nl, nc, p_stacked.indptr[:nl + 1],
-                                p_stacked.indices[:p0],
-                                p_stacked.data[:p0]))
+        shards[d] = CSRMatrix(nl, nc, p_stacked.indptr[:nl + 1],
+                              p_stacked.indices[:p0],
+                              p_stacked.data[:p0])
     out = ShardedCSR(sm.part, shards, nc)
     # F rows left empty (no strong two-ring path to C): fall back to
     # multipass for the whole operator, mirroring the single-chip gate
-    # (classical.distance2_interpolation) so shard-parallel parity holds
-    if any(((out.shards[d].row_nnz() == 0) & (cf[d] < 0)).any()
-           for d in range(sm.n_dev)):
+    # (classical.distance2_interpolation) so shard-parallel parity holds;
+    # the decision is a global any-reduce so every process takes the same
+    # branch
+    empty_f = any(((out.shards[d].row_nnz() == 0) & (cf[d] < 0)).any()
+                  for d in devs)
+    if _mh_scalar(sm.is_partial, float(empty_f)) > 0:
         return dist_multipass_interpolation(sm, strong, cf, nc, max_passes=3)
     return out
 
@@ -1335,11 +1353,13 @@ def dist_classical_galerkin(sm: ShardedCSR, p: ShardedCSR,
     """
     from ..ops.spgemm import csr_spgemm
     nc = p.n_cols
-    halos = [sm.halo_cols(d) for d in range(sm.n_dev)]
+    devs = sm.devs
+    halos = [None if sm.shards[d] is None else sm.halo_cols(d)
+             for d in range(sm.n_dev)]
     p_halo = exchange_rows(p, halos)
     rap_contribs = []
     r_contribs = []
-    for d in range(sm.n_dev):
+    for d in devs:
         ext, halo = extended_local(sm, d)
         pd = p.shards[d]
         ph = p_halo[d]
@@ -1370,8 +1390,10 @@ def dist_classical_galerkin(sm: ShardedCSR, p: ShardedCSR,
         r0 = int(sm.part.offsets[d])
         r_contribs.append((pd.indices.astype(np.int64),
                            p_rows + r0, pd.data))
-    ac = send_coo_to_owners(coarse_part, rap_contribs, nc)
-    r = send_coo_to_owners(coarse_part, r_contribs, sm.n_rows)
+    ld = devs if sm.is_partial else None
+    ac = send_coo_to_owners(coarse_part, rap_contribs, nc, local_devs=ld)
+    r = send_coo_to_owners(coarse_part, r_contribs, sm.n_rows,
+                           local_devs=ld)
     return ac, r
 
 
@@ -1383,10 +1405,11 @@ def dist_aggregation_galerkin(sm: ShardedCSR, agg: List[np.ndarray],
     so the product is one local sort-reduce per shard after a ghost
     exchange of the aggregate map (coarse ids are global)."""
     nc = int(coarse_part.offsets[-1])
-    halos = [sm.halo_cols(d) for d in range(sm.n_dev)]
+    halos = [None if sm.shards[d] is None else sm.halo_cols(d)
+             for d in range(sm.n_dev)]
     g_agg = exchange_col_values(sm.part, agg, halos)
-    shards = []
-    for d in range(sm.n_dev):
+    shards = [None] * sm.n_dev
+    for d in sm.devs:
         s = sm.shards[d]
         r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
         c0 = int(coarse_part.offsets[d])
@@ -1416,7 +1439,7 @@ def dist_aggregation_galerkin(sm: ShardedCSR, agg: List[np.ndarray],
                                        d_rows[k2], s.diag_data[k2],
                                        block_dim=s.block_dim)
             sh = csr_add(sh, extra)
-        shards.append(sh)
+        shards[d] = sh
     return ShardedCSR(coarse_part, shards, nc)
 
 
@@ -1428,8 +1451,9 @@ def dist_shard_local_aggregates(sm: ShardedCSR, selector: str, cfg,
     aggregation_amg_level.cu:1986). Returns per-shard aggregate maps with
     GLOBAL coarse ids and the aligned coarse partition."""
     from ..amg.aggregation import select_aggregates
-    maps, counts = [], []
-    for d in range(sm.n_dev):
+    maps = [None] * sm.n_dev
+    counts = {}
+    for d in sm.devs:
         s = sm.shards[d]
         r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
         rows = np.repeat(np.arange(s.n_rows, dtype=np.int64), s.row_nnz())
@@ -1444,10 +1468,10 @@ def dist_shard_local_aggregates(sm: ShardedCSR, selector: str, cfg,
         if s.diag_data is not None:
             blk.diag_data = s.diag_data
         agg_d, nc_d = select_aggregates(blk, selector, cfg, scope)
-        maps.append(agg_d)
-        counts.append(nc_d)
-    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    out = [np.where(m >= 0, offsets[d] + m, FINE)
+        maps[d] = agg_d
+        counts[d] = nc_d
+    offsets = _counts_to_offsets(sm, counts)
+    out = [None if m is None else np.where(m >= 0, offsets[d] + m, FINE)
            for d, m in enumerate(maps)]
     return out, RowPartition(offsets)
 
@@ -1457,13 +1481,15 @@ def dist_pc_interpolation(part: RowPartition, agg: Sequence[np.ndarray],
     """Piecewise-constant prolongator from per-shard aggregate maps with
     global coarse ids (aggregation P, aggregation_amg_level.cu:1986): row i
     has the single entry (agg[i], 1.0) — trivially row-local."""
-    shards = []
+    shards = [None] * part.n_dev
     for d in range(part.n_dev):
+        if agg[d] is None:
+            continue
         a = np.asarray(agg[d], np.int64)
         keep = a >= 0
         rows = np.nonzero(keep)[0]
-        shards.append(CSRMatrix.from_coo(a.size, nc, rows, a[keep],
-                                         np.ones(rows.size)))
+        shards[d] = CSRMatrix.from_coo(a.size, nc, rows, a[keep],
+                                       np.ones(rows.size))
     return ShardedCSR(part, shards, nc)
 
 
@@ -1472,13 +1498,14 @@ def dist_transpose(p: ShardedCSR, out_part: RowPartition) -> ShardedCSR:
     ``out_part``, fine cols) via boundary-row COO sends — the R assembly of
     the distributed Galerkin path (classical_amg_level.cu:942)."""
     contribs = []
-    for d in range(p.n_dev):
+    for d in p.devs:
         s = p.shards[d]
         r0 = int(p.part.offsets[d])
         rows = np.repeat(np.arange(s.n_rows, dtype=np.int64),
                          s.row_nnz()) + r0
         contribs.append((s.indices.astype(np.int64), rows, s.data))
-    return send_coo_to_owners(out_part, contribs, int(p.part.offsets[-1]))
+    return send_coo_to_owners(out_part, contribs, int(p.part.offsets[-1]),
+                              local_devs=p.devs if p.is_partial else None)
 
 
 def consolidate_sharded(sm: ShardedCSR, new_part: RowPartition
@@ -1488,17 +1515,30 @@ def consolidate_sharded(sm: ShardedCSR, new_part: RowPartition
     O(moved rows) traffic."""
     if np.array_equal(new_part.offsets, sm.part.offsets):
         return sm
+    devs = sm.devs
     contribs = []
-    for d in range(sm.n_dev):
+    for d in devs:
         s = sm.shards[d]
         r0 = int(sm.part.offsets[d])
         rows = np.repeat(np.arange(s.n_rows, dtype=np.int64),
                          s.row_nnz()) + r0
         contribs.append((rows, s.indices.astype(np.int64), s.data))
-    out = send_coo_to_owners(new_part, contribs, sm.n_cols)
-    if all(s.diag_data is not None for s in sm.shards):
-        dd = np.concatenate([s.diag_data for s in sm.shards])
+    out = send_coo_to_owners(new_part, contribs, sm.n_cols,
+                             local_devs=devs if sm.is_partial else None)
+    have_dd = all(sm.shards[d].diag_data is not None for d in devs)
+    if sm.is_partial:
+        have_dd = _mh_scalar(True, float(have_dd), op=min) > 0
+    if have_dd:
+        # external diagonals travel keyed by global row id — the same
+        # boundary machinery as ghost values, sized by the moved rows
+        dd_vals = [None if sm.shards[d] is None else sm.shards[d].diag_data
+                   for d in range(sm.n_dev)]
+        need = [np.arange(int(new_part.offsets[d]),
+                          int(new_part.offsets[d + 1]), dtype=np.int64)
+                if out.shards[d] is not None else None
+                for d in range(new_part.n_dev)]
+        g_dd = exchange_col_values(sm.part, dd_vals, need)
         for d in range(new_part.n_dev):
-            r0, r1 = int(new_part.offsets[d]), int(new_part.offsets[d + 1])
-            out.shards[d].diag_data = dd[r0:r1]
+            if out.shards[d] is not None:
+                out.shards[d].diag_data = g_dd[d]
     return out

@@ -140,11 +140,26 @@ class DistributedSolver:
         self._scaler.setup(mm)
         return mm.csr
 
-    def setup(self, csr: CSRMatrix,
+    def setup(self, csr,
               row_part: Optional[RowPartition] = None) -> None:
+        """``csr`` is either a global CSRMatrix or a (possibly partial)
+        ShardedCSR — the rank-local entry where each process passes only
+        its addressable devices' row blocks (the reference's
+        loadDistributedMatrix contract, distributed_manager.cu:1144/1359):
+        no global operator is ever materialized on any host."""
         t0 = time.perf_counter()
+        from . import setup as dsetup
+        sharded_in = isinstance(csr, dsetup.ShardedCSR)
         self._user_csr0 = csr
-        csr = self._apply_scaling(csr)
+        if sharded_in:
+            if self.cfg.get("scaling", self.scope) != "NONE":
+                raise NotImplementedError(
+                    "equation scaling is not supported with rank-local "
+                    "(ShardedCSR) entry; pre-scale per rank or upload "
+                    "globally")
+            row_part = csr.part
+        else:
+            csr = self._apply_scaling(csr)
         vec_dt, mat_dt = mode_dtypes(self.mode)
         n_dev = self.mesh.devices.size
         self._vec_dt = vec_dt
@@ -195,20 +210,37 @@ class DistributedSolver:
         # level 0: prefer the shard-local banded layout (no gathers, halo
         # confined to margin rows); fall back to interior-first rows for the
         # overlap split when the matrix isn't stencil-structured
-        a0 = DistEllMatrix.from_global(csr, n_dev, row_part, dtype=mat_dt,
-                                       mesh=self.mesh, axis=self.axis,
-                                       sort_interior_first=False)
         self._split0 = 0
-        if getattr(a0, "dia_bands", None) is None and \
-                getattr(a0, "band_strips", None) is None and \
-                not self.use_amg:
-            a0 = DistEllMatrix.from_global(
-                csr, n_dev, row_part, dtype=mat_dt, mesh=self.mesh,
-                axis=self.axis, sort_interior_first=True)
-            self._split0 = int(np.asarray(a0.interior_rows).min())
-        self.levels = [DistLevel(a0, self._inv_diag(
-            csr, a0, vec_dt, self.mesh, self.axis,
-            l1=self._l1_diag))]
+        if sharded_in:
+            a0 = DistEllMatrix.from_shards(
+                csr.blocks(), csr.part, csr.part, csr.n_rows, csr.n_cols,
+                dtype=mat_dt, mesh=self.mesh, axis=self.axis,
+                sort_interior_first=False, block_dim=csr.block_dim)
+        else:
+            a0 = DistEllMatrix.from_global(csr, n_dev, row_part,
+                                           dtype=mat_dt, mesh=self.mesh,
+                                           axis=self.axis,
+                                           sort_interior_first=False)
+            if getattr(a0, "dia_bands", None) is None and \
+                    getattr(a0, "band_strips", None) is None and \
+                    not self.use_amg:
+                a0 = DistEllMatrix.from_global(
+                    csr, n_dev, row_part, dtype=mat_dt, mesh=self.mesh,
+                    axis=self.axis, sort_interior_first=True)
+                self._split0 = int(np.asarray(a0.interior_rows).min())
+        # rank-local vector window: solve() accepts/returns this process's
+        # owned rows only (the per-rank vector upload/download contract)
+        self._rank_rows = None
+        if sharded_in and csr.is_partial:
+            devs = csr.devs
+            self._rank_rows = (int(csr.part.offsets[devs[0]]),
+                               int(csr.part.offsets[devs[-1] + 1]))
+        inv0 = self._inv_diag_sharded(csr, a0, vec_dt, self.mesh,
+                                      self.axis, l1=self._l1_diag) \
+            if sharded_in else \
+            self._inv_diag(csr, a0, vec_dt, self.mesh, self.axis,
+                           l1=self._l1_diag)
+        self.levels = [DistLevel(a0, inv0)]
         if self._gs2:
             self.levels[0].gs = self._gs_tri_ops(
                 self._gs_shard_rows(csr, a0.row_part), self.levels[0],
@@ -298,10 +330,12 @@ class DistributedSolver:
         if self.solver_name == "CHEBYSHEV":
             # Jacobi-preconditioned Chebyshev: bounds on D^-1 A match the
             # iterated operator (cheb_solver.cu mode-0 semantics)
-            self._cheb_solver_bounds = self._lambda_bounds(csr)
+            self._cheb_solver_bounds = self._lambda_bounds_sharded(csr) \
+                if sharded_in else self._lambda_bounds(csr)
         if self.precond_name == "CHEBYSHEV_POLY":
             _, pc_scope = self.cfg.get_pair("preconditioner", self.scope)
-            self._cheb_precond_bounds = self._lambda_bounds(csr)
+            self._cheb_precond_bounds = self._lambda_bounds_sharded(csr) \
+                if sharded_in else self._lambda_bounds(csr)
             self._cheb_precond_order = max(1, int(self.cfg.get(
                 "chebyshev_polynomial_order", pc_scope)))
         self._build_step()
@@ -319,6 +353,12 @@ class DistributedSolver:
         and interpolators: each level's selector runs on the global matrix
         (O(N) host work per level — the pre-shard-parallel path, kept for
         the coarsening algorithms whose graph is inherently global)."""
+        if hasattr(csr, "shards"):
+            # rank-local entry + global-graph algorithm: assemble once
+            # (honest O(N) fallback; every shard-parallel-capable config
+            # routes through _setup_levels_sharded instead)
+            csr = csr.gather_full().to_global()
+            self._global_csrs = [csr]
         if self.cheby_smoothing:
             self._cheby_bounds.append(self._lambda_bounds(csr))
         work = csr
@@ -433,7 +473,8 @@ class DistributedSolver:
         createOneRingHaloRows (distributed_manager.cu:1592)."""
         from . import setup as dsetup
         part0 = self.levels[0].a.row_part
-        swork = dsetup.ShardedCSR.from_global(csr, part0)
+        swork = csr if isinstance(csr, dsetup.ShardedCSR) else \
+            dsetup.ShardedCSR.from_global(csr, part0)
         self._sharded_ops = [swork]
         if self.cheby_smoothing:
             self._cheby_bounds.append(self._lambda_bounds_sharded(swork))
@@ -506,7 +547,8 @@ class DistributedSolver:
                     from ..amg.classical import truncate_interpolation
                     sp_ = dsetup.ShardedCSR(
                         fine_part,
-                        [truncate_interpolation(s, tf, tm)
+                        [None if s is None else
+                         truncate_interpolation(s, tf, tm)
                          for s in sp_.shards], nc)
                 info = {"agg": None, "nc": nc, "p": sp_,
                         "natpart": natural_part}
@@ -570,8 +612,10 @@ class DistributedSolver:
         exchange is needed)."""
         host_dt = np.complex128 if np.issubdtype(
             np.dtype(dtype), np.complexfloating) else np.float64
-        out = np.ones((dm.n_dev, dm.lr), host_dt)
+        rows_by_dev = {}
         for dev, dg in enumerate(sm.diagonal()):
+            if dg is None:                      # remote shard (partial)
+                continue
             dg = np.asarray(dg, host_dt)
             if l1:
                 s = sm.shards[dev]
@@ -582,11 +626,16 @@ class DistributedSolver:
                 np.add.at(l1sum, rows[off], np.abs(s.data[off]))
                 dg = dg + l1sum
             safe = np.where(dg == 0, 1.0, dg)
-            out[dev, :dg.shape[0]] = 1.0 / safe
-        out = out.astype(dtype)
+            row = np.ones(dm.lr, host_dt)
+            row[:dg.shape[0]] = 1.0 / safe
+            rows_by_dev[dev] = row.astype(dtype)
         if mesh is not None:
-            from .multihost import put_sharded
-            return put_sharded(out, mesh, axis)
+            from .multihost import put_stacked
+            return put_stacked(rows_by_dev, dm.n_dev, (dm.lr,),
+                               np.dtype(dtype), mesh, axis)
+        out = np.ones((dm.n_dev, dm.lr), host_dt).astype(dtype)
+        for dev, row in rows_by_dev.items():
+            out[dev] = row
         return jnp.asarray(out)
 
     @staticmethod
@@ -596,6 +645,8 @@ class DistributedSolver:
         multiplies only its owned rows; only the length-N iteration vector
         is global — no global operator assembly."""
         import scipy.sparse as sp
+        if sm.is_partial:
+            return DistributedSolver._lambda_bounds_sharded_mp(sm, iters)
         mats, dparts, dds = [], [], []
         for s in sm.shards:
             data = s.data if s.block_dim == (1, 1) else s.data[:, 0, 0]
@@ -625,6 +676,56 @@ class DistributedSolver:
                 return 1.0, 0.125
             v = w / lam
         lam *= 1.05                      # safety margin
+        return lam, lam / 8.0
+
+    @staticmethod
+    def _lambda_bounds_sharded_mp(sm, iters: int = 12):
+        """Rank-local power iteration for partial (multi-process) shards:
+        the length-N/P iteration-vector slices stay per process; each sweep
+        exchanges only halo values + one scalar norm all-reduce. The init
+        vector differs from the single-process standard_normal draw (PCG64
+        uniform slices advance per row, Gaussians don't), which only
+        perturbs the lambda_max estimate, not solve correctness."""
+        import math
+        from . import setup as dsetup
+        devs = sm.devs
+        halos = [None if sm.shards[d] is None else sm.halo_cols(d)
+                 for d in range(sm.n_dev)]
+        exts = {d: dsetup.extended_local(sm, d)[0] for d in devs}
+        diags = sm.diagonal()
+        v = {}
+        for d in devs:
+            r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+            g = np.random.Generator(np.random.PCG64(7).advance(r0))
+            v[d] = g.random(r1 - r0) - 0.5
+        lam = 1.0
+        for _ in range(iters):
+            g_v = dsetup.exchange_col_values(
+                sm.part, [v.get(d) for d in range(sm.n_dev)], halos)
+            sq = 0.0
+            w = {}
+            for d in devs:
+                ext = exts[d]
+                data = ext.data if ext.block_dim == (1, 1) else \
+                    ext.data[:, 0, 0]
+                ve = np.concatenate([v[d], g_v[d]]) if halos[d].size \
+                    else v[d]
+                rows = np.repeat(np.arange(ext.n_rows), ext.row_nnz())
+                wd = np.zeros(ext.n_rows, np.result_type(data.dtype,
+                                                         np.float64))
+                np.add.at(wd, rows, data * ve[ext.indices])
+                dg = np.asarray(diags[d])
+                if dg.ndim > 1:
+                    dg = dg[:, 0, 0]
+                wd = wd / np.where(dg == 0, 1.0, dg)
+                w[d] = wd
+                sq += float(np.vdot(wd, wd).real)
+            lam = math.sqrt(dsetup._mh_scalar(True, sq, op=sum))
+            if lam == 0:
+                return 1.0, 0.125
+            for d in devs:
+                v[d] = w[d] / lam
+        lam *= 1.05
         return lam, lam / 8.0
 
     @staticmethod
@@ -711,6 +812,10 @@ class DistributedSolver:
         if not self.levels:
             return self.setup(csr)
         csr = csr if csr is not None else self._user_csr0
+        if hasattr(csr, "shards"):
+            # rank-local entry: structure reuse across resetups is not yet
+            # wired for partial shards — rerun the (O(N/P)) full setup
+            return self.setup(csr)
         self._user_csr0 = csr
         csr = self._apply_scaling(csr)
         t0 = time.perf_counter()
@@ -923,7 +1028,8 @@ class DistributedSolver:
         decomposition). ``shard_rows[d]`` = (rows_g, cols_g, vals) of shard
         d's owned rows with global ids. Returns ({'cols','vals'} lower,
         upper or None) stacked (D, Lr, W) and device-sharded."""
-        if any(np.iscomplexobj(v) for _, _, v in shard_rows):
+        if any(np.iscomplexobj(v) for sr_ in shard_rows if sr_ is not None
+               for v in (sr_[2],)):
             # the triangular packs below are real-valued; dropping the
             # imaginary part would smooth with the wrong operator (mirrors
             # the block_dim guard -> single-chip fallback)
@@ -933,8 +1039,10 @@ class DistributedSolver:
         n_dev, lr = a.n_dev, a.lr
         part = a.row_part
         perm = getattr(a, "row_perm", None)
-        ent = []          # per shard: (slot_r, slot_c, vals)
-        for d in range(n_dev):
+        local_devs = [d for d in range(n_dev) if shard_rows[d] is not None]
+        partial = len(local_devs) < n_dev
+        ent = {}          # per local shard: (slot_r, slot_c, vals)
+        for d in local_devs:
             rows_g, cols_g, vals = shard_rows[d]
             r0, r1 = int(part.offsets[d]), int(part.offsets[d + 1])
             own = (cols_g >= r0) & (cols_g < r1)
@@ -949,54 +1057,79 @@ class DistributedSolver:
             else:
                 sr = rows_g - r0
                 sc = cols_g - r0
-            ent.append((sr, sc, vals))
+            ent[d] = (sr, sc, vals)
 
-        from .multihost import put_sharded
+        from . import setup as dsetup
+        from .multihost import allgather_host, put_stacked
 
         def pack(pick):
             # diagonal-offset (shift-FMA) form when the triangle is a few
             # fixed diagonals in slot space (stencil levels) — TPU gathers
-            # scalarize, shifts don't
+            # scalarize, shifts don't. The offset set and ELL width are
+            # global properties: tiny all-reduces in multi-process runs.
             offs = set()
-            for sr, sc, _ in ent:
+            for d in local_devs:
+                sr, sc, _ = ent[d]
                 m = pick(sr, sc)
                 offs |= set(np.unique(sc[m] - sr[m]).tolist())
                 if len(offs) > 12:
                     break
+            over = len(offs) > 12
+            if partial:
+                mine = np.asarray(sorted(offs), np.int64)
+                offs = set()
+                for o in allgather_host(mine):
+                    offs |= set(int(x) for x in o)
+                over = dsetup._mh_scalar(True, float(over)) > 0 or \
+                    len(offs) > 12
             offs = tuple(sorted(int(o) for o in offs))
-            if offs and len(offs) <= 12:
-                bands = np.zeros((n_dev, len(offs), lr), np.float64)
+            if offs and not over and len(offs) <= 12:
                 oix = {o: k for k, o in enumerate(offs)}
-                for d, (sr, sc, vv) in enumerate(ent):
+                rows_by = {}
+                for d in local_devs:
+                    sr, sc, vv = ent[d]
                     m = pick(sr, sc)
+                    bands = np.zeros((len(offs), lr), np.float64)
                     ks = np.asarray([oix[o] for o in (sc[m] - sr[m])],
                                     np.int64) if m.any() else \
                         np.zeros(0, np.int64)
                     vm = vv[m]
-                    bands[d, ks, sr[m]] = np.real(vm) if \
+                    bands[ks, sr[m]] = np.real(vm) if \
                         np.iscomplexobj(vm) else vm
-                return ({"bands": put_sharded(bands.astype(vec_dt),
-                                              self.mesh, self.axis)},
-                        offs)
+                    rows_by[d] = bands.astype(vec_dt)
+                return ({"bands": put_stacked(rows_by, n_dev,
+                                              (len(offs), lr),
+                                              np.dtype(vec_dt), self.mesh,
+                                              self.axis)}, offs)
             w = 1
-            for sr, sc, _ in ent:
+            for d in local_devs:
+                sr, sc, _ = ent[d]
                 m = pick(sr, sc)
                 if m.any():
                     w = max(w, int(np.bincount(sr[m], minlength=lr).max()))
-            cols = np.zeros((n_dev, lr, w), np.int32)
-            vals = np.zeros((n_dev, lr, w), np.float64)
-            for d, (sr, sc, vv) in enumerate(ent):
+            if partial:
+                w = int(dsetup._mh_scalar(True, float(w)))
+            cols_by, vals_by = {}, {}
+            for d in local_devs:
+                sr, sc, vv = ent[d]
                 m = pick(sr, sc)
+                cols = np.zeros((lr, w), np.int32)
+                vals = np.zeros((lr, w), np.float64)
                 sr_m, sc_m, vv_m = sr[m], sc[m], vv[m]
                 order = np.argsort(sr_m, kind="stable")
                 sr_m, sc_m, vv_m = sr_m[order], sc_m[order], vv_m[order]
                 first = np.searchsorted(sr_m, np.arange(lr))
                 slot = np.arange(sr_m.size) - first[sr_m]
-                cols[d, sr_m, slot] = sc_m
-                vals[d, sr_m, slot] = np.real(vv_m) if \
+                cols[sr_m, slot] = sc_m
+                vals[sr_m, slot] = np.real(vv_m) if \
                     np.iscomplexobj(vv_m) else vv_m
-            return ({"cols": put_sharded(cols, self.mesh, self.axis),
-                     "vals": put_sharded(vals.astype(vec_dt), self.mesh,
+                cols_by[d] = cols
+                vals_by[d] = vals.astype(vec_dt)
+            return ({"cols": put_stacked(cols_by, n_dev, (lr, w),
+                                         np.dtype(np.int32), self.mesh,
+                                         self.axis),
+                     "vals": put_stacked(vals_by, n_dev, (lr, w),
+                                         np.dtype(vec_dt), self.mesh,
                                          self.axis)}, None)
 
         low, low_offs = pack(lambda sr, sc: sc < sr)
@@ -1012,6 +1145,9 @@ class DistributedSolver:
         if hasattr(source, "shards"):                 # ShardedCSR
             for d in range(source.n_dev):
                 s = source.shards[d]
+                if s is None:                          # remote (partial)
+                    out.append(None)
+                    continue
                 r0 = int(source.part.offsets[d])
                 rows = np.repeat(np.arange(s.n_rows, dtype=np.int64),
                                  s.row_nnz()) + r0
@@ -1733,11 +1869,27 @@ class DistributedSolver:
             b = np.asarray(b) * scaler._dl[:n]
             if x0 is not None:
                 x0 = np.asarray(x0) / scaler._dr[:n]
-        b_d = a0.scatter_vector(np.asarray(b, self._vec_dt), "rows",
-                                self.mesh, self.axis)
-        x_d = a0.scatter_vector(
-            np.zeros_like(np.asarray(b, self._vec_dt)) if x0 is None
-            else np.asarray(x0, self._vec_dt), "rows", self.mesh, self.axis)
+        rr = getattr(self, "_rank_rows", None)
+        bx0 = a0.block_dim[0]
+        rank_local_vecs = (
+            rr is not None
+            and np.asarray(b).size == (rr[1] - rr[0]) * bx0)
+        if rank_local_vecs:
+            # per-rank vectors: each process passes only its owned rows
+            b_d = a0.scatter_vector_local(
+                np.asarray(b, self._vec_dt), rr[0], rr[1], self.mesh,
+                self.axis)
+            x_d = a0.scatter_vector_local(
+                np.zeros_like(np.asarray(b, self._vec_dt)) if x0 is None
+                else np.asarray(x0, self._vec_dt), rr[0], rr[1],
+                self.mesh, self.axis)
+        else:
+            b_d = a0.scatter_vector(np.asarray(b, self._vec_dt), "rows",
+                                    self.mesh, self.axis)
+            x_d = a0.scatter_vector(
+                np.zeros_like(np.asarray(b, self._vec_dt)) if x0 is None
+                else np.asarray(x0, self._vec_dt), "rows", self.mesh,
+                self.axis)
         if bool(self.cfg.get("fused_solve", self.scope)):
             x_out, it_d, nrm, hist = self._jit_solve_fused(
                 self._mat_args, self._flat_args, b_d, x_d)
@@ -1763,7 +1915,8 @@ class DistributedSolver:
                     break
             x_out = state[0]
         self.last_iters = it
-        out = a0.gather_vector(x_out, "rows")
+        out = a0.gather_vector_local(x_out, rr[0], rr[1]) \
+            if rank_local_vecs else a0.gather_vector(x_out, "rows")
         if scaler is not None:
             out = out * scaler._dr[:a0.n_rows * a0.block_dim[0]]
         self.solve_time = time.perf_counter() - t0

@@ -137,6 +137,13 @@ class GatherMatrix:
         return (self.n_rows, self.n_cols)
 
     @property
+    def n_pad(self):
+        """Padded vector length (device-op contract shared with
+        DiaMatrix/BandMatrix/EllMatrix): apply() accepts any length and
+        pads internally, so this is the canonical round-up."""
+        return -(-max(self.n_rows, self.n_cols) // 128) * 128
+
+    @property
     def dtype(self):
         return self.vals.dtype
 

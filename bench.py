@@ -44,6 +44,29 @@ def _hbm_gbps(kind: str) -> float:
 # phases (each runs in its own subprocess)
 # ---------------------------------------------------------------------------
 
+def _slope_time(g, inner: int, reps: int) -> float:
+    """Seconds per iteration of a chained device computation.
+
+    ``g(k)`` must return a device SCALAR that depends on k chained
+    iterations. Through the remote-TPU tunnel ``block_until_ready`` is a
+    NO-OP (measured: returns in ~80us while the compute takes seconds), so
+    the only reliable sync is fetching a result; a scalar fetch costs one
+    ~28 ms round trip. Timing k and 3k and taking the slope cancels both
+    the round trip and the dispatch floor."""
+    import numpy as _np
+    for k in (inner, 3 * inner):
+        float(g(k))                          # compile + warm both programs
+    best = _np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(g(inner))
+        t1 = time.perf_counter()
+        float(g(3 * inner))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (2 * inner))
+    return max(best, 1e-12)
+
+
 def phase_device():
     import jax
     d = jax.devices()[0]
@@ -69,18 +92,13 @@ def phase_spmv_dia(n_side: int, inner: int, reps: int):
     f_op = (lambda op, v: dia_spmv_pallas2d(op, v, chunk_rows=128)) \
         if on_tpu else (lambda op, v: dia_spmv(op, v))
 
-    def many(op, v):
-        return jax.lax.fori_loop(0, inner, lambda i, u: f_op(op, u) * scale,
-                                 v)
-    g = jax.jit(many)
+    def many(op, v, k):
+        return jnp.sum(jax.lax.fori_loop(
+            0, k, lambda i, u: f_op(op, u) * scale, v))
+    g = jax.jit(many, static_argnums=2)
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         dia.n_pad).astype(dtype))
-    g(dia, x).block_until_ready()
-    best = np.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        g(dia, x).block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / inner)
+    best = _slope_time(lambda k: g(dia, x, k), inner, reps)
     nbytes = (len(dia.offsets) + 2) * dia.n_pad * 4
     out = {"n": a.n_rows, "nnz": a.nnz, "time_s": best,
            "gbps": nbytes / best / 1e9,
