@@ -115,7 +115,8 @@ def dist_spmv_band(strips, base_hw, meta, hv_top, hc_top, hv_bot, hc_bot,
     xw = jnp.pad(x_local, (0, x_pad - lr)) if x_pad > lr else \
         x_local[:x_pad]
     bm = BandMatrix(strips, base_hw * hw, lr_pad, x_pad, 0, x_pad)
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and \
+            strips.dtype.itemsize <= 4 and x_local.dtype.itemsize <= 4:
         y = band_spmv_pallas(bm, xw)
     else:
         y = band_spmv(bm, xw)
@@ -126,6 +127,21 @@ def dist_spmv_band(strips, base_hw, meta, hv_top, hc_top, hv_bot, hc_bot,
     if m_bot:
         y = y.at[-m_bot:].add(jnp.sum(hv_bot * xe[hc_bot], axis=1))
     return y
+
+
+def dist_spmv_gather(g5, gmeta, pack_idx, halo_from, x_local,
+                     axis: str = "x", perms=None):
+    """Shard SpMV for unstructured owned parts via the stacked lane-binned
+    gather (G5) packs: exchange -> [owned | halo] concat -> the Pallas
+    gather kernel over the shard's pack (halo columns live inside the
+    pack at slots >= lc, so no margin-row special casing). The
+    distributed analog of the reference's one-SpMV-for-all-sparsity
+    (multiply.cu:113-197) with the G5 format supplying the bandwidth."""
+    from ..ops.gather_spmv import GatherMatrix
+    halo = halo_exchange(x_local, pack_idx, halo_from, axis, perms)
+    xe = jnp.concatenate([x_local, halo])
+    gm = GatherMatrix(dict(g5), dict(gmeta))
+    return gm.apply_rect(xe)
 
 
 def dist_spmv_block(cols, vals, pack_idx, halo_from, x_local, by: int,

@@ -445,6 +445,7 @@ class DistEllMatrix:
         dm.dia_bands = None
         dm.dia_offsets = None
         dm.band_strips = None
+        dm.gather_arrays = None
         if (bx, by) == (1, 1) and not reorder and same_space:
             if partial:
                 dm._try_structured_partial(cols_by, vals_by, lc, local_devs,
@@ -453,6 +454,13 @@ class DistEllMatrix:
                 dm._try_structured(cols_np, vals_np, lc)
                 if dm.dia_bands is None:
                     dm._try_band_strips(cols_np, vals_np, lc)
+            if dm.dia_bands is None and dm.band_strips is None and \
+                    not dm.halo_free and \
+                    np.dtype(dtype).kind != "c":
+                # bottom of the layout ladder: stacked G5 packs replace
+                # the scalarizing ELL gather for real unstructured shards
+                dm._try_gather(cols_by, vals_by, lc, local_devs, mesh,
+                               axis, partial)
         if mesh is not None:
             dm.shard(mesh, axis)
         return dm
@@ -646,6 +654,89 @@ class DistEllMatrix:
         self.halo_cols_bot = jnp.asarray(cols[:, lr - m_bot:]) if m_bot \
             else None
 
+    # nnz-per-shard floor below which the stacked G5 pack is skipped: small
+    # operators (coarse AMG levels, tests) are launch-overhead-bound either
+    # way and the pack costs host setup time
+    GATHER_MIN_SHARD_NNZ = 20000
+
+    def _try_gather(self, cols_by: dict, vals_by: dict, lc: int,
+                    local_devs, mesh: Optional[Mesh], axis: str,
+                    partial: bool) -> None:
+        """Stacked lane-binned gather (G5) packs for unstructured
+        shard-local sparsity — the general-SpMV path of the distributed
+        solver (reference: ONE bsrmv for all sparsity, distributed
+        included, base/src/multiply.cu:113-197). Each shard's [owned |
+        halo] extended ELL converts to a G5 pack (ops/gather_spmv.py);
+        geometry (W, S_p, D) and the B-step count are agreed globally so
+        the SPMD program is shard-uniform; halo columns live inside the
+        pack (columns >= lc), so the apply is exchange -> concat ->
+        kernel with no margin-row special casing."""
+        from ..matrix import CSRMatrix
+        from ..ops.gather_spmv import csr_to_gather, pad_gather
+        from . import multihost as mh
+
+        def agree_max(v: float) -> float:
+            return mh.allreduce_scalar(v, max) if partial else float(v)
+
+        lr, hmax = self.lr, self.hmax
+        m = lc + hmax
+        nnz_max = max((int((np.asarray(vals_by[d]) != 0).sum())
+                       for d in local_devs), default=0)
+        if agree_max(nnz_max) < self.GATHER_MIN_SHARD_NNZ:
+            return
+        gms, fail = {}, 0.0
+        for d in local_devs:
+            c = np.asarray(cols_by[d]).reshape(-1).astype(np.int64)
+            v = np.asarray(vals_by[d]).reshape(-1)
+            rows = np.repeat(np.arange(lr, dtype=np.int64),
+                             cols_by[d].shape[1])
+            keep = v != 0
+            csr_d = CSRMatrix.from_coo(lr, m, rows[keep], c[keep], v[keep])
+            g = csr_to_gather(csr_d, dtype=v.dtype, allow_empty=True)
+            if g is None:
+                fail = 1.0
+                break
+            gms[d] = g
+        if agree_max(fail) > 0:
+            return
+        # geometry agreement: adaptive D may differ per shard; everyone
+        # repacks to the global max (always a valid, more-padded choice)
+        d_glob = int(agree_max(max(g.D for g in gms.values())))
+        for d in list(gms):
+            if gms[d].D != d_glob:
+                c = np.asarray(cols_by[d]).reshape(-1).astype(np.int64)
+                v = np.asarray(vals_by[d]).reshape(-1)
+                rows = np.repeat(np.arange(lr, dtype=np.int64),
+                                 cols_by[d].shape[1])
+                keep = v != 0
+                gms[d] = csr_to_gather(
+                    CSRMatrix.from_coo(lr, m, rows[keep], c[keep],
+                                       v[keep]),
+                    dtype=v.dtype, D=d_glob, allow_empty=True)
+        if agree_max(1.0 if any(g is None for g in gms.values())
+                     else 0.0) > 0:
+            return              # forced-D repack blew the waste guard
+        nb_max = int(agree_max(max(g.bmeta.shape[0] for g in gms.values())))
+        gms = {d: pad_gather(g, nb_max) for d, g in gms.items()}
+        any_g = next(iter(gms.values()))
+        n_dev = self.n_dev
+        arrays = {}
+        for k in any_g.ARRAY_FIELDS:
+            rows_by = {d: np.asarray(getattr(g, k))
+                       for d, g in gms.items()}
+            shape = next(iter(rows_by.values())).shape
+            dt = next(iter(rows_by.values())).dtype
+            if mesh is not None:
+                arrays[k] = mh.put_stacked(rows_by, n_dev, shape, dt,
+                                           mesh, axis)
+            else:
+                out = np.zeros((n_dev,) + shape, dt)
+                for d, r in rows_by.items():
+                    out[d] = r
+                arrays[k] = jnp.asarray(out)
+        self.gather_arrays = arrays
+        self.gather_meta = dict(any_g.meta)
+
     def shard(self, mesh: Mesh, axis: str = "x") -> None:
         from .multihost import reput
         s = NamedSharding(mesh, P(axis))
@@ -670,6 +761,9 @@ class DistEllMatrix:
         if getattr(self, "band_strips", None) is not None:
             self.band_strips = rp(self.band_strips)
             self.band_base = rp(self.band_base)
+        if getattr(self, "gather_arrays", None) is not None:
+            self.gather_arrays = {k: rp(v)
+                                  for k, v in self.gather_arrays.items()}
         if getattr(self, "dia_bands", None) is not None or \
                 getattr(self, "band_strips", None) is not None:
             for name in ("halo_vals_top", "halo_cols_top",

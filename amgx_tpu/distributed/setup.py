@@ -1542,3 +1542,215 @@ def consolidate_sharded(sm: ShardedCSR, new_part: RowPartition
             if out.shards[d] is not None:
                 out.shards[d].diag_data = g_dd[d]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Shard-parallel coloring + DILU factorization (multicolor_dilu_solver.cu)
+# ---------------------------------------------------------------------------
+
+def dist_color(sm: ShardedCSR, scheme: str = "PARALLEL_GREEDY",
+               seed: int = 0) -> Tuple[List[np.ndarray], int]:
+    """Shard-parallel Jones-Plassmann coloring with exact single-chip
+    parity (coloring._jones_plassmann / the native jp_rounds closed form):
+    weights hash GLOBAL row ids — computable locally for owned rows and
+    ghosts alike — so each JP round exchanges only the ghost rows'
+    uncolored STATUS, and each greedy round only the ghost colors
+    (boundary-sized traffic; the reference's coloring runs per GPU with
+    boundary_coloring exchange, core.cu:372-377).
+
+    Adjacency is each row's own column pattern (matching the single-chip
+    _adjacency, which does not symmetrize). Ties between equal hash
+    weights break by global index, matching the closed-form native order.
+    Returns (per-shard color arrays over owned rows, num_colors)."""
+    from ..coloring import _hash_weights
+    devs = sm.devs
+    n_dev = sm.n_dev
+    partial = sm.is_partial
+    n = sm.n_rows
+    w_all = None                    # lazy per-id hash evaluation
+
+    def w_of(ids):
+        # _hash_weights(n) is a pure elementwise function of the id —
+        # evaluate only the ids this shard touches
+        x = (ids.astype(np.uint64) + np.uint64(seed * 0x9E3779B9 + 1))
+        x = (x ^ (x >> np.uint64(16))) * np.uint64(0x45d9f3b3335b369)
+        x = (x ^ (x >> np.uint64(32))) * np.uint64(0x119de1f3c8b9a3f)
+        x = x ^ (x >> np.uint64(16))
+        return x.astype(np.float64) / float(2 ** 64) + \
+            ids.astype(np.float64) * 1e-18
+    _ = w_all, _hash_weights, n
+
+    adj_r = [None] * n_dev          # edge arrays per shard (no self loops)
+    adj_c = [None] * n_dev          # extended-local col ids
+    halos = [None] * n_dev
+    iw_ext = [None] * n_dev         # idx_w over [owned | ghost]
+    nl_of = {}
+    for d in devs:
+        ext, halo = extended_local(sm, d)
+        halos[d] = halo
+        nl = ext.n_rows
+        nl_of[d] = nl
+        r0 = int(sm.part.offsets[d])
+        rows = np.repeat(np.arange(nl, dtype=np.int64), ext.row_nnz())
+        cols = ext.indices.astype(np.int64)
+        keep = cols != rows        # drop the diagonal
+        adj_r[d], adj_c[d] = rows[keep], cols[keep]
+        iw_ext[d] = np.concatenate(
+            [w_of(np.arange(r0, r0 + nl, dtype=np.int64)), w_of(halo)])
+
+    # -- JP rounds: winners beat every uncolored neighbour's idx_w ---------
+    round_of = {d: np.full(nl_of[d], -1, np.int64) for d in devs}
+    unc_ghost = [None if halos[d] is None else
+                 np.ones(0, np.float64) for d in range(n_dev)]
+    r = 0
+    while True:
+        g_unc = exchange_col_values(
+            sm.part,
+            [None if sm.shards[d] is None else
+             (round_of[d] < 0).astype(np.float64) for d in range(n_dev)],
+            halos)
+        remaining = 0
+        for d in devs:
+            unc_own = round_of[d] < 0
+            unc_ext = np.concatenate([unc_own.astype(np.float64),
+                                      g_unc[d]]) > 0
+            live = unc_ext[adj_c[d]] & unc_own[adj_r[d]]
+            nbmax = np.full(nl_of[d], -np.inf)
+            if live.any():
+                np.maximum.at(nbmax, adj_r[d][live],
+                              iw_ext[d][adj_c[d][live]])
+            win = unc_own & (iw_ext[d][:nl_of[d]] > nbmax)
+            round_of[d][win] = r
+            remaining += int((round_of[d] < 0).sum())
+        r += 1
+        if _mh_scalar(partial, float(remaining), op=sum) == 0:
+            break
+    _ = unc_ghost
+    n_rounds = int(_mh_scalar(
+        partial, float(max((int(round_of[d].max()) + 1 if nl_of[d] else 0)
+                           for d in devs))))
+
+    if scheme == "MIN_MAX":
+        colors = [None if sm.shards[d] is None else
+                  round_of[d].astype(np.int32) for d in range(n_dev)]
+        return colors, n_rounds
+
+    # -- greedy colors, round-major: mex over already-colored neighbours ---
+    colors = {d: np.full(nl_of[d], -1, np.int64) for d in devs}
+    cmax = 1
+    for rr in range(n_rounds):
+        g_col = exchange_col_values(
+            sm.part,
+            [None if sm.shards[d] is None else colors[d]
+             for d in range(n_dev)], halos)
+        round_max = 0
+        for d in devs:
+            sel = round_of[d] == rr
+            if not sel.any():
+                continue
+            col_ext = np.concatenate([colors[d], g_col[d]])
+            m = sel[adj_r[d]]
+            re_, ce_ = adj_r[d][m], col_ext[adj_c[d][m]]
+            used = np.zeros((nl_of[d], cmax + 2), bool)
+            ok = ce_ >= 0
+            used[re_[ok], np.minimum(ce_[ok], cmax + 1)] = True
+            mex = np.argmin(used, axis=1)      # first unused color
+            colors[d][sel] = mex[sel]
+            if colors[d][sel].size:
+                round_max = max(round_max, int(colors[d][sel].max()))
+        cmax = max(cmax, int(_mh_scalar(partial, float(round_max))) + 1)
+    num = int(_mh_scalar(
+        partial, float(max((int(colors[d].max()) for d in devs),
+                           default=0)))) + 1
+    out = [None if sm.shards[d] is None else colors[d].astype(np.int32)
+           for d in range(n_dev)]
+    return out, max(1, num)
+
+
+def dist_dilu_factor(sm: ShardedCSR, colors: List[np.ndarray],
+                     num_colors: int
+                     ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Shard-parallel DILU E-diagonal (multicolor_dilu_solver.cu setup):
+        E_i = a_ii - sum_{color(j) < color(i)} a_ij * invE_j * a_ji
+    color-sequentially. a_ji for ghost j comes from ONE halo-row fetch
+    (createOneRingHaloRows); per color, ghost invE values ride one
+    boundary exchange. Scalar (1x1) blocks only — the BSR case routes to
+    the single-chip solver."""
+    devs = sm.devs
+    n_dev = sm.n_dev
+    partial = sm.is_partial
+    halos = [None if sm.shards[d] is None else sm.halo_cols(d)
+             for d in range(n_dev)]
+    halo_rows = exchange_rows(sm, halos)
+    H = {}
+    diag = {}
+    for d in devs:
+        ext, halo = extended_local(sm, d)
+        r0 = int(sm.part.offsets[d])
+        nl = ext.n_rows
+        rows = np.repeat(np.arange(nl, dtype=np.int64), ext.row_nnz())
+        cols = ext.indices.astype(np.int64)
+        vals = np.asarray(ext.data)
+        # a_ji lookup: owned j -> transpose of the owned block; ghost j ->
+        # the fetched halo row j at global column (i + r0)
+        keys_fwd = rows * (nl + halo.size) + cols
+        aji = np.zeros(vals.shape[0], vals.dtype)
+        own = cols < nl
+        # owned-owned: find (j, i) among this shard's owned-col edges
+        kf = np.sort(keys_fwd[own])
+        rev_keys = cols[own] * (nl + halo.size) + rows[own]
+        pos = np.searchsorted(kf, rev_keys)
+        pos = np.minimum(pos, kf.size - 1)
+        hit = kf[pos] == rev_keys if kf.size else np.zeros(0, bool)
+        # map sorted position back to edge index
+        order_own = np.argsort(keys_fwd[own], kind="stable")
+        idx_own = np.nonzero(own)[0]
+        src = idx_own[order_own]
+        aji_own = np.zeros(own.sum(), vals.dtype)
+        aji_own[hit] = vals[src[pos[hit]]]
+        aji[idx_own] = aji_own
+        # owned-ghost: halo row (halo[c-nl]) at global col i+r0
+        gsel = ~own
+        if gsel.any():
+            hr = halo_rows[d]
+            gi = cols[gsel] - nl                   # halo row index
+            tgt = rows[gsel] + r0                  # global col wanted
+            hvals = np.zeros(gi.size, vals.dtype)
+            hind = hr.indices.astype(np.int64)
+            for k in range(gi.size):
+                p0, p1 = int(hr.indptr[gi[k]]), int(hr.indptr[gi[k] + 1])
+                m = hind[p0:p1] == tgt[k]
+                if m.any():
+                    hvals[k] = hr.data[p0:p1][m][0]
+            aji[gsel] = hvals
+        h = vals * aji
+        import scipy.sparse as sp
+        H[d] = sp.csr_matrix((h, cols, ext.indptr),
+                             shape=(nl, nl + halo.size))
+        diag[d] = ext.diagonal().astype(np.result_type(vals.dtype,
+                                                       np.float64))
+    E = {d: diag[d].copy() for d in devs}
+    invE = {d: np.zeros_like(diag[d]) for d in devs}
+    done = {d: np.zeros_like(diag[d]) for d in devs}
+    for c in range(num_colors):
+        g_done = exchange_col_values(
+            sm.part, [None if sm.shards[d] is None else done[d]
+                      for d in range(n_dev)], halos)
+        for d in devs:
+            rows_c = colors[d] == c
+            if not rows_c.any():
+                continue
+            if c > 0:
+                done_ext = np.concatenate([done[d], g_done[d]])
+                corr = H[d][rows_c] @ done_ext
+                E[d][rows_c] = diag[d][rows_c] - corr
+            safe = np.where(E[d][rows_c] == 0, 1.0, E[d][rows_c])
+            invE[d][rows_c] = 1.0 / safe
+            done[d][rows_c] = invE[d][rows_c]
+    _ = partial
+    e_out = [None] * n_dev
+    ie_out = [None] * n_dev
+    for d in devs:
+        e_out[d] = E[d]
+        ie_out[d] = invE[d]
+    return e_out, ie_out

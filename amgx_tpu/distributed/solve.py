@@ -31,15 +31,16 @@ from .partition import DistEllMatrix, RowPartition
 def _flatten_level_args(args):
     """None placeholders -> () so the level args form a uniform pytree."""
     return tuple((a_args, p_args or (), r_args or (), inv_diag,
-                  coarse or (), gs)
-                 for (a_args, p_args, r_args, inv_diag, coarse, gs)
+                  coarse or (), gs, dilu or ())
+                 for (a_args, p_args, r_args, inv_diag, coarse, gs, dilu)
                  in args)
 
 
 def _unflatten(flat):
     return [(a_args, p_args or None, r_args or None, inv_diag,
-             coarse or None, gs)
-            for (a_args, p_args, r_args, inv_diag, coarse, gs) in flat]
+             coarse or None, gs, dilu or None)
+            for (a_args, p_args, r_args, inv_diag, coarse, gs, dilu)
+            in flat]
 
 
 def _freeze(obj):
@@ -165,8 +166,8 @@ class DistributedSolver:
         self._vec_dt = vec_dt
         amg_scope = None
         if self.precond_name not in ("AMG", "BLOCK_JACOBI", "JACOBI_L1",
-                                     "CHEBYSHEV_POLY", "NOSOLVER",
-                                     "DUMMY", None):
+                                     "CHEBYSHEV_POLY", "MULTICOLOR_DILU",
+                                     "NOSOLVER", "DUMMY", None):
             # color-sequential preconditioners (DILU/ILU/GS/KACZMARZ...)
             # have no distributed implementation; raising sends the capi
             # path to the single-chip solver instead of silently swapping
@@ -192,9 +193,17 @@ class DistributedSolver:
         self._gs2 = False
         self._gs2_inner = 2
         self._gs2_symmetric = False
+        self._dilu = False
         if self.use_amg and amg_scope is not None:
             sm_name, sm_scope0 = self.cfg.get_pair("smoother", amg_scope)
             self._smoother_l1 = sm_name == "JACOBI_L1"
+            if sm_name == "MULTICOLOR_DILU":
+                if csr.block_dim != (1, 1):
+                    raise NotImplementedError(
+                        "distributed MULTICOLOR_DILU smoothing is "
+                        "scalar-only (BSR routes to the single-chip "
+                        "solver)")
+                self._dilu = True
             if sm_name == "TWO_STAGE_GS":
                 if csr.block_dim != (1, 1):
                     raise NotImplementedError(
@@ -206,6 +215,19 @@ class DistributedSolver:
                                                         sm_scope0))
         self._l1_diag = self._smoother_l1 or \
             self.precond_name == "JACOBI_L1"
+        if self.precond_name == "MULTICOLOR_DILU":
+            if csr.block_dim != (1, 1):
+                raise NotImplementedError(
+                    "distributed MULTICOLOR_DILU preconditioning is "
+                    "scalar-only (BSR routes to the single-chip solver)")
+            self._dilu = True
+            _, pc_scope = self.cfg.get_pair("preconditioner", self.scope)
+            self.smooth_damp = self.cfg.get("relaxation_factor", pc_scope)
+            # preconditioners iterate their scope's max_iters (single-chip
+            # SolverFactory semantics: the inner solver runs as a solver);
+            # applied under lax.fori_loop so trace size stays O(nc)
+            self._dilu_pre_iters = max(1, int(
+                self.cfg.get("max_iters", pc_scope)))
 
         # level 0: prefer the shard-local banded layout (no gathers, halo
         # confined to margin rows); fall back to interior-first rows for the
@@ -223,7 +245,8 @@ class DistributedSolver:
                                            sort_interior_first=False)
             if getattr(a0, "dia_bands", None) is None and \
                     getattr(a0, "band_strips", None) is None and \
-                    not self.use_amg:
+                    getattr(a0, "gather_arrays", None) is None and \
+                    not self.use_amg and not self._dilu:
                 a0 = DistEllMatrix.from_global(
                     csr, n_dev, row_part, dtype=mat_dt, mesh=self.mesh,
                     axis=self.axis, sort_interior_first=True)
@@ -241,6 +264,8 @@ class DistributedSolver:
             self._inv_diag(csr, a0, vec_dt, self.mesh, self.axis,
                            l1=self._l1_diag)
         self.levels = [DistLevel(a0, inv0)]
+        if self._dilu:
+            self._set_dilu_level(self.levels[0], csr, a0, vec_dt)
         if self._gs2:
             self.levels[0].gs = self._gs_tri_ops(
                 self._gs_shard_rows(csr, a0.row_part), self.levels[0],
@@ -447,6 +472,8 @@ class DistributedSolver:
             self.levels.append(DistLevel(ad, self._inv_diag(
                 ac, ad, vec_dt, self.mesh, self.axis,
                 l1=getattr(self, "_smoother_l1", False))))
+            if self._dilu:
+                self._set_dilu_level(self.levels[-1], ac, ad, vec_dt)
             if self._gs2:
                 self.levels[-1].gs = self._gs_tri_ops(
                     self._gs_shard_rows(ac, coarse_part), self.levels[-1],
@@ -592,6 +619,8 @@ class DistributedSolver:
                 ad, self._inv_diag_sharded(ac, ad, vec_dt, self.mesh,
                                            self.axis,
                                            l1=self._smoother_l1)))
+            if self._dilu:
+                self._set_dilu_level(self.levels[-1], ac, ad, vec_dt)
             if self._gs2:
                 self.levels[-1].gs = self._gs_tri_ops(
                     self._gs_shard_rows(ac, coarse_part), self.levels[-1],
@@ -637,6 +666,47 @@ class DistributedSolver:
         for dev, row in rows_by_dev.items():
             out[dev] = row
         return jnp.asarray(out)
+
+    def _set_dilu_level(self, lvl, source, dm, vec_dt) -> None:
+        """Attach multicolor-DILU data to a level: shard-parallel JP
+        coloring + E-factorization (dist_color/dist_dilu_factor, exact
+        single-chip parity), stacked (D, Lr) and device-sharded. ``source``
+        is the level's operator as a global CSR or a (possibly partial)
+        ShardedCSR."""
+        from . import setup as dsetup
+        from .multihost import put_stacked
+        sm = source if hasattr(source, "shards") else \
+            dsetup.ShardedCSR.from_global(source, dm.row_part)
+        colors, nc = dsetup.dist_color(sm)
+        e_sh, ie_sh = dsetup.dist_dilu_factor(sm, colors, nc)
+        _ = e_sh                      # apply needs only invE (invE*E == 1
+        #                               on the nonsingular rows; singular
+        #                               rows match the single-chip guard)
+        lr = dm.lr
+        inv_by, col_by = {}, {}
+        for d in range(sm.n_dev):
+            if ie_sh[d] is None:
+                continue
+            row = np.zeros(lr, np.dtype(vec_dt))
+            row[:ie_sh[d].shape[0]] = ie_sh[d].astype(np.dtype(vec_dt))
+            crow = np.full(lr, -1, np.int32)
+            crow[:colors[d].shape[0]] = colors[d]
+            inv_by[d] = row
+            col_by[d] = crow
+        if self.mesh is not None:
+            inv_dev = put_stacked(inv_by, sm.n_dev, (lr,),
+                                  np.dtype(vec_dt), self.mesh, self.axis)
+            col_dev = put_stacked(col_by, sm.n_dev, (lr,),
+                                  np.dtype(np.int32), self.mesh,
+                                  self.axis)
+        else:
+            inv_np = np.zeros((sm.n_dev, lr), vec_dt)
+            col_np = np.full((sm.n_dev, lr), -1, np.int32)
+            for d, v in inv_by.items():
+                inv_np[d], col_np[d] = v, col_by[d]
+            inv_dev, col_dev = jnp.asarray(inv_np), jnp.asarray(col_np)
+        lvl.dilu = (inv_dev, col_dev)
+        lvl.dilu_nc = nc
 
     @staticmethod
     def _lambda_bounds_sharded(sm, iters: int = 12):
@@ -829,6 +899,8 @@ class DistributedSolver:
         lvl0.inv_diag = self._inv_diag(
             csr, a0, vec_dt, self.mesh, self.axis,
             l1=getattr(self, "_l1_diag", False))
+        if getattr(self, "_dilu", False):
+            self._set_dilu_level(lvl0, csr, a0, vec_dt)
         if getattr(self, "_gs2", False):
             lvl0.gs = self._gs_tri_ops(
                 self._gs_shard_rows(csr, a0.row_part), lvl0, vec_dt)
@@ -860,6 +932,8 @@ class DistributedSolver:
                 nxt.inv_diag = self._inv_diag_sharded(
                     ac, ad, vec_dt, self.mesh, self.axis,
                     l1=getattr(self, "_smoother_l1", False))
+                if getattr(self, "_dilu", False):
+                    self._set_dilu_level(nxt, ac, ad, vec_dt)
                 if getattr(self, "_gs2", False):
                     nxt.gs = self._gs_tri_ops(
                         self._gs_shard_rows(ac, coarse_part), nxt, vec_dt)
@@ -894,6 +968,8 @@ class DistributedSolver:
             nxt.inv_diag = self._inv_diag(
                 ac, ad, vec_dt, self.mesh, self.axis,
                 l1=getattr(self, "_smoother_l1", False))
+            if getattr(self, "_dilu", False):
+                self._set_dilu_level(nxt, ac, ad, vec_dt)
             if getattr(self, "_gs2", False):
                 nxt.gs = self._gs_tri_ops(
                     self._gs_shard_rows(ac, coarse_part), nxt, vec_dt)
@@ -1233,8 +1309,13 @@ class DistributedSolver:
                 return jnp.einsum("rwij,rwj->ri", mat["vals"],
                                   xb[mat["cols"]]).reshape(-1)
             return jnp.sum(mat["vals"] * v[mat["cols"]], axis=1)
-        offsets, margins, band_meta, perms = \
-            static if static is not None else (None, None, None, None)
+        offsets, margins, band_meta, perms = (
+            static[:4] if static is not None else (None, None, None, None))
+        gmeta = static[4] if static is not None and len(static) > 4 \
+            else None
+        if "g5" in mat:
+            return comms.dist_spmv_gather(mat["g5"], gmeta, mat["pack"],
+                                          mat["halo"], v, ax, perms=perms)
         if blocked:
             return comms.dist_spmv_block(mat["cols"], mat["vals"],
                                          mat["pack"], mat["halo"], v,
@@ -1262,6 +1343,7 @@ class DistributedSolver:
         ctype = cycle_type or getattr(self, "cycle_type", "V")
         a_args, p_args, r_args, inv_diag, coarse = lvl_args[idx][:5]
         gs = lvl_args[idx][5] if len(lvl_args[idx]) > 5 else ((), ())
+        dilu = lvl_args[idx][6] if len(lvl_args[idx]) > 6 else None
         static = self._level_static[idx]
 
         def spmv(args, v, st=None):
@@ -1282,10 +1364,15 @@ class DistributedSolver:
             return self._coarse_cg(a_args, static, inv_diag, b, x)
         cheby = getattr(self, "cheby_smoothing", False)
         gs2 = getattr(self, "_gs2", False) and gs[0]
+        dl = getattr(self, "_dilu", False) and dilu
         if cheby:
             x = self._cheby_smooth(a_args, static, inv_diag,
                                    self._cheby_bounds[idx], b, x,
                                    self.cheby_order)
+        elif dl:
+            for _ in range(self.presweeps):
+                x = self._dilu_smooth(a_args, static, dilu,
+                                      self._dilu_nc[idx], b, x)
         elif gs2:
             for _ in range(self.presweeps):
                 x = self._gs2_smooth(a_args, static, inv_diag, gs[0],
@@ -1311,6 +1398,10 @@ class DistributedSolver:
             x = self._cheby_smooth(a_args, static, inv_diag,
                                    self._cheby_bounds[idx], b, x,
                                    self.cheby_order)
+        elif dl:
+            for _ in range(self.postsweeps):
+                x = self._dilu_smooth(a_args, static, dilu,
+                                      self._dilu_nc[idx], b, x)
         elif gs2:
             for _ in range(self.postsweeps):
                 x = self._gs2_smooth(a_args, static, inv_diag, gs[0],
@@ -1320,6 +1411,26 @@ class DistributedSolver:
                 x = x + self.smooth_damp * self._invd_mul(
                     inv_diag, b - spmv(a_args, x, static))
         return x
+
+    def _dilu_smooth(self, a_args, static, dilu, nc, b, x):
+        """One multicolor-DILU smoothing step inside the SPMD program
+        (multicolor_dilu_solver.cu; the reference's default AMG smoother):
+        x += omega * (E+U)^-1 E (E+L)^-1 (b - A x), each triangular solve
+        as nc color-sequential masked updates. Every color step's SpMV
+        carries its own halo exchange — the reference's SYNC_COLORS
+        boundary semantics (core.cu:372-377), so convergence matches the
+        single-chip smoother exactly."""
+        invE, color = dilu
+        r = b - self._apply_mat(a_args, x, static)
+        z = jnp.zeros_like(r)
+        for c in range(nc):
+            az = self._apply_mat(a_args, z, static)
+            z = jnp.where(color == c, invE * (r - az), z)
+        xd = jnp.zeros_like(r)
+        for c in range(nc - 1, -1, -1):
+            ax_ = self._apply_mat(a_args, xd, static)
+            xd = jnp.where(color == c, z - invE * ax_, xd)
+        return x + self.smooth_damp * xd
 
     def _coarse_cg(self, a_args, static, inv_diag, b, x,
                    tol: float = 1e-10, max_iters: int = 200):
@@ -1388,6 +1499,10 @@ class DistributedSolver:
             return mat
         if getattr(dm, "halo_free", False):
             return {"cols": dm.cols, "vals": dm.vals}
+        if getattr(dm, "gather_arrays", None) is not None and \
+                dm.block_dim == (1, 1):
+            return {"pack": pack, "halo": halo,
+                    "g5": dict(dm.gather_arrays)}
         return {"cols": dm.cols, "vals": dm.vals, "pack": pack,
                 "halo": halo}
 
@@ -1398,13 +1513,18 @@ class DistributedSolver:
             (getattr(lvl.a, "dia_offsets", None),
              getattr(lvl.a, "margins", None),
              getattr(lvl.a, "band_meta", None),
-             getattr(lvl.a, "nbr_perms", None)) for lvl in self.levels]
+             getattr(lvl.a, "nbr_perms", None),
+             None if getattr(lvl.a, "gather_meta", None) is None else
+             tuple(sorted(lvl.a.gather_meta.items())))
+            for lvl in self.levels]
         self._pr_perms = [
             (None if lvl.p is None else getattr(lvl.p, "nbr_perms", None),
              None if lvl.r is None else getattr(lvl.r, "nbr_perms", None))
             for lvl in self.levels]
         self._gs_static = [getattr(lvl, "gs_static", (None, None))
                            for lvl in self.levels]
+        self._dilu_nc = [None if getattr(lvl, "dilu_nc", None) is None
+                         else int(lvl.dilu_nc) for lvl in self.levels]
         out = []
         for lvl in self.levels:
             a_args = self._mat_pytree(lvl.a)
@@ -1413,7 +1533,8 @@ class DistributedSolver:
             gs = lvl.gs if lvl.gs is not None else ((), ())
             out.append((a_args, p_args, r_args, lvl.inv_diag,
                         lvl.coarse_dense,
-                        (gs[0] or (), gs[1] or ())))
+                        (gs[0] or (), gs[1] or ()),
+                        getattr(lvl, "dilu", None)))
         return out
 
     def _build_step(self):
@@ -1443,7 +1564,8 @@ class DistributedSolver:
         a0 = self.levels[0].a
         structured = by == 1 and (
             getattr(a0, "dia_bands", None) is not None
-            or getattr(a0, "band_strips", None) is not None)
+            or getattr(a0, "band_strips", None) is not None
+            or getattr(a0, "gather_arrays", None) is not None)
         self._mat_args = self._mat_pytree(a0)
         if idr:
             # Orthonormal shadow space in the shards' row layout
@@ -1486,7 +1608,9 @@ class DistributedSolver:
         static0 = (getattr(a0, "dia_offsets", None),
                    getattr(a0, "margins", None),
                    getattr(a0, "band_meta", None),
-                   getattr(a0, "nbr_perms", None))
+                   getattr(a0, "nbr_perms", None),
+                   None if getattr(a0, "gather_meta", None) is None else
+                   tuple(sorted(a0.gather_meta.items())))
 
         # Memoize the jitted SPMD programs on everything the closures bake
         # in statically: a values-only resetup (same partitions/sparsity/
@@ -1553,6 +1677,17 @@ class DistributedSolver:
                     args[0][0], self._level_static[0], args[0][3],
                     self._cheb_precond_bounds, r, jnp.zeros_like(r),
                     self._cheb_precond_order)
+            if self.precond_name == "MULTICOLOR_DILU":
+                # DILU smoothing iterations on a zero guess, matching the
+                # single-chip inner-solver semantics (the preconditioner
+                # scope's max_iters applications,
+                # multicolor_dilu_solver.cu)
+                def one(_, xv):
+                    return self._dilu_smooth(
+                        args[0][0], self._level_static[0], args[0][6],
+                        self._dilu_nc[0], r, xv)
+                return jax.lax.fori_loop(0, self._dilu_pre_iters, one,
+                                         jnp.zeros_like(r))
             return r
 
         def gmres_restart(mat, b, xv):
@@ -1781,7 +1916,8 @@ class DistributedSolver:
              jax.tree.map(lambda _: shard, lvl_args[i][2] or ()) or (),
              shard,
              (spec_rep, spec_rep) if lvl.coarse_dense is not None else (),
-             jax.tree.map(lambda _: shard, lvl_args[i][5]))
+             jax.tree.map(lambda _: shard, lvl_args[i][5]),
+             jax.tree.map(lambda _: shard, lvl_args[i][6] or ()) or ())
             for i, lvl in enumerate(self.levels))
 
         def wrap(fn, extra_in, extra_out):

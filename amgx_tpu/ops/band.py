@@ -80,7 +80,9 @@ class BandMatrix:
         if in_len < self.x_pad:
             x = jnp.pad(x, (0, self.x_pad - in_len))
         xw = x[:self.x_pad]
-        if jax.default_backend() == "tpu":
+        # Mosaic has no 64-bit lowering: dDDI runs the XLA matmul form
+        if jax.default_backend() == "tpu" and \
+                self.strips.dtype.itemsize <= 4 and x.dtype.itemsize <= 4:
             y = band_spmv_pallas(self, xw)
         else:
             y = band_spmv(self, xw)

@@ -79,7 +79,9 @@ def _lane_cumsum(x):
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     s = 1
     while s < n:
-        r = pltpu.roll(x, s, 1)
+        # int32 shift: python ints weak-type to i64 under jax_enable_x64
+        # and Mosaic rejects i64 dynamic_rotate operands
+        r = pltpu.roll(x, jnp.asarray(s, jnp.int32), 1)
         x = x + jnp.where(idx >= s, r, jnp.zeros_like(x))
         s *= 2
     return x
@@ -114,7 +116,8 @@ class GatherMatrix:
     """General-sparsity device operator in the lane-binned gather format."""
 
     ARRAY_FIELDS = ("vals", "hl", "bmeta", "step_flags", "step_wid",
-                    "step_tid", "step_pid", "step_soff", "step_bid")
+                    "step_tid", "step_pid", "step_soff", "step_bid",
+                    "tile_window", "block_panel")
 
     def __init__(self, arrays, meta):
         for k, v in arrays.items():
@@ -166,10 +169,16 @@ class GatherMatrix:
             x = jnp.pad(x, (0, need - x.shape[0]))
         return x[:need].reshape(self.n_windows * self.W, 128)
 
+    def _use_pallas(self, x):
+        # Mosaic has no 64-bit lowering: dDDI falls to the (XLA) reference
+        # path, emulated-f64 on TPU
+        return jax.default_backend() == "tpu" and \
+            self.vals.dtype.itemsize <= 4 and x.dtype.itemsize <= 4
+
     def apply(self, x):
         L = x.shape[0]
         x2 = self._pad_x(x)
-        if jax.default_backend() == "tpu":
+        if self._use_pallas(x):
             y = self._apply_pallas(x2)
         else:
             y = self._apply_ref(x2)
@@ -177,6 +186,19 @@ class GatherMatrix:
         if y.shape[0] < L:
             y = jnp.pad(y, (0, L - y.shape[0]))
         return y[:L]
+
+    def apply_rect(self, x):
+        """Rectangular apply: ``x`` covers the column space (>= n_cols
+        entries, e.g. a shard's [owned | halo] extended vector); returns
+        exactly n_rows outputs. ``apply`` above keeps the square
+        length-preserving contract the single-chip solvers rely on."""
+        x2 = self._pad_x(x)
+        y = (self._apply_pallas(x2) if self._use_pallas(x)
+             else self._apply_ref(x2)).reshape(-1)
+        n = self.n_rows
+        if y.shape[0] < n:
+            y = jnp.pad(y, (0, n - y.shape[0]))
+        return y[:n]
 
     def _decode_bmeta(self):
         """bmeta (n_bsteps, BPB*R, 128) int8 -> (src, sten) jnp views over
@@ -199,7 +221,7 @@ class GatherMatrix:
         n_panels = self.n_panels
         dt = x2.dtype
         x2w = x2.reshape(self.n_windows, W, 128)
-        tw = np.asarray(self.meta["tile_window"])
+        tw = self.tile_window
         hl = self.hl.astype(jnp.int32)
         hi = hl >> 8                                       # indexed by cl
         lane = hl & 255                                    # indexed by rl
@@ -222,8 +244,8 @@ class GatherMatrix:
         e = jnp.take_along_axis(Pb, en, axis=3)
         s0 = jnp.take_along_axis(Pxb, jnp.maximum(stp1 - 1, 0), axis=3)
         c = jnp.where(stp1 > 0, e - s0, jnp.zeros_like(e))
-        seg = jnp.asarray(np.asarray(self.meta["block_panel"]))
-        acc = jax.ops.segment_sum(c, seg, num_segments=n_panels)
+        acc = jax.ops.segment_sum(c, self.block_panel,
+                                  num_segments=n_panels)
         # (p, qc, lane, q) -> (p, qc, q, lane) -> rows
         y = jnp.swapaxes(acc, 2, 3).reshape(n_panels, Qc * 128, 128)
         return y[:, :S_p].reshape(n_panels * S_p, 128)
@@ -342,9 +364,55 @@ class GatherMatrix:
         return y
 
 
+def pad_gather(gm: GatherMatrix, nb_target: int) -> GatherMatrix:
+    """Pad a pack to ``nb_target`` B-steps (tiles/blocks/steps implied:
+    T = NB*unit, B = NB*BPB, steps = NB*(unit+1)).
+
+    Cross-shard shape uniformity for the stacked distributed form: the
+    SPMD program is identical on every shard, so all shards' arrays must
+    share shapes — the max NB over the mesh wins. Pad steps replicate the
+    last real step's block indices (Pallas dedups repeated same-block
+    fetches, so they cost no DMA) as pass-A steps with soff=0: they
+    restage dead data that no B-step ever reads."""
+    unit = gm.BPB * (128 // gm.D)
+    nb_cur = int(gm.bmeta.shape[0])
+    if nb_target <= nb_cur:
+        return gm
+    t_tgt = nb_target * unit
+    b_tgt = nb_target * gm.BPB
+    s_tgt = nb_target * (unit + 1)
+
+    def pad0(a, n, fill_last=False):
+        a = np.asarray(a)
+        k = n - a.shape[0]
+        if k <= 0:
+            return a
+        tail = np.repeat(a[-1:], k, axis=0) if fill_last else \
+            np.zeros((k,) + a.shape[1:], a.dtype)
+        return np.concatenate([a, tail], axis=0)
+
+    arrays = dict(
+        vals=jnp.asarray(pad0(gm.vals, t_tgt)),
+        hl=jnp.asarray(pad0(gm.hl, t_tgt)),
+        bmeta=jnp.asarray(pad0(gm.bmeta, nb_target)),
+        step_flags=jnp.asarray(pad0(gm.step_flags, s_tgt)),
+        step_wid=jnp.asarray(pad0(gm.step_wid, s_tgt, True)),
+        step_tid=jnp.asarray(pad0(gm.step_tid, s_tgt, True)),
+        step_pid=jnp.asarray(pad0(gm.step_pid, s_tgt, True)),
+        step_soff=jnp.asarray(pad0(gm.step_soff, s_tgt)),
+        step_bid=jnp.asarray(pad0(gm.step_bid, s_tgt, True)),
+        tile_window=jnp.asarray(pad0(gm.tile_window, t_tgt, True)),
+        block_panel=jnp.asarray(pad0(gm.block_panel, b_tgt, True)),
+    )
+    meta = dict(gm.meta)
+    meta["slots"] = t_tgt * gm.D * 128
+    return GatherMatrix(arrays, meta)
+
+
 def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
                   D: Optional[int] = None, BPB: int = 2,
-                  max_efficiency_waste: float = 8.0) -> Optional[GatherMatrix]:
+                  max_efficiency_waste: float = 8.0,
+                  allow_empty: bool = False) -> Optional[GatherMatrix]:
     """Build the lane-binned gather format from CSR (setup-phase, host).
 
     W: x-window height in 128-lane sub-rows (cols per window = W*128);
@@ -355,8 +423,13 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
     BPB: staging blocks reduced per B-step (amortizes grid overhead).
 
     Returns None for block matrices, complex data, or pathological packing
-    efficiency (slots/nnz > max_efficiency_waste)."""
-    if csr.block_dim != (1, 1) or csr.nnz == 0:
+    efficiency (slots/nnz > max_efficiency_waste). ``allow_empty`` packs a
+    minimal all-zero operator instead of returning None (the stacked
+    distributed form needs every shard, including consolidated-away empty
+    ones, to carry uniform arrays)."""
+    if csr.block_dim != (1, 1):
+        return None
+    if csr.nnz == 0 and not allow_empty:
         return None
     if np.iscomplexobj(csr.data):
         return None
@@ -376,7 +449,13 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
     rows, cols, vals = rows[keep], cols[keep], vals[keep]
     nnz = rows.shape[0]
     if nnz == 0:
-        return None
+        if not allow_empty:
+            return None
+        # one explicit zero slot: y = 0*x[0] for row 0 — a valid pack
+        rows = np.zeros(1, np.int64)
+        cols = np.zeros(1, np.int64)
+        vals = np.zeros(1, np.float64)
+        nnz = 1
 
     # -- pick geometry -------------------------------------------------------
     W = max(8, min(W, 128, -(-m // 128)))
@@ -556,10 +635,10 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
         step_pid=jnp.asarray(spid),
         step_soff=jnp.asarray(ssoff),
         step_bid=jnp.asarray(sbid),
+        tile_window=jnp.asarray(tile_window.astype(np.int32)),
+        block_panel=jnp.asarray(block_panel.astype(np.int32)),
     )
     meta = dict(n_rows=n, n_cols=m, nnz=int(csr.nnz), slots=int(slots),
                 W=int(W), S_p=int(S_p), D=int(D), Qc=int(Qc), BPB=int(BPB),
-                n_windows=int(n_windows), n_panels=int(n_panels),
-                tile_window=tuple(int(v) for v in tile_window),
-                block_panel=tuple(int(v) for v in block_panel))
+                n_windows=int(n_windows), n_panels=int(n_panels))
     return GatherMatrix(arrays, meta)

@@ -94,9 +94,12 @@ class DiaMatrix:
         return self.bands.dtype
 
     def apply(self, x):
-        # the Pallas tiled kernel needs a TPU backend and 128-aligned rows;
-        # everywhere else the shift-FMA XLA form is used
-        if jax.default_backend() == "tpu" and self.n_pad % 128 == 0:
+        # the Pallas tiled kernel needs a TPU backend, 128-aligned rows and
+        # a <=32-bit dtype (Mosaic has no f64 lowering — dDDI modes run the
+        # XLA shift-FMA form, emulated-f64 on TPU); everywhere else the
+        # shift-FMA XLA form is used
+        if jax.default_backend() == "tpu" and self.n_pad % 128 == 0 and \
+                self.bands.dtype.itemsize <= 4 and x.dtype.itemsize <= 4:
             return dia_spmv_pallas2d(self, x)
         return dia_spmv(self, x)
 
@@ -206,14 +209,20 @@ def dia_spmv_pallas2d(a: DiaMatrix, x, chunk_rows: int = 256,
     n = a.n_pad
     if n % 128 != 0:
         return dia_spmv(a, x)
+    if a.bands.dtype.itemsize > 4 or x.dtype.itemsize > 4:
+        return dia_spmv(a, x)      # Mosaic has no 64-bit lowering
     R = n // 128
     chunk_rows = min(chunk_rows, R)
-    if R % chunk_rows != 0:
-        # fall back to a chunk that divides R
-        for c in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+    if R % chunk_rows != 0 or chunk_rows % 8 != 0:
+        # Mosaic block sublanes must be a multiple of 8 (or the full dim):
+        # largest 8-multiple chunk dividing R, else the XLA form
+        chunk_rows = 0
+        for c in (256, 128, 64, 32, 16, 8):
             if c <= R and R % c == 0:
                 chunk_rows = c
                 break
+        if chunk_rows == 0:
+            return dia_spmv(a, x)
     r_k = [o // 128 for o in offsets]
     s_k = [o % 128 for o in offsets]
     lo = min(min(r_k), 0)
@@ -240,8 +249,11 @@ def dia_spmv_pallas2d(a: DiaMatrix, x, chunk_rows: int = 256,
                 # lane rotation: result[:, l] = A[:, l+s] (l < 128-s)
                 #                               B[:, l+s-128] otherwise
                 blk_b = xwin[base + 1:base + 1 + chunk_rows, :]
-                rot_a = pltpu.roll(blk_a, 128 - s, axis=1)
-                rot_b = pltpu.roll(blk_b, 128 - s, axis=1)
+                # int32 shift: under jax_enable_x64 a python int weak-types
+                # to i64 and Mosaic rejects the i64 dynamic_rotate operand
+                sh32 = jnp.asarray(128 - s, jnp.int32)
+                rot_a = pltpu.roll(blk_a, sh32, axis=1)
+                rot_b = pltpu.roll(blk_b, sh32, axis=1)
                 sh = jnp.where(lane < 128 - s, rot_a, rot_b)
             acc = acc + bands_ref[k] * sh
         y_ref[:, :] = acc

@@ -106,14 +106,10 @@ def phase_spmv_dia(n_side: int, inner: int, reps: int):
 
     # bf16 matrix values (dBFI-family modes): half the operator traffic
     dia_h = csr_to_dia(a, dtype=jnp.bfloat16)
-    gh = jax.jit(lambda op, v: jax.lax.fori_loop(
-        0, inner, lambda i, u: (f_op(op, u) * scale).astype(v.dtype), v))
-    gh(dia_h, x).block_until_ready()
-    best_h = np.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        gh(dia_h, x).block_until_ready()
-        best_h = min(best_h, (time.perf_counter() - t0) / inner)
+    gh = jax.jit(lambda op, v, k: jnp.sum(jax.lax.fori_loop(
+        0, k, lambda i, u: (f_op(op, u) * scale).astype(v.dtype), v)),
+        static_argnums=2)
+    best_h = _slope_time(lambda k: gh(dia_h, x, k), inner, reps)
     nbytes_h = len(dia_h.offsets) * dia_h.n_pad * 2 + 2 * dia_h.n_pad * 4
     out["bf16"] = {"time_s": best_h, "gbps": nbytes_h / best_h / 1e9,
                    "gnnz_per_s": a.nnz / best_h / 1e9}
@@ -130,19 +126,14 @@ def phase_spmv_ell(n_side: int, inner: int, reps: int):
     op = csr_to_ell(a, dtype=dtype)
     scale = np.asarray(0.12, dtype)
 
-    def many(opnd, v):
-        return jax.lax.fori_loop(0, inner,
-                                 lambda i, u: opnd.apply(u) * scale, v)
+    def many(opnd, v, k):
+        return jnp.sum(jax.lax.fori_loop(
+            0, k, lambda i, u: opnd.apply(u) * scale, v))
 
-    g = jax.jit(many)
+    g = jax.jit(many, static_argnums=2)
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         op.n_pad).astype(dtype))
-    g(op, x).block_until_ready()
-    best = np.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        g(op, x).block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / inner)
+    best = _slope_time(lambda k: g(op, x, k), inner, reps)
     nbytes = op.vals.size * 4 + op.cols.size * 4 + 2 * op.n_pad * 4
     print(json.dumps({"n": a.n_rows, "nnz": a.nnz, "time_s": best,
                       "gbps": nbytes / best / 1e9,
@@ -171,19 +162,13 @@ def phase_spmv_gather(n_side: int, inner: int, reps: int):
     setup_t = time.perf_counter() - t0
     scale = np.asarray(0.12, dtype)
 
-    def many(opnd, v):
-        return jax.lax.fori_loop(0, inner,
-                                 lambda i, u: opnd.apply(u) * scale, v)
+    def many(opnd, v, k):
+        return jnp.sum(jax.lax.fori_loop(
+            0, k, lambda i, u: opnd.apply(u) * scale, v))
 
-    g = jax.jit(many)
+    g = jax.jit(many, static_argnums=2)
     x = jnp.asarray(rng.standard_normal(csr.n_rows).astype(dtype))
-    y = g(gm, x)
-    y.block_until_ready()
-    best = np.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        g(gm, x).block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / inner)
+    best = _slope_time(lambda k: g(gm, x, k), inner, reps)
     nbytes = csr.nnz * 8 + 2 * csr.n_rows * 4      # CSR-equivalent traffic
     raw_bytes = (gm.slots * 12 + gm.n_panels * csr.n_cols * 4 +
                  2 * csr.n_rows * 4)
@@ -202,7 +187,7 @@ def phase_amg(n_side: int):
     cfg = amgx.AMGConfig({"config_version": 2, "solver": {
         "solver": "PCG", "max_iters": 100, "tolerance": 1e-6,
         "convergence": "RELATIVE_INI", "monitor_residual": 1,
-        "mode": "dFFI", "scope": "main",
+        "fused_solve": 1, "mode": "dFFI", "scope": "main",
         "preconditioner": {"solver": "AMG", "scope": "amg",
                            "dense_threshold_rows": 4096,
                            "algorithm": "AGGREGATION",
@@ -240,7 +225,7 @@ def phase_amg_classical(n_side: int):
     cfg = amgx.AMGConfig({"config_version": 2, "solver": {
         "solver": "AMG", "max_iters": 100, "tolerance": 1e-8,
         "convergence": "RELATIVE_INI", "monitor_residual": 1,
-        "mode": "dDDI", "scope": "main",
+        "fused_solve": 1, "mode": "dDDI", "scope": "main",
         "algorithm": "CLASSICAL", "selector": "PMIS",
         "interpolator": "D2", "smoother": "MULTICOLOR_GS",
         "presweeps": 1, "postsweeps": 1, "min_coarse_rows": 64,

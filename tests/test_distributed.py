@@ -144,7 +144,7 @@ def test_distributed_unsupported_preconditioner_raises(mesh):
     the preconditioner for identity."""
     a = amgx.gallery.poisson5pt(16, 16)
     cfg = amgx.AMGConfig(
-        "solver=PCG, preconditioner=MULTICOLOR_DILU, max_iters=50, "
+        "solver=PCG, preconditioner=MULTICOLOR_ILU, max_iters=50, "
         "tolerance=1e-8, convergence=RELATIVE_INI, monitor_residual=1")
     s = DistributedSolver(cfg, mesh)
     with pytest.raises(NotImplementedError):
