@@ -559,12 +559,16 @@ def dist_strength(sm: ShardedCSR, strength: str, theta: float,
 
 def _square_edges(part: RowPartition,
                   edges: List[Tuple[np.ndarray, np.ndarray]],
-                  n_rows: int) -> List[Tuple[np.ndarray, np.ndarray]]:
+                  n_rows: int, return_counts: bool = False
+                  ) -> List[Tuple[np.ndarray, ...]]:
     """Distance-2 expansion of the per-shard symmetric edge lists:
     E2 = E@E + E with the diagonal removed — the AGGRESSIVE_PMIS adjacency
     (pmis_select(aggressive=True): sym@sym + sym). Neighbour adjacency
     rows cross shard boundaries through a row exchange of the symmetric
-    graph, so per-shard work stays O(rows touched x degree^2)."""
+    graph, so per-shard work stays O(rows touched x degree^2).
+    ``return_counts`` adds the path multiplicities (1 per direct edge +
+    #2-paths) as a third array — aggressive HMIS weighs C points by the
+    VALUE sums of sym + sym@sym (hmis.cu), not the binary degree."""
     import scipy.sparse as sp
     n_dev = part.n_dev
     present = [d for d in range(n_dev) if edges[d] is not None]
@@ -614,7 +618,8 @@ def _square_edges(part: RowPartition,
         r0 = int(part.offsets[d])
         src, dst = edges[d]
         if src.size == 0:
-            out[d] = (src, dst)
+            out[d] = (src, dst, np.zeros(0)) if return_counts else \
+                (src, dst)
             continue
         ref = np.unique(dst)
         owner = part.owner_of(ref)
@@ -646,19 +651,29 @@ def _square_edges(part: RowPartition,
         keep = (s2.row + r0) != s2.col
         src2 = s2.row[keep].astype(np.int64)
         dst2 = s2.col[keep].astype(np.int64)
+        cnt2 = s2.data[keep]
         key = src2 * np.int64(n_rows + 1) + dst2
         _, first = np.unique(key, return_index=True)
-        out[d] = (src2[first], dst2[first])
+        out[d] = (src2[first], dst2[first], cnt2[first]) \
+            if return_counts else (src2[first], dst2[first])
     return out
 
 
 def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0,
-              aggressive: bool = False
+              aggressive: bool = False, variant: str = "PMIS"
               ) -> Tuple[List[np.ndarray], RowPartition, int]:
-    """Shard-parallel PMIS. Reproduces the single-matrix pmis_select
+    """Shard-parallel PMIS / HMIS. Reproduces the single-matrix selectors
     bit-for-bit: weights hash *global* ids, in-degrees and neighbour
     states cross shard boundaries through ghost exchanges each round
-    (selectors/pmis.cu two-phase flagging).
+    (selectors/pmis.cu two-phase flagging; selectors/hmis.cu).
+
+    variant="HMIS": the single-chip hmis_select sweep visits points by
+    descending (lambda + hash) and greedily seeds C — the sequential
+    greedy equals the fixed-priority parallel fixpoint this loop computes
+    (lexicographically-first MIS), so the SAME round structure covers
+    HMIS with two deltas: isolated points become C (not F), and
+    aggressive HMIS prunes the C set on its distance-2 subgraph AFTER
+    the sweep instead of squaring the graph before it.
 
     Returns (per-shard cf maps with GLOBAL coarse ids, coarse
     RowPartition, n_coarse). Global coarse numbering is by fine row id, so
@@ -758,7 +773,8 @@ def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0,
         for (dst_g, _src) in rev_edges[d]:
             np.add.at(indeg[d], dst_g - r0, 1.0)
 
-    if aggressive:
+    hmis = variant == "HMIS"
+    if aggressive and not hmis:
         # AGGRESSIVE_PMIS: independent set on the distance-2 graph, with
         # the SAME weights (S-transpose in-degree) as plain PMIS —
         # mirrors pmis_select(aggressive=True)
@@ -771,9 +787,12 @@ def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0,
         w[d] = indeg[d] + _pmis_hash_ids(
             np.arange(r0, r1, dtype=np.uint64), seed)
         state[d] = np.zeros(exts[d].n_rows, np.int8)
-        iso = np.ones(exts[d].n_rows, bool)
-        iso[np.unique(edges[d][0])] = False
-        state[d][iso & (indeg[d] == 0)] = -1
+        if not hmis:
+            # hmis_select's sweep makes isolated points C; pmis_select
+            # pre-marks them F
+            iso = np.ones(exts[d].n_rows, bool)
+            iso[np.unique(edges[d][0])] = False
+            state[d][iso & (indeg[d] == 0)] = -1
 
     # ghost set = remote targets of the symmetrized edge lists (a superset
     # of the matrix halo when the strength mask is asymmetric: a received
@@ -870,6 +889,9 @@ def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0,
                 s2 = src[rem_win]
                 state[d][s2[state[d][s2] == 0]] = -1
 
+    if hmis and aggressive:
+        _hmis_aggressive_prune(sm, exts, edges, state, devs, partial, seed)
+
     from . import multihost as mh
     counts = mh.gather_per_dev(
         n_dev, {d: np.asarray([int((state[d] == 1).sum())], np.int64)
@@ -883,6 +905,132 @@ def dist_pmis(sm: ShardedCSR, strong: List[np.ndarray], seed: int = 0,
         m[c] = offsets[d] + np.arange(c.size)
         cf[d] = m
     return cf, RowPartition(offsets), int(offsets[-1])
+
+
+def _hmis_aggressive_prune(sm: ShardedCSR, exts, edges, state, devs,
+                           partial: bool, seed: int) -> None:
+    """AGGRESSIVE_HMIS second pass (hmis_select(aggressive=True)): a
+    priority-greedy sweep on the distance-<=2 subgraph of the C points
+    demotes losing C points to F. Weights are (C-subgraph degree +
+    hash of the point's position in the global C ordering) — the hash
+    index is the C rank, exactly the single-chip _pmis_hash(len(c_idx))
+    indexing, computable shard-locally from the global C offsets."""
+    from ..amg.classical import _pmis_hash_ids
+    from . import multihost as mh
+    n_dev = sm.n_dev
+    counts = mh.gather_per_dev(
+        n_dev, {d: np.asarray([int((state[d] == 1).sum())], np.int64)
+                for d in devs})
+    offsets = np.concatenate(
+        [[0], np.cumsum([int(c[0]) for c in counts])]).astype(np.int64)
+    edges2 = _square_edges(sm.part, edges, sm.n_rows, return_counts=True)
+    ghosts2 = [None] * n_dev
+    for d in devs:
+        r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+        dst = edges2[d][1]
+        ghosts2[d] = np.unique(dst[(dst < r0) | (dst >= r1)])
+
+    def ghost2(ps):
+        return exchange_col_values(sm.part, ps, ghosts2)
+
+    # keep: -9 not-C (decided), 0 undecided C, 1 kept, -1 demoted
+    keep = [None] * n_dev
+    w_c = [None] * n_dev
+    g_keep0 = ghost2([None if state[d] is None or sm.shards[d] is None
+                      else state[d].astype(np.float64)
+                      for d in range(n_dev)])
+    for d in devs:
+        nl = exts[d].n_rows
+        r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+        isC = state[d] == 1
+        pos = np.zeros(nl, np.uint64)
+        pos[isC] = (offsets[d]
+                    + np.arange(int(isC.sum()))).astype(np.uint64)
+        src, dst, cnt = edges2[d]
+        own = (dst >= r0) & (dst < r1)
+        dstC = np.where(own, isC[np.where(own, dst - r0, 0)], False)
+        if ghosts2[d].size:
+            hidx = np.clip(np.searchsorted(ghosts2[d], dst), 0,
+                           max(0, ghosts2[d].size - 1))
+            dstC = np.where(~own, g_keep0[d][hidx] > 0, dstC)
+        lam_c = np.zeros(nl)
+        m = isC[src] & dstC
+        # hmis.cu weighs by the VALUE sums of sym + sym@sym (path
+        # multiplicities), not the binary C-degree
+        np.add.at(lam_c, src[m], cnt[m])
+        w_c[d] = np.where(isC, lam_c + _pmis_hash_ids(pos, seed + 3),
+                          -np.inf)
+        keep[d] = np.where(isC, 0, -9).astype(np.int8)
+
+    def any_undecided():
+        local = any((keep[d] == 0).any() for d in devs)
+        return _mh_scalar(partial, float(local)) > 0 if partial else local
+
+    while any_undecided():
+        g_keep = ghost2([None if sm.shards[d] is None else
+                         keep[d].astype(np.float64)
+                         for d in range(n_dev)])
+        g_w = ghost2([None if sm.shards[d] is None else w_c[d]
+                      for d in range(n_dev)])
+        winners_all = [None] * n_dev
+        winners_any = False
+        for d in devs:
+            src, dst = edges2[d][0], edges2[d][1]
+            r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+            und = keep[d] == 0
+            own = (dst >= r0) & (dst < r1)
+            dst_keep = np.where(own,
+                                keep[d][np.where(own, dst - r0, 0)], -9)
+            dst_w = np.where(own, w_c[d][np.where(own, dst - r0, 0)],
+                             -np.inf)
+            if ghosts2[d].size:
+                hidx = np.clip(np.searchsorted(ghosts2[d], dst), 0,
+                               max(0, ghosts2[d].size - 1))
+                hit = ~own
+                dst_keep = np.where(hit, g_keep[d][hidx], dst_keep)
+                dst_w = np.where(hit, g_w[d][hidx], dst_w)
+            m = und[src] & (dst_keep == 0)
+            nb_max = np.full(exts[d].n_rows, -np.inf)
+            if m.any():
+                np.maximum.at(nb_max, src[m], dst_w[m])
+            win = und & (w_c[d] > nb_max)
+            winners_all[d] = win
+            winners_any = winners_any or bool(win.any())
+        if partial:
+            winners_any = _mh_scalar(True, float(winners_any)) > 0
+        if not winners_any:
+            first_u = sm.n_rows
+            for d in devs:
+                u = np.nonzero(keep[d] == 0)[0]
+                if u.size:
+                    first_u = int(sm.part.offsets[d]) + int(u[0])
+                    break
+            if partial:
+                first_u = int(_mh_scalar(True, float(first_u), op=min))
+            for d in devs:
+                r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+                if r0 <= first_u < r1:
+                    winners_all[d] = np.zeros(exts[d].n_rows, bool)
+                    winners_all[d][first_u - r0] = True
+        for d in devs:
+            keep[d][winners_all[d]] = 1
+        g_win = ghost2([None if sm.shards[d] is None else
+                        winners_all[d].astype(np.float64)
+                        for d in range(n_dev)])
+        for d in devs:
+            src, dst = edges2[d][0], edges2[d][1]
+            r0, r1 = int(sm.part.offsets[d]), int(sm.part.offsets[d + 1])
+            own = (dst >= r0) & (dst < r1)
+            t = dst[winners_all[d][src] & own] - r0
+            keep[d][t[keep[d][t] == 0]] = -1
+            if ghosts2[d].size:
+                hidx = np.clip(np.searchsorted(ghosts2[d], dst), 0,
+                               max(0, ghosts2[d].size - 1))
+                rem_win = (~own) & (g_win[d][hidx] > 0)
+                s2 = src[rem_win]
+                keep[d][s2[keep[d][s2] == 0]] = -1
+    for d in devs:
+        state[d][(state[d] == 1) & (keep[d] != 1)] = -1
 
 
 # ---------------------------------------------------------------------------

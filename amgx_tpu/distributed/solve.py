@@ -331,11 +331,12 @@ class DistributedSolver:
                     else "AGGRESSIVE_" + selector
             aggr_interp = str(g("aggressive_interpolator"))
             classical_ok = (
-                selector in ("PMIS", "AGGRESSIVE_PMIS", "CR")
+                selector in ("PMIS", "AGGRESSIVE_PMIS", "HMIS",
+                             "AGGRESSIVE_HMIS", "CR")
                 and interpolator in ("D1", "D2", "MULTIPASS")
                 and (aggr_levels == 0 or
-                     (aggr_sel == "AGGRESSIVE_PMIS" and
-                      aggr_interp in ("D1", "D2", "MULTIPASS"))))
+                     (aggr_sel in ("AGGRESSIVE_PMIS", "AGGRESSIVE_HMIS")
+                      and aggr_interp in ("D1", "D2", "MULTIPASS"))))
             self._sharded_setup = csr.block_dim == (1, 1) and (
                 (algorithm == "AGGREGATION" and shard_local) or
                 (algorithm == "CLASSICAL" and classical_ok) or
@@ -550,7 +551,8 @@ class DistributedSolver:
                 else:
                     cf, natural_part, nc = dsetup.dist_pmis(
                         swork, strong,
-                        aggressive=sel_now == "AGGRESSIVE_PMIS")
+                        aggressive=sel_now.startswith("AGGRESSIVE"),
+                        variant="HMIS" if "HMIS" in sel_now else "PMIS")
                 if nc == 0 or nc >= swork.n_rows:
                     break
                 if interp_now == "EM":

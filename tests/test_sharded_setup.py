@@ -65,6 +65,58 @@ def test_dist_pmis_bitwise_parity():
     assert int(cpart.offsets[-1]) == nc
 
 
+@pytest.mark.parametrize("aggressive", [False, True])
+def test_dist_hmis_bitwise_parity(aggressive):
+    """dist_pmis(variant=HMIS) must reproduce hmis_select exactly: the
+    sequential descending-(lambda+hash) sweep equals the fixed-priority
+    parallel fixpoint; aggressive HMIS prunes the C set on the path-count-
+    weighted distance-2 C subgraph (selectors/hmis.cu)."""
+    a = amgx.gallery.poisson7pt(9, 9, 9)
+    strong = cl.strong_connections(a, "AHAT", 0.25)
+    cf1 = cl.hmis_select(a, strong, aggressive=aggressive)
+
+    sm = ds.ShardedCSR.from_global(a, RowPartition.equal(a.n_rows, 8))
+    sd = ds.dist_strength(sm, "AHAT", 0.25)
+    cfd, cpart, nc = ds.dist_pmis(sm, sd, variant="HMIS",
+                                  aggressive=aggressive)
+    assert nc == int(cf1.max()) + 1
+    assert np.array_equal(np.concatenate(cfd), cf1)
+    assert int(cpart.offsets[-1]) == nc
+
+
+def test_distributed_hmis_solve_matches_single_chip():
+    """PCG+AMG(HMIS/D1) runs the shard-parallel setup (no assembled
+    fallback) and converges like the single-chip solver."""
+    import jax
+    from amgx_tpu.distributed.solve import DistributedSolver, make_mesh
+    a = amgx.gallery.poisson7pt(12, 12, 12)
+    b = np.ones(a.n_rows)
+    cfgd = {"config_version": 2, "solver": {
+        "solver": "PCG", "max_iters": 100, "tolerance": 1e-10,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "algorithm": "CLASSICAL", "selector": "HMIS",
+                           "interpolator": "D1",
+                           "smoother": "BLOCK_JACOBI",
+                           "relaxation_factor": 0.7, "presweeps": 1,
+                           "postsweeps": 1, "max_iters": 1,
+                           "min_coarse_rows": 32, "max_levels": 12,
+                           "cycle": "V"}}}
+    sv = DistributedSolver(amgx.AMGConfig(cfgd), make_mesh(8))
+    sv.setup(a)
+    assert sv._sharded_setup, "HMIS must route through the sharded setup"
+    x, st = sv.solve(b)
+    r = np.linalg.norm(b - a.to_scipy() @ np.asarray(x)) / np.linalg.norm(b)
+    assert st == 0 and r < 1e-8, (st, r)
+    s1 = amgx.SolverFactory.allocate(amgx.AMGConfig(cfgd))
+    s1.setup(amgx.Matrix(a))
+    _, st1 = s1.solve(b)
+    assert st1 == 0
+    assert abs(sv.last_iters - s1.last_iters) <= 1, \
+        (sv.last_iters, s1.last_iters)
+
+
 @pytest.mark.parametrize("interp", ["D1", "D2"])
 def test_dist_interpolation_and_galerkin_parity(interp):
     a = amgx.gallery.poisson7pt(8, 8, 8)
