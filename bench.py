@@ -347,7 +347,12 @@ def phase_scaling(n_side: int, n_dev: int):
     n_dev = min(n_dev, n_avail)
     a = amgx.gallery.poisson7pt(n_side, n_side, n_side, dtype=np.float32)
     b = np.ones(a.n_rows, np.float32)
-    out = {"n": a.n_rows, "nnz": a.nnz, "devices_used": n_dev}
+    # honesty: a single chip or a virtual CPU mesh validates the harness
+    # only — nnz/s here is NOT a multi-chip scaling measurement
+    harness_only = (n_dev <= 1
+                    or jax.devices()[0].platform != "tpu")
+    out = {"n": a.n_rows, "nnz": a.nnz, "devices_used": n_dev,
+           "harness_only": harness_only}
     for nd in ([1, n_dev] if n_dev > 1 else [1]):
         mesh = make_mesh(nd)
         cfg = amgx.AMGConfig("solver=PCG, max_iters=50, tolerance=1e-20, "

@@ -121,3 +121,37 @@ def test_dia_spmv_has_no_gather():
     txt = _compiled_text(lambda v: dia_spmv(dia, v), x)
     assert "gather(" not in txt and " gather" not in txt, \
         "DIA SpMV lowered with a gather"
+
+
+def test_vcycle_ppermute_budget(mesh):
+    """Ring-exchange budget per compiled solve step: each fine-level SpMV
+    costs len(nbr_perms) collective-permutes; a V-cycle touches A twice
+    per level plus P/R. Pinning the compiled count makes ring regressions
+    (e.g. an exchange silently duplicated per color or sweep) visible."""
+    a = amgx.gallery.poisson7pt(12, 12, 12)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "PCG", "max_iters": 20, "tolerance": 1e-8,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "algorithm": "AGGREGATION", "selector": "SIZE_2",
+                           "smoother": "BLOCK_JACOBI",
+                           "relaxation_factor": 0.7,
+                           "presweeps": 1, "postsweeps": 1, "max_iters": 1,
+                           "min_coarse_rows": 16, "max_levels": 10,
+                           "cycle": "V"}}})
+    s = DistributedSolver(cfg, mesh)
+    s.setup(a)
+    b_d = s.levels[0].a.scatter_vector(
+        np.ones(a.n_rows, s._vec_dt), "rows", mesh, s.axis)
+    x_d = s.levels[0].a.scatter_vector(
+        np.zeros(a.n_rows, s._vec_dt), "rows", mesh, s.axis)
+    txt = s._jit_solve_fused.lower(
+        s._mat_args, s._flat_args, b_d, x_d).compile().as_text()
+    n_pp = txt.count("collective-permute(") + \
+        txt.count("collective-permute-start(")
+    # expected exchanges per PCG step: 1 (Krylov SpMV) + per level
+    # (pre-smooth residual + restrict-side residual + post-smooth) with
+    # block-diagonal P/R collective-free; rings have <=2 offsets. Budget
+    # = observed count when this gate was written (44) + small slack.
+    assert 0 < n_pp <= 48, f"collective-permute count regressed: {n_pp}"
