@@ -144,24 +144,34 @@ def pmis_select(csr: CSRMatrix, strong: np.ndarray, seed: int = 0,
     isolated = (np.asarray(sym.sum(axis=1)).ravel() == 0)
     state[isolated & (lam == 0)] = -1
     indptr, indices = sym.indptr, sym.indices
-    rows_e = np.repeat(np.arange(n), np.diff(indptr))   # edge sources (once)
-    und = state == 0
-    while und.any():
-        # local max among undecided neighbors -> C
-        mask = und[rows_e] & und[indices]
-        nb_max = np.full(n, -np.inf)
-        if mask.any():
-            np.maximum.at(nb_max, rows_e[mask], w[indices[mask]])
-        winners = und & (w > nb_max)
-        if not winners.any():
-            winners = und.copy()
-            winners[np.nonzero(und)[0][1:]] = False
-        state[winners] = 1
-        # undecided neighbors of new C points become F (vectorized over the
-        # edge list: sym is symmetric so winner-sourced edges reach them all)
-        tgt = indices[winners[rows_e]]
-        state[tgt[state[tgt] == 0]] = -1
+    from ..native import lib as _nl
+    nl = _nl()
+    if nl is not None and getattr(nl, "_has_pmis", False):
+        # one O(nnz) native sweep: the fixed-priority greedy MIS equals
+        # the round-parallel fixpoint below (ties break by index in both:
+        # stable descending sort here, first-undecided fallback there)
+        order = np.argsort(-w, kind="stable")
+        state = nl.priority_mis(indptr, indices, order, state)
+    else:
+        rows_e = np.repeat(np.arange(n), np.diff(indptr))
         und = state == 0
+        while und.any():
+            # local max among undecided neighbors -> C
+            mask = und[rows_e] & und[indices]
+            nb_max = np.full(n, -np.inf)
+            if mask.any():
+                np.maximum.at(nb_max, rows_e[mask], w[indices[mask]])
+            winners = und & (w > nb_max)
+            if not winners.any():
+                winners = und.copy()
+                winners[np.nonzero(und)[0][1:]] = False
+            state[winners] = 1
+            # undecided neighbors of new C points become F (vectorized
+            # over the edge list: sym is symmetric so winner-sourced
+            # edges reach them all)
+            tgt = indices[winners[rows_e]]
+            state[tgt[state[tgt] == 0]] = -1
+            und = state == 0
     cf_map = np.full(n, FINE, np.int64)
     c_idx = np.nonzero(state == 1)[0]
     cf_map[c_idx] = np.arange(c_idx.size)
@@ -203,12 +213,17 @@ def hmis_select(csr: CSRMatrix, strong: np.ndarray, seed: int = 0,
     order = np.argsort(-(lam + _pmis_hash(n, seed)), kind="stable")
     state = np.zeros(n, np.int8)
     indptr, indices = sym.indptr, sym.indices
-    for i in order:
-        if state[i] != 0:
-            continue
-        state[i] = 1                      # C point
-        nb = indices[indptr[i]:indptr[i + 1]]
-        state[nb[state[nb] == 0]] = -1    # strong neighbours become F
+    from ..native import lib as _nl
+    nl = _nl()
+    if nl is not None and getattr(nl, "_has_pmis", False):
+        state = nl.priority_mis(indptr, indices, order, state)
+    else:
+        for i in order:
+            if state[i] != 0:
+                continue
+            state[i] = 1                      # C point
+            nb = indices[indptr[i]:indptr[i + 1]]
+            state[nb[state[nb] == 0]] = -1    # strong neighbours become F
     if aggressive:
         # aggressive HMIS: run the same sweep on the distance-2 graph of
         # the C points only, demoting C points that lose
@@ -220,12 +235,15 @@ def hmis_select(csr: CSRMatrix, strong: np.ndarray, seed: int = 0,
         order_c = np.argsort(-(lam_c + _pmis_hash(len(c_idx), seed + 3)),
                              kind="stable")
         keep = np.zeros(len(c_idx), np.int8)
-        for ii in order_c:
-            if keep[ii] != 0:
-                continue
-            keep[ii] = 1
-            nb = sub.indices[sub.indptr[ii]:sub.indptr[ii + 1]]
-            keep[nb[keep[nb] == 0]] = -1
+        if nl is not None and getattr(nl, "_has_pmis", False):
+            keep = nl.priority_mis(sub.indptr, sub.indices, order_c, keep)
+        else:
+            for ii in order_c:
+                if keep[ii] != 0:
+                    continue
+                keep[ii] = 1
+                nb = sub.indices[sub.indptr[ii]:sub.indptr[ii + 1]]
+                keep[nb[keep[nb] == 0]] = -1
         state[c_idx[keep != 1]] = -1
     cf_map = np.full(n, FINE, np.int64)
     c_idx = np.nonzero(state == 1)[0]

@@ -493,15 +493,18 @@ class Matrix:
             bx, _ = self.csr.block_dim
             if dense_threshold and self.csr.n_rows * bx <= dense_threshold:
                 self._device_op = csr_to_dense_op(self.csr, dtype=mat_dt)
-            elif spmv_impl in ("AUTO", "PALLAS") and (bx, bx) == (1, 1):
+            elif spmv_impl in ("AUTO", "PALLAS"):
                 # fastest-first: DIA (stencil shift-FMA) -> tile-aligned
                 # band strips (MXU) -> lane-binned gather (general
-                # sparsity, TPU) -> padded-ELL gather fallback
-                from .ops.spmv import csr_to_dia
-                from .ops.band import csr_to_band
-                op = csr_to_dia(self.csr, dtype=mat_dt)
-                if op is None:
-                    op = csr_to_band(self.csr, dtype=mat_dt)
+                # sparsity, TPU; covers BSR via scalar expansion and
+                # complex via two value planes) -> padded-ELL fallback
+                op = None
+                if (bx, bx) == (1, 1):
+                    from .ops.spmv import csr_to_dia
+                    from .ops.band import csr_to_band
+                    op = csr_to_dia(self.csr, dtype=mat_dt)
+                    if op is None:
+                        op = csr_to_band(self.csr, dtype=mat_dt)
                 if op is None and jax.default_backend() == "tpu":
                     from .ops.gather_spmv import csr_to_gather
                     op = csr_to_gather(self.csr, dtype=mat_dt)

@@ -86,6 +86,14 @@ class _NativeLib:
         except AttributeError:
             self._has_jp = False
         try:
+            i8p = ctypes.POINTER(ctypes.c_int8)
+            self._h.priority_mis.restype = None
+            self._h.priority_mis.argtypes = [ctypes.c_int64, i64p, i32p,
+                                             i64p, i8p]
+            self._has_pmis = True
+        except AttributeError:
+            self._has_pmis = False
+        try:
             self._h.agg_galerkin.restype = ctypes.c_int64
             self._h.agg_galerkin.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, i64p, i32p, f64p, i64p,
@@ -182,6 +190,26 @@ class _NativeLib:
             order_desc.ctypes.data_as(i64p),
             round_of.ctypes.data_as(i64p))
         return round_of
+
+    def priority_mis(self, indptr, indices, order_desc, state):
+        """Fixed-priority greedy MIS sweep over a pre-initialized state
+        (0 undecided / -1 pre-marked F); mutates and returns state, or
+        None when unavailable."""
+        if not getattr(self, "_has_pmis", False):
+            return None
+        import ctypes
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        n = len(indptr) - 1
+        indptr = np.ascontiguousarray(indptr, np.int64)
+        indices = np.ascontiguousarray(indices, np.int32)
+        order_desc = np.ascontiguousarray(order_desc, np.int64)
+        state = np.ascontiguousarray(state, np.int8)
+        self._h.priority_mis(
+            n, indptr.ctypes.data_as(i64p), indices.ctypes.data_as(i32p),
+            order_desc.ctypes.data_as(i64p), state.ctypes.data_as(i8p))
+        return state
 
     def agg_galerkin(self, a, agg, n_coarse):
         """Piecewise-constant Galerkin Ac = P^T A P for an aggregate map

@@ -219,10 +219,13 @@ def rcm_permutation(csr: CSRMatrix) -> np.ndarray:
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
     n = csr.n_rows
-    rows = np.repeat(np.arange(n), csr.row_nnz())
-    a = sp.csr_matrix((np.ones(csr.nnz), (rows, csr.indices)),
-                      shape=(n, max(n, csr.n_cols)))[:, :n]
-    sym = ((a + a.T) > 0).astype(np.float64).tocsr()
+    # build from the existing CSR arrays (no COO re-sort); RCM reads
+    # structure only, so the summed duplicate values of a + a.T are fine
+    a = sp.csr_matrix((np.ones(csr.nnz), csr.indices, csr.indptr),
+                      shape=(n, max(n, csr.n_cols)))
+    if a.shape[1] != n:
+        a = a[:, :n]
+    sym = (a + a.T).tocsr()
     return np.asarray(reverse_cuthill_mckee(sym, symmetric_mode=True))
 
 

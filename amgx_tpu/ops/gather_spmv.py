@@ -125,7 +125,10 @@ class GatherMatrix:
         self.meta = dict(meta)
         for k, v in self.meta.items():
             setattr(self, k, v)
-        self.block_dim = (1, 1)
+        # BSR operators pack their scalar expansion; n_rows/n_cols stay in
+        # BLOCK units (the device-op contract EllMatrix uses) while the
+        # kernel arrays live in the expanded scalar space
+        self.block_dim = tuple(self.meta.get("block_dim", (1, 1)))
 
     def tree_flatten(self):
         return (tuple(getattr(self, k) for k in self.ARRAY_FIELDS),
@@ -141,10 +144,14 @@ class GatherMatrix:
 
     @property
     def n_pad(self):
-        """Padded vector length (device-op contract shared with
-        DiaMatrix/BandMatrix/EllMatrix): apply() accepts any length and
-        pads internally, so this is the canonical round-up."""
-        return -(-max(self.n_rows, self.n_cols) // 128) * 128
+        """Padded vector length in BLOCK rows (device-op contract shared
+        with DiaMatrix/BandMatrix/EllMatrix: vec_len = n_pad *
+        block_dim[0]): apply() accepts any length and pads internally, so
+        this is the canonical round-up."""
+        bx, by = self.block_dim
+        scalar_pad = -(-max(self.n_rows * bx, self.n_cols * by) // 128) \
+            * 128
+        return -(-scalar_pad // bx)
 
     @property
     def dtype(self):
@@ -195,7 +202,7 @@ class GatherMatrix:
         x2 = self._pad_x(x)
         y = (self._apply_pallas(x2) if self._use_pallas(x)
              else self._apply_ref(x2)).reshape(-1)
-        n = self.n_rows
+        n = self.n_rows * self.block_dim[0]      # scalar output rows
         if y.shape[0] < n:
             y = jnp.pad(y, (0, n - y.shape[0]))
         return y[:n]
@@ -364,6 +371,89 @@ class GatherMatrix:
         return y
 
 
+@jax.tree_util.register_pytree_node_class
+class GatherComplexMatrix:
+    """Complex operator as two real G5 planes sharing every index array:
+    y = (Ar xr - Ai xi) + i (Ar xi + Ai xr). Mosaic has no complex
+    lowering, so the planes run the real kernel four times (reference:
+    complex modes instantiate the same SpMV over cuComplex,
+    multiply.cu)."""
+
+    def __init__(self, re: GatherMatrix, im: GatherMatrix):
+        self.re = re
+        self.im = im
+        self.block_dim = re.block_dim
+
+    def tree_flatten(self):
+        return ((self.re, self.im), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n_rows(self):
+        return self.re.n_rows
+
+    @property
+    def n_cols(self):
+        return self.re.n_cols
+
+    @property
+    def n_pad(self):
+        return self.re.n_pad
+
+    @property
+    def nnz(self):
+        return self.re.nnz
+
+    @property
+    def shape(self):
+        return self.re.shape
+
+    @property
+    def dtype(self):
+        return jnp.result_type(self.re.vals.dtype, 1j)
+
+    def apply(self, x):
+        xr, xi = jnp.real(x), jnp.imag(x)
+        yr = self.re.apply(xr) - self.im.apply(xi)
+        yi = self.re.apply(xi) + self.im.apply(xr)
+        return yr + 1j * yi
+
+
+def _scalar_expand(csr):
+    """BSR -> scalar COO expansion matching the interleaved block-vector
+    layout (row i*bx+a, col j*by+b); the external block diagonal folds in.
+    The reference's SpMV covers bxb blocks natively
+    (multiply.cu:1056-1262); on TPU the scalar expansion keeps the G5
+    kernel's lane algebra unchanged at identical HBM traffic per value."""
+    from ..matrix import CSRMatrix
+    bx, by = csr.block_dim
+    rn = csr.row_nnz()
+    rows_b = np.repeat(np.arange(csr.n_rows, dtype=np.int64), rn)
+    cols_b = csr.indices.astype(np.int64)
+    data = np.asarray(csr.data).reshape(-1, bx, by)
+    ar = np.arange(bx, dtype=np.int64)
+    ac = np.arange(by, dtype=np.int64)
+    zero = np.zeros((1, bx, by), np.int64)
+    rows_s = (rows_b[:, None, None] * bx + ar[None, :, None] + zero).ravel()
+    cols_s = (cols_b[:, None, None] * by + ac[None, None, :] + zero).ravel()
+    vals_s = data.ravel()
+    if csr.diag_data is not None:
+        dd = np.asarray(csr.diag_data).reshape(-1, bx, by)
+        ib = np.arange(csr.n_rows, dtype=np.int64)
+        rows_s = np.concatenate([rows_s, (ib[:, None, None] * bx
+                                          + ar[None, :, None]
+                                          + zero).ravel()])
+        cols_s = np.concatenate([cols_s, (ib[:, None, None] * by
+                                          + ac[None, None, :]
+                                          + zero).ravel()])
+        vals_s = np.concatenate([vals_s, dd.ravel()])
+    return CSRMatrix.from_coo(csr.n_rows * bx, csr.n_cols * by,
+                              rows_s, cols_s, vals_s)
+
+
 def pad_gather(gm: GatherMatrix, nb_target: int) -> GatherMatrix:
     """Pad a pack to ``nb_target`` B-steps (tiles/blocks/steps implied:
     T = NB*unit, B = NB*BPB, steps = NB*(unit+1)).
@@ -422,29 +512,36 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
     D: tile depth (rows of 128 slots); must divide 128; None = adaptive.
     BPB: staging blocks reduced per B-step (amortizes grid overhead).
 
-    Returns None for block matrices, complex data, or pathological packing
-    efficiency (slots/nnz > max_efficiency_waste). ``allow_empty`` packs a
-    minimal all-zero operator instead of returning None (the stacked
-    distributed form needs every shard, including consolidated-away empty
-    ones, to carry uniform arrays)."""
-    if csr.block_dim != (1, 1):
-        return None
+    Returns None only for pathological packing efficiency
+    (slots/nnz > max_efficiency_waste). Block (BSR) operators pack their
+    scalar expansion (interleaved block-vector layout); complex data
+    packs two real value planes sharing every index array and returns a
+    GatherComplexMatrix. ``allow_empty`` packs a minimal all-zero
+    operator instead of returning None (the stacked distributed form
+    needs every shard, including consolidated-away empty ones, to carry
+    uniform arrays)."""
+    blk = csr.block_dim
+    n_blk, m_blk = csr.n_rows, csr.n_cols
+    if blk != (1, 1):
+        csr = _scalar_expand(csr)
     if csr.nnz == 0 and not allow_empty:
         return None
-    if np.iscomplexobj(csr.data):
-        return None
     dtype = np.dtype(dtype or csr.data.dtype)
-    if dtype.kind == "c":
-        return None
+    is_c = np.iscomplexobj(csr.data) or dtype.kind == "c"
+    if is_c:
+        work_dt = np.complex128
+        dtype = np.dtype(np.complex128) if dtype.kind != "c" else dtype
+    else:
+        work_dt = np.float64
     n, m = csr.n_rows, csr.n_cols
     rows = np.repeat(np.arange(n, dtype=np.int64), csr.row_nnz())
     cols = csr.indices.astype(np.int64)
-    vals = csr.data.astype(np.float64)
+    vals = csr.data.astype(work_dt)
     if csr.diag_data is not None:
         # fold the external diagonal (DIAG prop) into the stream
         rows = np.concatenate([rows, np.arange(n, dtype=np.int64)])
         cols = np.concatenate([cols, np.arange(n, dtype=np.int64)])
-        vals = np.concatenate([vals, csr.diag_data.astype(np.float64)])
+        vals = np.concatenate([vals, csr.diag_data.astype(work_dt)])
     keep = vals != 0
     rows, cols, vals = rows[keep], cols[keep], vals[keep]
     nnz = rows.shape[0]
@@ -454,7 +551,7 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
         # one explicit zero slot: y = 0*x[0] for row 0 — a valid pack
         rows = np.zeros(1, np.int64)
         cols = np.zeros(1, np.int64)
-        vals = np.zeros(1, np.float64)
+        vals = np.zeros(1, work_dt)
         nnz = 1
 
     # -- pick geometry -------------------------------------------------------
@@ -626,7 +723,7 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
     sflags = np.where(is_b, 1 + 2 * first_b + 4 * last_b, 0).astype(np.int32)
 
     arrays = dict(
-        vals=jnp.asarray(vals_a),
+        vals=None,                       # filled per value plane below
         hl=jnp.asarray(hl_a),
         bmeta=jnp.asarray(bmeta),
         step_flags=jnp.asarray(sflags),
@@ -638,7 +735,20 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
         tile_window=jnp.asarray(tile_window.astype(np.int32)),
         block_panel=jnp.asarray(block_panel.astype(np.int32)),
     )
-    meta = dict(n_rows=n, n_cols=m, nnz=int(csr.nnz), slots=int(slots),
+    meta = dict(n_rows=n_blk, n_cols=m_blk, block_dim=tuple(blk),
+                nnz=int(csr.nnz), slots=int(slots),
                 W=int(W), S_p=int(S_p), D=int(D), Qc=int(Qc), BPB=int(BPB),
                 n_windows=int(n_windows), n_panels=int(n_panels))
+    if is_c:
+        # two real planes share every index array (GatherComplexMatrix)
+        plane_dt = np.float32 if dtype == np.dtype(np.complex64) \
+            else np.float64
+        re = GatherMatrix(
+            dict(arrays, vals=jnp.asarray(vals_a.real.astype(plane_dt))),
+            meta)
+        im = GatherMatrix(
+            dict(arrays, vals=jnp.asarray(vals_a.imag.astype(plane_dt))),
+            meta)
+        return GatherComplexMatrix(re, im)
+    arrays["vals"] = jnp.asarray(vals_a)
     return GatherMatrix(arrays, meta)

@@ -172,12 +172,35 @@ def phase_spmv_gather(n_side: int, inner: int, reps: int):
     nbytes = csr.nnz * 8 + 2 * csr.n_rows * 4      # CSR-equivalent traffic
     raw_bytes = (gm.slots * 12 + gm.n_panels * csr.n_cols * 4 +
                  2 * csr.n_rows * 4)
-    print(json.dumps({"n": csr.n_rows, "nnz": csr.nnz, "time_s": best,
-                      "gbps": nbytes / best / 1e9,
-                      "raw_gbps": raw_bytes / best / 1e9,
-                      "gnnz_per_s": csr.nnz / best / 1e9,
-                      "slots_per_nnz": gm.slots / csr.nnz,
-                      "setup_s": setup_t}))
+    out = {"n": csr.n_rows, "nnz": csr.nnz, "time_s": best,
+           "gbps": nbytes / best / 1e9,
+           "raw_gbps": raw_bytes / best / 1e9,
+           "gnnz_per_s": csr.nnz / best / 1e9,
+           "slots_per_nnz": gm.slots / csr.nnz,
+           "setup_s": setup_t}
+
+    # BSR sub-phase: 4x4 coupled blocks on a permuted 2-D mesh — the G5
+    # pack covers blocks via scalar expansion (multiply.cu:1056-1262)
+    side2 = max(16, n_side * 2)
+    base = amgx.gallery.poisson5pt(side2, side2, dtype=dtype)
+    perm2 = rng.permutation(base.n_rows)
+    sb = base.to_scipy().tocsr()[perm2][:, perm2].tocsr()
+    coup = (rng.standard_normal((4, 4)) * 0.2 + np.eye(4)).astype(dtype)
+    data4 = np.einsum("k,ij->kij", sb.data.astype(dtype), coup)
+    a4 = CSRMatrix(base.n_rows, base.n_cols, sb.indptr, sb.indices, data4,
+                   block_dim=(4, 4))
+    gm4 = csr_to_gather(a4, dtype=dtype)
+    if gm4 is not None:
+        x4 = jnp.asarray(rng.standard_normal(
+            gm4.n_pad * gm4.block_dim[0]).astype(dtype))
+        b4 = _slope_time(lambda k: g(gm4, x4, k), inner, reps)
+        nnz4 = a4.nnz * 16
+        out["bsr"] = {"n": a4.n_rows, "block": 4, "nnz_scalar": nnz4,
+                      "time_s": b4,
+                      "gbps": (nnz4 * 8 + 2 * a4.n_rows * 4 * 4) / b4 / 1e9,
+                      "gnnz_per_s": nnz4 / b4 / 1e9,
+                      "slots_per_nnz": gm4.slots / nnz4}
+    print(json.dumps(out))
 
 
 def phase_amg(n_side: int):
@@ -223,9 +246,14 @@ def phase_amg_classical(n_side: int):
     jax.config.update("jax_enable_x64", True)
     a = amgx.gallery.poisson7pt(n_side, n_side, n_side, dtype=np.float64)
     cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        # fused_solve is intentionally OFF here: the color-sequential GS
+        # V-cycle unrolled inside lax.while_loop faults the remote TPU
+        # worker at >=32^3 (fused BLOCK_JACOBI at 48^3 and non-fused GS
+        # both run clean — tracked as a program-size/compile issue);
+        # per-iteration host sync adds ~28 ms/iter through the tunnel
         "solver": "AMG", "max_iters": 100, "tolerance": 1e-8,
         "convergence": "RELATIVE_INI", "monitor_residual": 1,
-        "fused_solve": 1, "mode": "dDDI", "scope": "main",
+        "mode": "dDDI", "scope": "main",
         "algorithm": "CLASSICAL", "selector": "PMIS",
         "interpolator": "D2", "smoother": "MULTICOLOR_GS",
         "presweeps": 1, "postsweeps": 1, "min_coarse_rows": 64,

@@ -138,6 +138,28 @@ void spgemm_fill(int64_t n_rows_a, int64_t n_cols_b,
     }
 }
 
+
+// Fixed-priority maximal independent set: sequential greedy over the
+// caller-supplied descending-priority order. Equals the round-parallel
+// PMIS/HMIS fixpoint (lexicographically-first MIS under the priority)
+// in one O(nnz) pass (reference: selectors/pmis.cu two-phase flagging,
+// selectors/hmis.cu RS sweep). `state` arrives pre-initialized (0
+// undecided, -1 pre-marked F, e.g. isolated points); winners become 1
+// and demote undecided neighbours to -1.
+void priority_mis(int64_t n, const int64_t* indptr, const int32_t* indices,
+                  const int64_t* order_desc, int8_t* state) {
+    for (int64_t oi = 0; oi < n; ++oi) {
+        const int64_t i = order_desc[oi];
+        if (state[i] != 0) continue;
+        state[i] = 1;
+        for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+            const int32_t j = indices[k];
+            if (j != static_cast<int32_t>(i) && state[j] == 0)
+                state[j] = -1;
+        }
+    }
+}
+
 }  // extern "C"
 
 extern "C" {

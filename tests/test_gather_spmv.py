@@ -130,3 +130,58 @@ def test_pallas_interpret_matches(rng):
     np.testing.assert_allclose(y_pal, y_ref, rtol=2e-5, atol=2e-5)
     ref = csr.to_scipy() @ x
     np.testing.assert_allclose(y_ref[:600], ref, rtol=2e-4, atol=2e-4)
+
+
+def test_bsr_scalar_expansion(rng):
+    """BSR packs via scalar expansion (reference covers bxb blocks
+    natively, multiply.cu:1056-1262); n_rows/n_pad follow the block-unit
+    device-op contract (vec_len = n_pad * bx)."""
+    import amgx_tpu as amgx
+    base = amgx.gallery.poisson5pt(16, 16)
+    coup = rng.standard_normal((4, 4)) * 0.2 + np.eye(4)
+    data = np.einsum("k,ij->kij", base.data, coup)
+    a = CSRMatrix(base.n_rows, base.n_cols, base.indptr, base.indices,
+                  data, block_dim=(4, 4))
+    gm = csr_to_gather(a)
+    assert gm is not None and gm.block_dim == (4, 4)
+    assert gm.n_rows == base.n_rows
+    x = rng.standard_normal(a.n_rows * 4)
+    vl = gm.n_pad * gm.block_dim[0]
+    y = np.asarray(gm.apply(jnp.asarray(np.pad(x, (0, vl - x.size)))))
+    ref = a.to_scipy() @ x
+    np.testing.assert_allclose(y[:ref.size], ref, rtol=1e-12, atol=1e-12)
+
+
+def test_bsr_diag_property(rng):
+    import amgx_tpu as amgx
+    base = amgx.gallery.poisson5pt(12, 12)
+    data = np.einsum("k,ij->kij", base.data, np.eye(3))
+    dd = np.einsum("k,ij->kij", np.full(base.n_rows, 4.0), np.eye(3))
+    a = CSRMatrix(base.n_rows, base.n_cols, base.indptr, base.indices,
+                  data, block_dim=(3, 3), diag_data=dd)
+    gm = csr_to_gather(a)
+    x = rng.standard_normal(a.n_rows * 3)
+    vl = gm.n_pad * gm.block_dim[0]
+    y = np.asarray(gm.apply(jnp.asarray(np.pad(x, (0, vl - x.size)))))
+    ref = a.to_scipy() @ x
+    np.testing.assert_allclose(y[:ref.size], ref, rtol=1e-12, atol=1e-12)
+
+
+def test_complex_two_plane(rng):
+    """Complex packs as two real planes sharing every index array
+    (GatherComplexMatrix); Mosaic has no complex lowering."""
+    from amgx_tpu.ops.gather_spmv import GatherComplexMatrix
+    import amgx_tpu as amgx
+    base = amgx.gallery.poisson5pt(16, 16)
+    n = base.n_rows
+    dc = base.data * (1.0 + 0.3j) \
+        + 1j * rng.standard_normal(base.data.size) * 0.1
+    a = CSRMatrix(n, n, base.indptr, base.indices, dc)
+    gc = csr_to_gather(a)
+    assert isinstance(gc, GatherComplexMatrix)
+    # index arrays are literally shared (no duplicated metadata in HBM)
+    assert gc.re.hl is gc.im.hl and gc.re.bmeta is gc.im.bmeta
+    xc = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    yc = np.asarray(gc.apply(jnp.asarray(np.pad(xc, (0, gc.n_pad - n)))))
+    ref = a.to_scipy() @ xc
+    np.testing.assert_allclose(yc[:n], ref, rtol=1e-12, atol=1e-12)
