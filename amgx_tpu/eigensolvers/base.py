@@ -108,6 +108,20 @@ class EigenSolver:
         if x.shape[0] < n:
             x = jnp.pad(x, (0, n - x.shape[0]))
         x = x.astype(vec_dt)
+        it, state = self._run(x)
+        self.last_iters = it
+        self.finalize(state)
+        self.solve_time = time.perf_counter() - t0
+        return self.eigenvalues, self.eigenvectors
+
+    def _run(self, x):
+        """Drive the iteration to convergence; returns (iters, state).
+
+        The base implementation is the reference's host loop
+        (eigensolver.cu:244-251). Methods override this with
+        device-resident loops (lax.while_loop / batched fori_loop) so an
+        entire solve is 1-2 XLA dispatches instead of per-iteration host
+        round trips — the TPU-critical path through the remote tunnel."""
         state = self.solve_init(x)
         it = 0
         converged = False
@@ -115,10 +129,14 @@ class EigenSolver:
             state = self.solve_iteration(state)
             it += 1
             converged = self.check_convergence(state)
-        self.last_iters = it
-        self.finalize(state)
-        self.solve_time = time.perf_counter() - t0
-        return self.eigenvalues, self.eigenvectors
+        return it, state
+
+    def _op_is_operand(self) -> bool:
+        """True when the operator can ride as a jit operand (registered
+        pytree with a traceable apply) — the prerequisite for the fused
+        device-resident loops."""
+        op = self.op
+        return hasattr(op, "tree_flatten") and hasattr(op, "apply")
 
     def _veclen(self) -> int:
         op = self.op

@@ -6,12 +6,34 @@ subspace_iteration,lobpcg,jacobi_davidson}_eigensolver.cu and the shared
 multivector + QR helpers (qr.cu). The reference offloads small dense
 eigenproblems to LAPACK/MAGMA (base/src/amgx_lapack.cu); here numpy.linalg
 plays that role — the Ritz problems are metadata-sized.
+
+TPU execution model: the reference's solve loop runs device-resident with
+only Ritz-sized data on the host (eigensolver.cu:205-356). The host-driven
+``solve_iteration`` protocol below (kept for exotic operators) costs one+
+host round trip per step — ~28 ms each through a remote-TPU tunnel — so
+every method overrides ``_run`` with a device-resident loop:
+
+  * power / PageRank / LOBPCG: the whole iteration in one jitted
+    ``lax.while_loop`` (LOBPCG's 3x3 Rayleigh-Ritz runs on-device via
+    ``jnp.linalg.eigh`` with sentinel diagonals masking degenerate
+    directions).
+  * Lanczos / Arnoldi: ``krylov_dim`` steps batched in one jitted
+    ``lax.fori_loop`` (CGS2 full reorthogonalization as masked dense
+    matvecs against the basis); per restart the host fetches only the
+    tridiagonal / Hessenberg coefficients for the LAPACK-sized Ritz solve.
+  * Subspace iteration: one device program per step (block apply +
+    Gram projection), one k-by-k fetch for the nonsymmetric Ritz eig.
+
+The operator rides as a jit *operand* (registered pytree — operators.py),
+so multi-MB matrices are never baked into the HLO as constants.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .base import EigenSolver, register_eigensolver
 from ..solvers.base import SolverFactory
@@ -22,6 +44,16 @@ def _normalize(v):
     return v / jnp.where(n == 0, 1.0, n), n
 
 
+def _unit(v):
+    """Traceable normalize returning the same dtype."""
+    n = jnp.sqrt(jnp.vdot(v, v).real)
+    return (v / jnp.where(n == 0, 1.0, n)).astype(v.dtype)
+
+
+def _real_dt(dt):
+    return jnp.zeros((), dt).real.dtype
+
+
 @register_eigensolver("SINGLE_ITERATION")
 class SingleIterationEigenSolver(EigenSolver):
     """Power iteration on A (largest / pagerank) or inverse iteration through
@@ -30,6 +62,7 @@ class SingleIterationEigenSolver(EigenSolver):
 
     def solver_setup(self):
         self.inner = None
+        self._jit_power = None
         if self.which == "smallest":
             self.inner = SolverFactory.allocate(self.cfg, self.scope,
                                                 "solver")
@@ -55,8 +88,42 @@ class SingleIterationEigenSolver(EigenSolver):
         v_new, _ = _normalize(w)
         return {"v": v_new, "lam": lam, "resid": resid}
 
+    def _run(self, x):
+        # inverse iteration drives a whole inner Krylov solve per step —
+        # that stays on the reference-style host loop
+        if self.which == "smallest" or not self._op_is_operand():
+            return super()._run(x)
+        if self._jit_power is None:
+            mi, tol = self.max_iters, self.tolerance
+
+            def run(op, v0):
+                rdt = _real_dt(v0.dtype)
+                v0 = _unit(v0)
+
+                def cond(c):
+                    it, _, _, resid = c
+                    return jnp.logical_and(it < mi, resid >= tol)
+
+                def body(c):
+                    it, v, lam, _ = c
+                    w = op.apply(v)
+                    lam = jnp.vdot(v, w)
+                    r = w - lam * v
+                    resid = jnp.sqrt(jnp.vdot(r, r).real) / \
+                        jnp.maximum(jnp.abs(lam).real,
+                                    jnp.asarray(1e-30, rdt))
+                    return it + 1, _unit(w), lam, resid.astype(rdt)
+
+                c0 = (jnp.asarray(0, jnp.int32), v0,
+                      jnp.asarray(0.0, v0.dtype), jnp.asarray(np.inf, rdt))
+                return lax.while_loop(cond, body, c0)
+
+            self._jit_power = jax.jit(run)
+        it, v, lam, resid = self._jit_power(self.op, x)
+        return int(it), {"v": v, "lam": lam, "resid": resid}
+
     def finalize(self, state):
-        lam = float(np.asarray(state["lam"]))
+        lam = float(np.asarray(state["lam"]).real)
         if self.which == "smallest":
             lam = 1.0 / lam if lam != 0 else 0.0
         if self.which == "shift":
@@ -69,7 +136,12 @@ class SingleIterationEigenSolver(EigenSolver):
 @register_eigensolver("LANCZOS")
 class LanczosEigenSolver(EigenSolver):
     """Lanczos tridiagonalization with full storage of the Krylov basis and
-    a host-side tridiagonal Ritz solve (lanczos_eigensolver.cu)."""
+    a host-side tridiagonal Ritz solve (lanczos_eigensolver.cu). The fused
+    path batches krylov_dim steps into one device program per restart."""
+
+    def solver_setup(self):
+        self._jit_lz = {}
+        self._jit_lz_combine = None
 
     def solve_init(self, x):
         v, _ = _normalize(x)
@@ -123,8 +195,87 @@ class LanczosEigenSolver(EigenSolver):
         return {**s, "lam": jnp.asarray(lam), "v": v,
                 "resid": jnp.asarray(resid)}
 
+    # -- fused path ---------------------------------------------------------
+
+    def _batch_fn(self, steps: int):
+        """One jitted program running `steps` Lanczos steps with CGS2 full
+        reorthogonalization; returns the basis V and the (2, steps)
+        alpha/beta table — the only host fetch per restart."""
+
+        def run(op, v0):
+            n = v0.shape[0]
+            dt = v0.dtype
+            rdt = _real_dt(dt)
+            v0 = _unit(v0)
+            V = jnp.zeros((steps + 1, n), dt).at[0].set(v0)
+            ab = jnp.zeros((2, steps), rdt)
+
+            def body(j, c):
+                V, ab = c
+                vj = lax.dynamic_index_in_dim(V, j, 0, keepdims=False)
+                w = op.apply(vj)
+                mask = jnp.arange(steps + 1) <= j
+                c1 = jnp.where(mask, V.conj() @ w, 0)
+                w = w - c1 @ V
+                c2 = jnp.where(mask, V.conj() @ w, 0)   # CGS2 second pass
+                w = w - c2 @ V
+                a = (c1 + c2)[j]
+                b = jnp.sqrt(jnp.vdot(w, w).real)
+                ab = ab.at[0, j].set(a.real).at[1, j].set(b)
+                V = V.at[j + 1].set(
+                    (w / jnp.where(b == 0, 1.0, b)).astype(dt))
+                return V, ab
+
+            return lax.fori_loop(0, steps, body, (V, ab))
+
+        return jax.jit(run)
+
+    def _run(self, x):
+        if not self._op_is_operand():
+            return super()._run(x)
+        if self._jit_lz_combine is None:
+            def combine(V, y):
+                return _unit(y @ V)
+            self._jit_lz_combine = jax.jit(combine)
+        m = max(2, min(self.krylov_dim, self.max_iters))
+        op = self.op
+        it_total = 0
+        v = x
+        lam, resid = 0.0, np.inf
+        while it_total < self.max_iters and resid >= self.tolerance:
+            steps = max(2, min(m, self.max_iters - it_total))
+            fn = self._jit_lz.get(steps)
+            if fn is None:
+                fn = self._jit_lz[steps] = self._batch_fn(steps)
+            V, ab = fn(op, v)
+            alpha, beta = np.asarray(ab, np.float64)
+            # breakdown = invariant subspace found: truncate there
+            scale = max(float(np.abs(alpha).max()), float(beta.max()), 1.0)
+            j = steps
+            tiny = np.nonzero(beta <= 1e-12 * scale)[0]
+            broke = tiny.size > 0
+            if broke:
+                j = int(tiny[0]) + 1
+            T = np.diag(alpha[:j])
+            if j > 1:
+                T = T + np.diag(beta[:j - 1], 1) + np.diag(beta[:j - 1], -1)
+            evals, evecs = np.linalg.eigh(T)
+            pick = -1 if self.which in ("largest", "pagerank", "shift") \
+                else 0
+            lam = float(evals[pick])
+            y = evecs[:, pick]
+            ypad = np.zeros(steps + 1)
+            ypad[:j] = y
+            v = self._jit_lz_combine(V, jnp.asarray(ypad, _real_dt(V.dtype)))
+            resid = 0.0 if broke else \
+                abs(float(beta[j - 1] * y[-1])) / max(abs(lam), 1e-300)
+            it_total += min(j, self.max_iters - it_total)
+        return it_total, {"lam": jnp.asarray(lam), "v": v,
+                          "resid": jnp.asarray(resid)}
+
     def finalize(self, state):
-        state = self._ritz(state)
+        if "j" in state:
+            state = self._ritz(state)
         lam = float(np.asarray(state["lam"]))
         if self.which == "shift":
             lam += self.shift
@@ -136,7 +287,12 @@ class LanczosEigenSolver(EigenSolver):
 @register_eigensolver("ARNOLDI")
 class ArnoldiEigenSolver(EigenSolver):
     """Arnoldi iteration for non-symmetric operators
-    (arnoldi_eigensolver.cu)."""
+    (arnoldi_eigensolver.cu). The fused path batches krylov_dim steps into
+    one device program per restart and fetches only H."""
+
+    def solver_setup(self):
+        self._jit_ar = {}
+        self._jit_ar_combine = None
 
     def solve_init(self, x):
         v, _ = _normalize(x)
@@ -185,18 +341,108 @@ class ArnoldiEigenSolver(EigenSolver):
         return {**s, "lam": jnp.asarray(np.real(lam)), "v": v,
                 "resid": jnp.asarray(float(np.real(resid)))}
 
-    finalize = LanczosEigenSolver.finalize
-    _finalize_shift = True
+    # -- fused path ---------------------------------------------------------
+
+    def _batch_fn(self, steps: int):
+        def run(op, v0):
+            n = v0.shape[0]
+            dt = v0.dtype
+            rdt = _real_dt(dt)
+            v0 = _unit(v0)
+            V = jnp.zeros((steps + 1, n), dt).at[0].set(v0)
+            H = jnp.zeros((steps + 1, steps), rdt)
+
+            def body(j, c):
+                V, H = c
+                vj = lax.dynamic_index_in_dim(V, j, 0, keepdims=False)
+                w = op.apply(vj)
+                mask = jnp.arange(steps + 1) <= j
+                h1 = jnp.where(mask, V.conj() @ w, 0)
+                w = w - h1 @ V
+                h2 = jnp.where(mask, V.conj() @ w, 0)   # CGS2
+                w = w - h2 @ V
+                hn = jnp.sqrt(jnp.vdot(w, w).real)
+                col = jnp.where(mask, (h1 + h2).real, 0.0) \
+                    .astype(rdt).at[j + 1].set(hn)
+                H = H.at[:, j].set(col)
+                V = V.at[j + 1].set(
+                    (w / jnp.where(hn == 0, 1.0, hn)).astype(dt))
+                return V, H
+
+            return lax.fori_loop(0, steps, body, (V, H))
+
+        return jax.jit(run)
+
+    def _run(self, x):
+        if not self._op_is_operand() or \
+                not jnp.issubdtype(x.dtype, jnp.floating):
+            return super()._run(x)
+        if self._jit_ar_combine is None:
+            def combine(V, y):
+                return _unit(y @ V)
+            self._jit_ar_combine = jax.jit(combine)
+        m = max(2, min(self.krylov_dim, self.max_iters))
+        op = self.op
+        it_total = 0
+        v = x
+        lam, resid = 0.0, np.inf
+        while it_total < self.max_iters and resid >= self.tolerance:
+            steps = max(2, min(m, self.max_iters - it_total))
+            fn = self._jit_ar.get(steps)
+            if fn is None:
+                fn = self._jit_ar[steps] = self._batch_fn(steps)
+            V, H = fn(op, v)
+            Hn = np.asarray(H, np.float64)
+            sub = np.array([Hn[i + 1, i] for i in range(steps)])
+            scale = max(float(np.abs(Hn).max()), 1.0)
+            j = steps
+            tiny = np.nonzero(sub <= 1e-12 * scale)[0]
+            broke = tiny.size > 0
+            if broke:
+                j = int(tiny[0]) + 1
+            evals, evecs = np.linalg.eig(Hn[:j, :j])
+            if self.which in ("largest", "pagerank", "shift"):
+                pick = int(np.argmax(np.abs(evals)))
+            else:
+                pick = int(np.argmin(np.abs(evals)))
+            lam = float(np.real(evals[pick]))
+            y = np.real(evecs[:, pick])
+            ypad = np.zeros(steps + 1)
+            ypad[:j] = y
+            v = self._jit_ar_combine(V, jnp.asarray(ypad, _real_dt(V.dtype)))
+            resid = 0.0 if broke else \
+                abs(float(Hn[j, j - 1] * y[-1])) / max(abs(lam), 1e-300)
+            it_total += min(j, self.max_iters - it_total)
+        return it_total, {"lam": jnp.asarray(lam), "v": v,
+                          "resid": jnp.asarray(resid)}
+
+    def finalize(self, state):
+        if "j" in state:
+            state = self._ritz(state)
+        lam = float(np.asarray(state["lam"]))
+        if self.which == "shift":
+            lam += self.shift
+        self.eigenvalues = [lam]
+        self.eigenvectors = np.asarray(state["v"])[None,
+                                                   : self._logical_len()]
 
 
 @register_eigensolver("SUBSPACE_ITERATION")
 class SubspaceIterationEigenSolver(EigenSolver):
     """Block power iteration with QR re-orthonormalization and a projected
-    Ritz solve (subspace_iteration_eigensolver.cu + qr.cu)."""
+    Ritz solve (subspace_iteration_eigensolver.cu + qr.cu). The fused path
+    keeps the block, the QR, and the residual on-device; only the k-by-k
+    Gram matrix crosses to the host for the nonsymmetric Ritz eig."""
+
+    def solver_setup(self):
+        self._jit_sub = None
+
+    def _pad_dim(self):
+        k = max(self.wanted, 1)
+        return min(k + 2, max(k, 2))
 
     def solve_init(self, x):
-        k = max(self.wanted, 1)
-        pad = min(k + 2, max(k, 2))
+        pad = self._pad_dim()
         rng = np.random.default_rng(11)
         n = x.shape[0]
         X = rng.standard_normal((n, pad))
@@ -227,6 +473,47 @@ class SubspaceIterationEigenSolver(EigenSolver):
         return {"Q": jnp.asarray(Qn), "lam": jnp.asarray(lam),
                 "resid": jnp.asarray(resid), "v": v, "evals": evals}
 
+    def _run(self, x):
+        if not self._op_is_operand() or \
+                not jnp.issubdtype(x.dtype, jnp.floating):
+            return super()._run(x)
+        pad = self._pad_dim()
+        if self._jit_sub is None:
+            def s1(op, Q):
+                cols = [op.apply(Q[:, i]) for i in range(pad)]
+                Y = jnp.stack(cols, axis=1)
+                return Y, Q.T @ Y
+
+            def s2(op, Q, Y, E, lam):
+                Qn, _ = jnp.linalg.qr(Y @ E)
+                v = _unit(Q @ E[:, 0])
+                r = op.apply(v) - lam * v
+                resid = jnp.sqrt(jnp.vdot(r, r).real) / \
+                    jnp.maximum(jnp.abs(lam), 1e-30)
+                return Qn, v, resid
+
+            self._jit_sub = (jax.jit(s1), jax.jit(s2))
+        js1, js2 = self._jit_sub
+        st = self.solve_init(x)
+        Q, v = st["Q"], st["v"]
+        op = self.op
+        it, resid = 0, np.inf
+        evals = np.zeros(pad)
+        lam = 0.0
+        while it < self.max_iters and resid >= self.tolerance:
+            Y, B = js1(op, Q)
+            ev, evec = np.linalg.eig(np.asarray(B, np.float64))
+            order = np.argsort(-np.abs(ev))
+            evals = np.real(ev[order])
+            E = np.real(evec[:, order])
+            lam = float(evals[0])
+            Q, v, r_dev = js2(op, Q, Y, jnp.asarray(E, Q.dtype),
+                              jnp.asarray(lam, _real_dt(Q.dtype)))
+            resid = float(np.asarray(r_dev))
+            it += 1
+        return it, {"Q": Q, "lam": jnp.asarray(lam),
+                    "resid": jnp.asarray(resid), "v": v, "evals": evals}
+
     def finalize(self, state):
         k = max(self.wanted, 1)
         evals = state["evals"][:k]
@@ -241,10 +528,13 @@ class SubspaceIterationEigenSolver(EigenSolver):
 class LOBPCGEigenSolver(EigenSolver):
     """Locally optimal block preconditioned CG (lobpcg_eigensolver.cu);
     the (optional) preconditioner comes from the 'solver' scope like the
-    reference's inner solver."""
+    reference's inner solver. The fused path runs the whole loop on-device:
+    the 3x3 Rayleigh-Ritz uses jnp.linalg.eigh with sentinel diagonals for
+    degenerate search directions (first iteration's p = 0, converged r)."""
 
     def solver_setup(self):
         self.precond = None
+        self._jit_lobpcg = None
         name, _ = self.cfg.get_pair("preconditioner", self.scope)
         if name and name != "NOSOLVER":
             self.precond = SolverFactory.allocate(self.cfg, self.scope,
@@ -293,6 +583,75 @@ class LOBPCGEigenSolver(EigenSolver):
         return {"v": v_new, "p": p_new,
                 "lam": jnp.asarray(evals[pick]), "resid": resid}
 
+    def _run(self, x):
+        if not self._op_is_operand() or \
+                not jnp.issubdtype(x.dtype, jnp.floating):
+            return super()._run(x)
+        mi, tol = self.max_iters, self.tolerance
+        pick_last = self.which in ("largest", "shift", "pagerank")
+        # the preconditioner traces inline (its device buffers are baked as
+        # constants — acceptable: M^{-1} is usually small relative to A, and
+        # the host path remains for anything exotic)
+        P = self.precond.as_preconditioner() \
+            if self.precond is not None else None
+        if self._jit_lobpcg is None:
+            def run(op, v0):
+                dt = v0.dtype
+                rdt = _real_dt(dt)
+                v0 = _unit(v0)
+                eps = jnp.asarray(1e-12, rdt)
+
+                def cond(c):
+                    it, _, _, _, resid = c
+                    return jnp.logical_and(it < mi, resid >= tol)
+
+                def body(c):
+                    it, v, p, lam, _ = c
+                    Av = op.apply(v)
+                    lam_r = jnp.vdot(v, Av).real
+                    r = Av - lam_r * v
+                    resid = jnp.sqrt(jnp.vdot(r, r).real) / \
+                        jnp.maximum(jnp.abs(lam_r), jnp.asarray(1e-30, rdt))
+                    if P is not None:
+                        r = P(r)
+                    u1 = v
+                    u2 = r - jnp.vdot(u1, r) * u1
+                    n2 = jnp.sqrt(jnp.vdot(u2, u2).real)
+                    ok2 = n2 > eps
+                    u2 = jnp.where(ok2, u2 / jnp.where(n2 == 0, 1.0, n2),
+                                   0.0).astype(dt)
+                    u3 = p - jnp.vdot(u1, p) * u1
+                    u3 = u3 - jnp.vdot(u2, u3) * u2
+                    n3 = jnp.sqrt(jnp.vdot(u3, u3).real)
+                    ok3 = n3 > eps
+                    u3 = jnp.where(ok3, u3 / jnp.where(n3 == 0, 1.0, n3),
+                                   0.0).astype(dt)
+                    B = jnp.stack([u1, u2, u3], axis=1)
+                    AB = jnp.stack([Av, op.apply(u2), op.apply(u3)], axis=1)
+                    G = (B.T @ AB).astype(rdt)
+                    G = 0.5 * (G + G.T)
+                    valid = jnp.stack(
+                        [jnp.asarray(True), ok2, ok3])
+                    vm = valid[:, None] & valid[None, :]
+                    sent = jnp.asarray(-1e30 if pick_last else 1e30, rdt)
+                    G = jnp.where(vm, G, 0.0) + \
+                        jnp.diag(jnp.where(valid, jnp.zeros((), rdt), sent))
+                    evals, evecs = jnp.linalg.eigh(G)
+                    idx = 2 if pick_last else 0
+                    y = evecs[:, idx].astype(dt)
+                    lam_new = evals[idx].astype(rdt)
+                    vn = _unit(B @ y)
+                    pn = vn - (y @ (B.T @ v)) * v
+                    return it + 1, vn, pn, lam_new, resid.astype(rdt)
+
+                c0 = (jnp.asarray(0, jnp.int32), v0, jnp.zeros_like(v0),
+                      jnp.asarray(0.0, rdt), jnp.asarray(np.inf, rdt))
+                return lax.while_loop(cond, body, c0)
+
+            self._jit_lobpcg = jax.jit(run)
+        it, v, p, lam, resid = self._jit_lobpcg(self.op, x)
+        return int(it), {"v": v, "p": p, "lam": lam, "resid": resid}
+
     def finalize(self, state):
         lam = float(np.asarray(state["lam"]))
         if self.which == "shift":
@@ -306,7 +665,8 @@ class LOBPCGEigenSolver(EigenSolver):
 class JacobiDavidsonEigenSolver(EigenSolver):
     """Jacobi-Davidson with an (approximately solved) correction equation
     (jacobi_davidson_eigensolver.cu). The correction solve uses diagonal
-    preconditioning of (A - theta I)."""
+    preconditioning of (A - theta I). Host-driven: the basis grows
+    dynamically and the method is not on the benchmark path."""
 
     def solve_init(self, x):
         v, _ = _normalize(x)

@@ -63,6 +63,26 @@ class _NativeLib:
         except AttributeError:
             self._has_gather_pack = False
         try:
+            self._h.counting_sort_perm.restype = None
+            self._h.counting_sort_perm.argtypes = [
+                ctypes.c_int64, i64p, ctypes.c_int64, i64p]
+            self._has_csort = True
+        except AttributeError:
+            self._has_csort = False
+        try:
+            i8p_ = ctypes.POINTER(ctypes.c_int8)
+            i16p_ = ctypes.POINTER(ctypes.c_int16)
+            self._h.gather_postpack.restype = None
+            self._h.gather_postpack.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                i64p, i32p, i32p, i32p, i32p, f64p,
+                i64p, i32p, i32p,
+                ctypes.c_void_p, i16p_, i8p_]
+            self._has_postpack = True
+        except AttributeError:
+            self._has_postpack = False
+        try:
             self._h.pairwise_match.restype = ctypes.c_int64
             self._h.pairwise_match.argtypes = [
                 ctypes.c_int64, i64p, i32p, f64p,
@@ -172,6 +192,62 @@ class _NativeLib:
             rl.ctypes.data_as(i32p), cl.ctypes.data_as(i32p),
             s_out.ctypes.data_as(i32p))
         return s_out
+
+    def counting_sort_perm(self, keys, n_keys):
+        """Stable O(n) permutation sorting `keys` ascending, or None."""
+        if not getattr(self, "_has_csort", False):
+            return None
+        import ctypes
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        keys = np.ascontiguousarray(keys, np.int64)
+        perm = np.empty(keys.shape[0], np.int64)
+        self._h.counting_sort_perm(
+            keys.shape[0], keys.ctypes.data_as(i64p), int(n_keys),
+            perm.ctypes.data_as(i64p))
+        return perm
+
+    def gather_postpack(self, t_tot, b_tot, d, qc, tile_of_edge,
+                        row_in_tile, rl, cl, hi_local, vals, gb, rib, q,
+                        out_dtype):
+        """Build the G5 device streams (vals_a, hl_a, bmeta) natively;
+        returns the three numpy arrays or None when unavailable."""
+        if not getattr(self, "_has_postpack", False):
+            return None
+        import ctypes
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        out_dtype = np.dtype(out_dtype)
+        if out_dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+            return None
+        nnz = rl.shape[0]
+        tile_of_edge = np.ascontiguousarray(tile_of_edge, np.int64)
+        row_in_tile = np.ascontiguousarray(row_in_tile, np.int32)
+        rl = np.ascontiguousarray(rl, np.int32)
+        cl = np.ascontiguousarray(cl, np.int32)
+        hi_local = np.ascontiguousarray(hi_local, np.int32)
+        vals = np.ascontiguousarray(vals, np.float64)
+        gb = np.ascontiguousarray(gb, np.int64)
+        rib = np.ascontiguousarray(rib, np.int32)
+        q = np.ascontiguousarray(q, np.int32)
+        vals_a = np.zeros((t_tot, d, 128), out_dtype)
+        hl_a = np.zeros((t_tot, d, 128), np.int16)
+        r_rows = 128 + 2 * qc * 128
+        bmeta = np.zeros((b_tot, r_rows, 128), np.int8)
+        self._h.gather_postpack(
+            nnz, int(t_tot), int(b_tot), int(d), int(qc),
+            1 if out_dtype == np.dtype(np.float32) else 0,
+            tile_of_edge.ctypes.data_as(i64p),
+            row_in_tile.ctypes.data_as(i32p),
+            rl.ctypes.data_as(i32p), cl.ctypes.data_as(i32p),
+            hi_local.ctypes.data_as(i32p), vals.ctypes.data_as(f64p),
+            gb.ctypes.data_as(i64p), rib.ctypes.data_as(i32p),
+            q.ctypes.data_as(i32p),
+            vals_a.ctypes.data_as(ctypes.c_void_p),
+            hl_a.ctypes.data_as(i16p), bmeta.ctypes.data_as(i8p))
+        return vals_a, hl_a, bmeta
 
     def jp_rounds(self, indptr, indices, order_desc):
         """Closed-form Jones-Plassmann rounds; returns round_of array."""

@@ -3,13 +3,20 @@
 Replaces base/include/operators/operator.h:37-57 and core/src/operators/.
 An operator is anything with ``apply(x)`` and ``shape``; EllMatrix /
 DiaMatrix / DenseOperator satisfy the protocol natively.
+
+All composed operators that wrap device matrices are registered as pytrees
+so they can ride as jit *operands* (the fused eigensolver loops pass the
+operator into one compiled ``lax.while_loop`` program instead of closure-
+capturing multi-MB constants into the HLO — see eigensolvers/methods.py).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_pytree_node_class
 class ShiftedOperator:
     """(A - shift I) x (reference: core/src/operators shifted_operator)."""
 
@@ -22,6 +29,14 @@ class ShiftedOperator:
 
     def apply(self, x):
         return self.op.apply(x) - self.shift * x
+
+    def tree_flatten(self):
+        return (self.op,), (self.shift,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (op,) = children
+        return cls(op, aux[0])
 
 
 class SolverOperator:
@@ -42,6 +57,7 @@ class SolverOperator:
         return z
 
 
+@jax.tree_util.register_pytree_node_class
 class DeflatedMultiplyOperator:
     """A x - lambda (x . v) v for deflation in eigensolvers."""
 
@@ -56,7 +72,15 @@ class DeflatedMultiplyOperator:
     def apply(self, x):
         return self.op.apply(x) - self.lam * jnp.vdot(self.v, x) * self.v
 
+    def tree_flatten(self):
+        return (self.op, self.lam, self.v), ()
 
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
 class PagerankOperator:
     """Google-matrix apply: damping * D^{-1} A^T x + teleport
     (reference: core/src/operators pagerank used by eig 'pagerank')."""
@@ -72,7 +96,6 @@ class PagerankOperator:
         self.dtype = op_t.dtype
 
     def apply(self, x):
-        n = jnp.sum(self.inv_outdeg > 0) + jnp.sum(self.inv_outdeg == 0)
         y = self.op_t.apply(self.inv_outdeg * x)
         mass = jnp.sum(x)
         if self.dangling is not None:
@@ -82,3 +105,16 @@ class PagerankOperator:
         total = x.shape[0]
         return (self.damping * (y + mass_d / total) +
                 (1.0 - self.damping) * mass / total)
+
+    def tree_flatten(self):
+        has_d = self.dangling is not None
+        kids = (self.op_t, self.inv_outdeg) + \
+            ((self.dangling,) if has_d else ())
+        return kids, (self.damping, has_d)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        damping, has_d = aux
+        op_t, inv = children[0], children[1]
+        dang = children[2] if has_d else None
+        return cls(op_t, inv, damping, dang)

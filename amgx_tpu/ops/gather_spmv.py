@@ -520,6 +520,15 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
     operator instead of returning None (the stacked distributed form
     needs every shard, including consolidated-away empty ones, to carry
     uniform arrays)."""
+
+    import time as _t, os as _os
+    _dbg = bool(_os.environ.get("AMGX_PACK_DEBUG"))
+    _tm = {"last": _t.perf_counter()}
+    def _tick(name):
+        if _dbg:
+            now = _t.perf_counter()
+            print("PACK", name, round(now - _tm["last"], 3), flush=True)
+            _tm["last"] = now
     blk = csr.block_dim
     n_blk, m_blk = csr.n_rows, csr.n_cols
     if blk != (1, 1):
@@ -554,6 +563,7 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
         vals = np.zeros(1, work_dt)
         nnz = 1
 
+    _tick('extract')
     # -- pick geometry -------------------------------------------------------
     W = max(8, min(W, 128, -(-m // 128)))
     W = -(-W // 8) * 8
@@ -566,37 +576,56 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
     n_panels = -(-n // (S_p * 128))
     Qc = max(1, -(-S_p // 128))
 
-    panel = rows // (S_p * 128)
-    window = cols // (W * 128)
-    rl = (rows % 128).astype(np.int32)
-    q = ((rows % (S_p * 128)) // 128).astype(np.int32)
-    off = cols % (W * 128)
-    cl = (off % 128).astype(np.int32)
-    hi_local = (off // 128).astype(np.int32)
+    # pow2-aware index splitting (the geometry divisors are powers of two
+    # for the default W/S_p; shifts beat int64 division ~5x on 10M edges)
+    def _div(a, k):
+        return a >> int(k).bit_length() - 1 if k & (k - 1) == 0 else a // k
+
+    def _mod(a, k):
+        return a & (k - 1) if k & (k - 1) == 0 else a % k
+
+    panel = _div(rows, S_p * 128)
+    window = _div(cols, W * 128)
+    rl = _mod(rows, 128).astype(np.int32)
+    q = _div(_mod(rows, S_p * 128), 128).astype(np.int32)
+    off = _mod(cols, W * 128)
+    cl = _mod(off, 128).astype(np.int32)
+    hi_local = _div(off, 128).astype(np.int32)
     pair = panel * n_windows + window
 
-    # panel-major pair ordering, shuffled inside each pair for balance
-    rng = np.random.default_rng(12345)
-    shuf = rng.permutation(nnz)
-    order = shuf[np.argsort(pair[shuf], kind="stable")]
-    pair_s = pair[order]
-    rl_s, cl_s = rl[order], cl[order]
-    upairs, pair_starts = np.unique(pair_s, return_index=True)
-    pair_ptr = np.concatenate([pair_starts,
-                               [nnz]]).astype(np.int64)
-
+    _tick('geometry')
     from .. import native
     lib = native.lib()
+    order = None
+    if lib is not None and getattr(lib, "_has_csort", False):
+        # native path: stable O(nnz) pair sort, no shuffle — the native
+        # first-fit orders edges by lane degree internally (gather_pack)
+        order = lib.counting_sort_perm(pair, n_panels * n_windows)
+    if order is None:
+        # fallback: panel-major pair ordering, shuffled inside each pair
+        # for first-fit balance
+        rng = np.random.default_rng(12345)
+        shuf = rng.permutation(nnz)
+        order = shuf[np.argsort(pair[shuf], kind="stable")]
+    pair_s = pair[order]
+    rl_s, cl_s = rl[order], cl[order]
+    bnd = np.flatnonzero(np.diff(pair_s)) + 1        # pair_s is sorted
+    pair_starts = np.concatenate([[0], bnd])
+    upairs = pair_s[pair_starts]
+    pair_ptr = np.concatenate([pair_starts, [nnz]]).astype(np.int64)
+
+    _tick('order')
     if lib is not None and getattr(lib, "_has_gather_pack", False):
         s_slot = lib.gather_pack(pair_ptr, rl_s, cl_s)
     else:
         s_slot = _pack_pairs_python(pair_ptr, rl_s, cl_s)
 
+    _tick('firstfit')
     # per-pair depth -> tile depth D (adaptive) -> tiles
     n_up = upairs.shape[0]
     edge_pair_idx = np.repeat(np.arange(n_up), np.diff(pair_ptr))
-    depth = np.zeros(n_up, np.int64)
-    np.maximum.at(depth, edge_pair_idx, s_slot + 1)
+    depth = np.maximum.reduceat(s_slot.astype(np.int64) + 1,
+                                pair_ptr[:-1])
     if D is None:
         # cost model: slot traffic + per-grid-step overhead (~350 ns/step
         # measured on v5e ~ the time 10k slot-bytes take at HBM speed)
@@ -657,54 +686,70 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
                                  np.cumsum(n_bsteps_p)]).astype(np.int64)
     NB = int(bstep_base[-1])
 
-    # -- pack tile arrays ----------------------------------------------------
-    vals_a = np.zeros((T_tot, D, 128), dtype)
-    hl_a = np.zeros((T_tot, D, 128), np.int16)
-    vals_a[tile_of_edge, row_in_tile, rl_s] = vals[order].astype(dtype)
-    # hi lives in the high byte at the column lane; lane in the low byte at
-    # the row lane (independent positions, one int16 stream)
-    np.bitwise_or.at(hl_a, (tile_of_edge, row_in_tile, cl_s),
-                     (hi_local[order] << 8).astype(np.int16))
-    np.bitwise_or.at(hl_a, (tile_of_edge, row_in_tile, rl_s),
-                     cl_s.astype(np.int16))
-
-    # -- per-block sort + segment boundary planes ----------------------------
+    _tick('tilemeta')
+    # -- pack tile arrays + per-block segment planes -------------------------
     stag_row = (tile_in_panel[tile_of_edge_real] * D + row_in_tile)
     gb_e = block_base[panel[order]] + stag_row // 128
     rib_e = (stag_row % 128).astype(np.int32)
     q_s = q[order]
-    skey = np.lexsort((q_s, rl_s, gb_e))
-    gb_, l_, q_, rib_ = gb_e[skey], rl_s[skey], q_s[skey], rib_e[skey]
-    grp = gb_ * 128 + l_
-    new_grp = np.empty(nnz, bool)
-    new_grp[0] = True
-    new_grp[1:] = grp[1:] != grp[:-1]
-    grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(nnz), 0))
-    rank = (np.arange(nnz) - grp_start).astype(np.int32)
-
-    src = np.zeros((B_tot, 128, 128), np.int8)
-    src[gb_, l_, rank] = rib_.astype(np.int8)
-    new_seg = np.empty(nnz, bool)
-    new_seg[0] = True
-    new_seg[1:] = new_grp[1:] | (q_[1:] != q_[:-1])
-    seg_end = np.empty(nnz, bool)
-    seg_end[:-1] = new_seg[1:]
-    seg_end[-1] = True
-    sten = np.zeros((B_tot, Qc * 128, 128), np.int16)
-    qs_seg = q_[new_seg]
-    code = ((rank[new_seg].astype(np.int32) + 1) * 128 +
-            rank[seg_end].astype(np.int32)).astype(np.int16)
-    sten[gb_[new_seg], (qs_seg // 128) * 128 + l_[new_seg], qs_seg % 128] = \
-        code
-    # fold src + sten byte planes into one int8 stream per B-step:
-    # per sub-block: [src (128) | sten-lo (Qc*128) | sten-hi (Qc*128)]
+    vals_s = vals[order]
     R = 128 + 2 * Qc * 128
-    sb = sten.view(np.uint8).reshape(B_tot, Qc * 128, 128, 2)
-    bmeta = np.concatenate(
-        [src, sb[..., 0].view(np.int8), sb[..., 1].view(np.int8)],
-        axis=1)                                        # (B_tot, R, 128)
-    bmeta = bmeta.reshape(NB, BPB * R, 128)
+    post = None
+    if lib is not None and getattr(lib, "_has_postpack", False) \
+            and not is_c and np.dtype(dtype) in (np.dtype(np.float32),
+                                                 np.dtype(np.float64)):
+        post = lib.gather_postpack(
+            T_tot, B_tot, D, Qc, tile_of_edge, row_in_tile, rl_s, cl_s,
+            hi_local[order], vals_s.astype(np.float64), gb_e, rib_e, q_s,
+            dtype)
+    if post is not None:
+        vals_a, hl_a, bmeta = post
+        bmeta = bmeta.reshape(NB, BPB * R, 128)
+    else:
+        vals_a = np.zeros((T_tot, D, 128), dtype)
+        hl_a = np.zeros((T_tot, D, 128), np.int16)
+        vals_a[tile_of_edge, row_in_tile, rl_s] = vals_s.astype(dtype)
+        # hi lives in the high byte at the column lane; lane in the low
+        # byte at the row lane (independent positions, one int16 stream)
+        np.bitwise_or.at(hl_a, (tile_of_edge, row_in_tile, cl_s),
+                         (hi_local[order] << 8).astype(np.int16))
+        np.bitwise_or.at(hl_a, (tile_of_edge, row_in_tile, rl_s),
+                         cl_s.astype(np.int16))
 
+        # per-block sort + segment boundary planes
+        skey = np.lexsort((q_s, rl_s, gb_e))
+        gb_, l_, q_, rib_ = gb_e[skey], rl_s[skey], q_s[skey], rib_e[skey]
+        grp = gb_ * 128 + l_
+        new_grp = np.empty(nnz, bool)
+        new_grp[0] = True
+        new_grp[1:] = grp[1:] != grp[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(new_grp, np.arange(nnz), 0))
+        rank = (np.arange(nnz) - grp_start).astype(np.int32)
+
+        src = np.zeros((B_tot, 128, 128), np.int8)
+        src[gb_, l_, rank] = rib_.astype(np.int8)
+        new_seg = np.empty(nnz, bool)
+        new_seg[0] = True
+        new_seg[1:] = new_grp[1:] | (q_[1:] != q_[:-1])
+        seg_end = np.empty(nnz, bool)
+        seg_end[:-1] = new_seg[1:]
+        seg_end[-1] = True
+        sten = np.zeros((B_tot, Qc * 128, 128), np.int16)
+        qs_seg = q_[new_seg]
+        code = ((rank[new_seg].astype(np.int32) + 1) * 128 +
+                rank[seg_end].astype(np.int32)).astype(np.int16)
+        sten[gb_[new_seg], (qs_seg // 128) * 128 + l_[new_seg],
+             qs_seg % 128] = code
+        # fold src + sten byte planes into one int8 stream per B-step:
+        # per sub-block: [src (128) | sten-lo (Qc*128) | sten-hi (Qc*128)]
+        sb = sten.view(np.uint8).reshape(B_tot, Qc * 128, 128, 2)
+        bmeta = np.concatenate(
+            [src, sb[..., 0].view(np.int8), sb[..., 1].view(np.int8)],
+            axis=1)                                        # (B_tot, R, 128)
+        bmeta = bmeta.reshape(NB, BPB * R, 128)
+
+    _tick('postpack')
     # -- step schedule: per panel, [A x unit, B] per B-step -------------------
     steps_per_unit = unit + 1
     n_steps = NB * steps_per_unit
@@ -722,6 +767,7 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
     last_b = (bstep_base[spid] + n_bsteps_p[spid] - 1) == bstep_of_step
     sflags = np.where(is_b, 1 + 2 * first_b + 4 * last_b, 0).astype(np.int32)
 
+    _tick('schedule')
     arrays = dict(
         vals=None,                       # filled per value plane below
         hl=jnp.asarray(hl_a),

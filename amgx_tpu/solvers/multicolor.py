@@ -146,20 +146,30 @@ class MulticolorDILUSolver(Solver):
 
     def _dilu_apply(self, r):
         """delta = (E+L)^{-1} E (E+U)^{-1}... note order: M = (E+L)E^{-1}(E+U);
-        M^{-1} r solves (E+L) z = r then (E+U) delta = E z."""
+        M^{-1} r solves (E+L) z = r then (E+U) delta = E z.
+
+        The color loops run as device fori_loops (not unrolled) so the
+        traced program stays small enough to fuse whole V-cycles — see
+        GaussSeidelSolver._sweep."""
+        import jax
         A = self.op
-        z = jnp.zeros_like(r)
-        for c in range(self.num_colors):
+        nc = self.num_colors
+
+        def fwd(c, z):
             az = A.apply(z)
             upd = _apply_inv_diag(self.invE, r - az)
-            z = jnp.where(self.color == c, upd, z)
+            return jnp.where(self.color == c, upd, z)
+
+        z = jax.lax.fori_loop(0, nc, fwd, jnp.zeros_like(r))
         w = _apply_inv_diag(self.E, z) if self.E.ndim > 1 else self.E * z
-        x = jnp.zeros_like(r)
-        for c in range(self.num_colors - 1, -1, -1):
+
+        def bwd(i, x):
+            c = nc - 1 - i
             ax = A.apply(x)
             upd = z - _apply_inv_diag(self.invE, ax)
-            x = jnp.where(self.color == c, upd, x)
-        return x
+            return jnp.where(self.color == c, upd, x)
+
+        return jax.lax.fori_loop(0, nc, bwd, jnp.zeros_like(r))
 
     def solve_init(self, b, x, zero_guess):
         return None
@@ -266,18 +276,26 @@ class MulticolorILUSolver(Solver):
         self.num_colors = nc
 
     def _ilu_apply(self, r):
+        # color loops as device fori_loops (program size — see
+        # GaussSeidelSolver._sweep)
+        import jax
+        nc = self.num_colors
+
         # forward solve (I + L) y = r  (unit lower in color ordering)
-        y = jnp.zeros_like(r)
-        for c in range(self.num_colors):
-            y = jnp.where(self.color == c, r - self.L.apply(y), y)
+        def fwd(c, y):
+            return jnp.where(self.color == c, r - self.L.apply(y), y)
+
+        y = jax.lax.fori_loop(0, nc, fwd, jnp.zeros_like(r))
+
         # backward solve U x = y; U includes the diagonal, but x_c = 0 before
         # its own update so (U x)_c has no diagonal contribution and
         # x_c = inv_udiag_c * (y_c - (U x)_c)
-        x = jnp.zeros_like(r)
-        for c in range(self.num_colors - 1, -1, -1):
-            x = jnp.where(self.color == c,
-                          self.inv_udiag * (y - self.U.apply(x)), x)
-        return x
+        def bwd(i, x):
+            c = nc - 1 - i
+            return jnp.where(self.color == c,
+                             self.inv_udiag * (y - self.U.apply(x)), x)
+
+        return jax.lax.fori_loop(0, nc, bwd, jnp.zeros_like(r))
 
     def solve_init(self, b, x, zero_guess):
         return None

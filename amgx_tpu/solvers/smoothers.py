@@ -198,21 +198,33 @@ class GaussSeidelSolver(Solver):
             color = np.repeat(color, bx)
         self.color = jnp.asarray(color)
 
-    def _sweep(self, b, x, order):
+    def _sweep(self, b, x, reverse: bool = False):
+        # the color loop runs as a device fori_loop, NOT unrolled: an
+        # unrolled loop inlines one full SpMV per color into the trace,
+        # and with ~10 colors x pre/post sweeps x AMG levels the fused
+        # V-cycle program grew past what the (remote) TPU compiler
+        # tolerates (the round-3 "fused GS faults at >=32^3" issue) —
+        # and even non-fused, per-level 10x traced SpMVs made dispatch
+        # pathological. Identical arithmetic, ~10x smaller program.
         omega = self.relaxation_factor
-        for c in order:
-            r = b - self.op.apply(x)
+        nc = self.num_colors
+
+        def body(i, xx):
+            c = (nc - 1 - i) if reverse else i
+            r = b - self.op.apply(xx)
             upd = omega * _apply_inv_diag(self.inv_diag, r)
-            x = jnp.where(self.color == c, x + upd, x)
-        return x
+            return jnp.where(self.color == c, xx + upd, xx)
+
+        import jax
+        return jax.lax.fori_loop(0, nc, body, x)
 
     def solve_init(self, b, x, zero_guess):
         return None
 
     def solve_iteration(self, b, x, s):
-        x = self._sweep(b, x, range(self.num_colors))
+        x = self._sweep(b, x)
         if self.symmetric:
-            x = self._sweep(b, x, range(self.num_colors - 1, -1, -1))
+            x = self._sweep(b, x, reverse=True)
         return x, None
 
 

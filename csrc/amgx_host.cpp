@@ -213,19 +213,54 @@ void ilu0_factor(int64_t n, const int64_t* indptr, const int32_t* indices,
 // (amgx_tpu/ops/gather_spmv.py). Edges are grouped by (panel, window)
 // pair; within a pair each edge takes the lowest tile row where both its
 // row-lane and its column-lane are still unused (per-lane occupancy
-// bitsets) — greedy bipartite edge colouring, depth ~ max lane degree
-// for shuffled input.
+// bitsets) — greedy bipartite edge colouring. Edges are processed in
+// descending order of their tightest lane load (max of row-lane and
+// column-lane degree): first-fit under this order stays near the Delta
+// lower bound (vs ~2*Delta for arbitrary order), directly cutting
+// slots/nnz.
 void gather_pack(int64_t n_pairs, const int64_t* pair_ptr,
                  const int32_t* rl, const int32_t* cl, int32_t* s_out) {
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 16)
 #endif
     for (int64_t p = 0; p < n_pairs; ++p) {
-        const int64_t cnt = pair_ptr[p + 1] - pair_ptr[p];
+        const int64_t lo = pair_ptr[p], hi = pair_ptr[p + 1];
+        const int64_t cnt = hi - lo;
+        if (cnt == 0) continue;
         const int64_t words = cnt / 64 + 2;  // depth can't exceed cnt+1
         std::vector<uint64_t> used_r(static_cast<size_t>(128 * words), 0);
         std::vector<uint64_t> used_c(static_cast<size_t>(128 * words), 0);
-        for (int64_t e = pair_ptr[p]; e < pair_ptr[p + 1]; ++e) {
+        // lane degrees -> per-edge key = max(deg_r, deg_c); counting sort
+        // descending (stable within equal keys)
+        int32_t deg_r[128] = {0}, deg_c[128] = {0};
+        for (int64_t e = lo; e < hi; ++e) {
+            ++deg_r[rl[e]];
+            ++deg_c[cl[e]];
+        }
+        int32_t max_key = 0;
+        std::vector<int32_t> key(static_cast<size_t>(cnt));
+        for (int64_t e = lo; e < hi; ++e) {
+            const int32_t k = std::max(deg_r[rl[e]], deg_c[cl[e]]);
+            key[static_cast<size_t>(e - lo)] = k;
+            if (k > max_key) max_key = k;
+        }
+        std::vector<int64_t> bucket_ptr(static_cast<size_t>(max_key) + 2, 0);
+        for (int64_t i = 0; i < cnt; ++i)
+            ++bucket_ptr[static_cast<size_t>(max_key - key[
+                static_cast<size_t>(i)]) + 1];
+        for (int32_t k = 0; k <= max_key; ++k)
+            bucket_ptr[static_cast<size_t>(k) + 1] +=
+                bucket_ptr[static_cast<size_t>(k)];
+        std::vector<int64_t> ord(static_cast<size_t>(cnt));
+        {
+            std::vector<int64_t> pos(bucket_ptr.begin(),
+                                     bucket_ptr.end() - 1);
+            for (int64_t i = 0; i < cnt; ++i)
+                ord[static_cast<size_t>(pos[static_cast<size_t>(
+                    max_key - key[static_cast<size_t>(i)])]++)] = lo + i;
+        }
+        for (int64_t oi = 0; oi < cnt; ++oi) {
+            const int64_t e = ord[static_cast<size_t>(oi)];
             const int64_t r = rl[e], c = cl[e];
             const uint64_t* mr = &used_r[static_cast<size_t>(r * words)];
             const uint64_t* mc = &used_c[static_cast<size_t>(c * words)];
@@ -237,6 +272,138 @@ void gather_pack(int64_t n_pairs, const int64_t* pair_ptr,
             s_out[e] = static_cast<int32_t>(s);
             used_r[static_cast<size_t>(r * words) + w] |= 1ULL << bit;
             used_c[static_cast<size_t>(c * words) + w] |= 1ULL << bit;
+        }
+    }
+}
+
+// Stable counting sort by small integer key; fills perm with edge indices
+// in ascending key order (replaces np.argsort(pair, kind="stable") in the
+// G5 pack at O(n) instead of O(n log n)).
+void counting_sort_perm(int64_t n, const int64_t* keys, int64_t n_keys,
+                        int64_t* perm) {
+    std::vector<int64_t> cnt(static_cast<size_t>(n_keys) + 1, 0);
+    for (int64_t i = 0; i < n; ++i)
+        ++cnt[static_cast<size_t>(keys[i]) + 1];
+    for (int64_t k = 0; k < n_keys; ++k)
+        cnt[static_cast<size_t>(k) + 1] += cnt[static_cast<size_t>(k)];
+    for (int64_t i = 0; i < n; ++i)
+        perm[cnt[static_cast<size_t>(keys[i])]++] = i;
+}
+
+// G5 post-pack: builds the three device streams (vals, hl, bmeta) from the
+// slot-assigned edge list in one pass — replaces the numpy lexsort +
+// ufunc.at + fancy-scatter pipeline (the round-3 pack-time bottleneck).
+//
+//   vals_a : (T_tot, D, 128) f32 (out_is_f32) or f64, caller-zeroed
+//   hl_a   : (T_tot, D, 128) int16, caller-zeroed
+//   bmeta  : (B_tot, R, 128) int8 with R = 128 + 2*Qc*128, caller-zeroed;
+//            per block: [src | sten-lo | sten-hi] byte planes
+//
+// Edge arrays arrive ordered (grouped by pair, pairs ascending); for each
+// staging block the (lane, q)-grouping is a per-block counting sort, so
+// segment ranks match the numpy lexsort path ordering (stable by edge
+// position).
+void gather_postpack(int64_t nnz, int64_t t_tot, int64_t b_tot, int64_t d,
+                     int64_t qc, int32_t out_is_f32,
+                     const int64_t* tile_of_edge, const int32_t* row_in_tile,
+                     const int32_t* rl, const int32_t* cl,
+                     const int32_t* hi_local, const double* vals,
+                     const int64_t* gb, const int32_t* rib,
+                     const int32_t* q,
+                     void* vals_a, int16_t* hl_a, int8_t* bmeta) {
+    (void)t_tot;
+    const int64_t r_rows = 128 + 2 * qc * 128;
+    // pass 1: tile streams (scatters are unique per (tile,row,lane) except
+    // the two hl byte planes, which OR at independent bit positions)
+    float* vf = static_cast<float*>(vals_a);
+    double* vd = static_cast<double*>(vals_a);
+    for (int64_t e = 0; e < nnz; ++e) {
+        const int64_t base = (tile_of_edge[e] * d + row_in_tile[e]) * 128;
+        if (out_is_f32)
+            vf[base + rl[e]] = static_cast<float>(vals[e]);
+        else
+            vd[base + rl[e]] = vals[e];
+        hl_a[base + cl[e]] |= static_cast<int16_t>(hi_local[e] << 8);
+        hl_a[base + rl[e]] |= static_cast<int16_t>(cl[e]);
+    }
+    // pass 2: per-block (lane, q) grouping -> src + sten byte planes.
+    // bucket edges by block (counting sort, stable)
+    std::vector<int64_t> bptr(static_cast<size_t>(b_tot) + 1, 0);
+    for (int64_t e = 0; e < nnz; ++e)
+        ++bptr[static_cast<size_t>(gb[e]) + 1];
+    for (int64_t b = 0; b < b_tot; ++b)
+        bptr[static_cast<size_t>(b) + 1] += bptr[static_cast<size_t>(b)];
+    std::vector<int64_t> by_block(static_cast<size_t>(nnz));
+    {
+        std::vector<int64_t> pos(bptr.begin(), bptr.end() - 1);
+        for (int64_t e = 0; e < nnz; ++e)
+            by_block[static_cast<size_t>(
+                pos[static_cast<size_t>(gb[e])]++)] = e;
+    }
+    const int64_t sq = qc * 128;          // q values per panel
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int64_t> cnt(static_cast<size_t>(128 * sq) + 1);
+        std::vector<int64_t> eord(static_cast<size_t>(128 * 128));
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 8)
+#endif
+        for (int64_t b = 0; b < b_tot; ++b) {
+            const int64_t lo = bptr[static_cast<size_t>(b)];
+            const int64_t hi2 = bptr[static_cast<size_t>(b) + 1];
+            const int64_t m = hi2 - lo;
+            if (m == 0) continue;
+            // counting sort block edges by key = l*sq + q (stable)
+            std::fill(cnt.begin(), cnt.end(), 0);
+            for (int64_t i = lo; i < hi2; ++i) {
+                const int64_t e = by_block[static_cast<size_t>(i)];
+                ++cnt[static_cast<size_t>(rl[e]) * sq + q[e] + 1];
+            }
+            for (size_t k = 0; k < static_cast<size_t>(128 * sq); ++k)
+                cnt[k + 1] += cnt[k];
+            for (int64_t i = lo; i < hi2; ++i) {
+                const int64_t e = by_block[static_cast<size_t>(i)];
+                eord[static_cast<size_t>(
+                    cnt[static_cast<size_t>(rl[e]) * sq + q[e]]++)] = e;
+            }
+            int8_t* bm = bmeta + b * r_rows * 128;
+            int8_t* src = bm;                               // rows [0,128)
+            int8_t* slo = bm + 128 * 128;                   // sten low
+            int8_t* shi = bm + (128 + sq) * 128;            // sten high
+            int64_t i = 0;
+            while (i < m) {
+                const int64_t e0 = eord[static_cast<size_t>(i)];
+                const int32_t l = rl[e0];
+                // ranks restart per lane: find lane end
+                int64_t lane_end = i;
+                while (lane_end < m &&
+                       rl[eord[static_cast<size_t>(lane_end)]] == l)
+                    ++lane_end;
+                int64_t rank = 0;
+                int64_t j = i;
+                while (j < lane_end) {
+                    const int32_t qv = q[eord[static_cast<size_t>(j)]];
+                    const int64_t seg_start_rank = rank;
+                    while (j < lane_end &&
+                           q[eord[static_cast<size_t>(j)]] == qv) {
+                        src[l * 128 + rank] = static_cast<int8_t>(
+                            rib[eord[static_cast<size_t>(j)]]);
+                        ++rank;
+                        ++j;
+                    }
+                    const int16_t code = static_cast<int16_t>(
+                        (seg_start_rank + 1) * 128 + (rank - 1));
+                    const int64_t row = (qv / 128) * 128 + l;
+                    const int64_t col = qv % 128;
+                    slo[row * 128 + col] =
+                        static_cast<int8_t>(code & 0xff);
+                    shi[row * 128 + col] =
+                        static_cast<int8_t>((code >> 8) & 0xff);
+                }
+                i = lane_end;
+            }
         }
     }
 }
