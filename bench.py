@@ -238,41 +238,118 @@ def phase_amg(n_side: int):
         if getattr(s, "preconditioner", None) is not None else 0}))
 
 
-def phase_amg_classical(n_side: int):
-    """BASELINE row 2: Poisson-7pt classical AMG (PMIS + D2 interpolation,
-    multicolor Gauss-Seidel smoothing), fp64, standalone AMG solve."""
-    import amgx_tpu as amgx
-    import jax
-    jax.config.update("jax_enable_x64", True)
-    a = amgx.gallery.poisson7pt(n_side, n_side, n_side, dtype=np.float64)
-    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
-        # fused_solve is intentionally OFF here: the color-sequential GS
-        # V-cycle unrolled inside lax.while_loop faults the remote TPU
-        # worker at >=32^3 (fused BLOCK_JACOBI at 48^3 and non-fused GS
-        # both run clean — tracked as a program-size/compile issue);
-        # per-iteration host sync adds ~28 ms/iter through the tunnel
-        "solver": "AMG", "max_iters": 100, "tolerance": 1e-8,
+def _classical_cfg(mode, fused, max_iters, tol):
+    return {"config_version": 2, "solver": {
+        "solver": "AMG", "max_iters": max_iters, "tolerance": tol,
         "convergence": "RELATIVE_INI", "monitor_residual": 1,
-        "mode": "dDDI", "scope": "main",
+        "fused_solve": 1 if fused else 0, "mode": mode, "scope": "main",
         "algorithm": "CLASSICAL", "selector": "PMIS",
         "interpolator": "D2", "smoother": "MULTICOLOR_GS",
         "presweeps": 1, "postsweeps": 1, "min_coarse_rows": 64,
         "max_levels": 12, "cycle": "V",
-        "dense_threshold_rows": 4096}})
-    s = amgx.SolverFactory.allocate(cfg)
-    t0 = time.perf_counter()
-    s.setup(amgx.Matrix(a, mode="dDDI"))
-    setup_t = time.perf_counter() - t0
+        "dense_threshold_rows": 4096}}
+
+
+def phase_amg_classical(n_side: int):
+    """BASELINE row 2: Poisson-7pt classical AMG (PMIS + D2 interpolation,
+    multicolor Gauss-Seidel smoothing), fp64-class accuracy.
+
+    Round-3's rc=1 root cause (BENCH_NOTES r4): the *unrolled* color loop
+    made the V-cycle program huge, and emulated f64 runs ~240x slower than
+    f32 (measured 3.9 s/iter vs 16 ms/iter at 32^3) — 100 fused f64
+    iterations blew the remote worker's watchdog, surfacing as a "kernel
+    fault". Color loops now run as lax.fori_loop and the fp64 story is:
+
+      headline  — f32 fused V-cycles + f64 iterative refinement
+                  (SURVEY 7.3 dDFI analog) converged to 1e-8 in TRUE f64
+                  residual;
+      dddi      — honest emulated-f64 fused run, few iterations, at the
+                  same 48^3 (per-iteration wall time of real dDDI);
+      f64_ref   — pure-f64 CPU run of the identical config for iteration
+                  parity.
+    """
+    import amgx_tpu as amgx
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    a = amgx.gallery.poisson7pt(n_side, n_side, n_side, dtype=np.float64)
     b = np.ones(a.n_rows)
-    x, status = s.solve(b)           # compile + solve
+    out = {"n": a.n_rows, "nnz": a.nnz}
+
+    # -- headline: f32 inner V-cycles + f64 refinement to 1e-8 ------------
+    from amgx_tpu.refinement import solve_refined
+    cfg = amgx.AMGConfig(_classical_cfg("dFFI", True, 20, 1e-6))
     t0 = time.perf_counter()
-    x, status = s.solve(b)           # steady state
+    x, status, hist = solve_refined(cfg, a, b, max_refinements=12,
+                                    tolerance=1e-8, inner_mode="dFFI")
+    first_t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    x, status, hist = solve_refined(cfg, a, b, max_refinements=12,
+                                    tolerance=1e-8, inner_mode="dFFI")
     solve_t = time.perf_counter() - t0
+    true_r = float(np.linalg.norm(b - a.to_scipy() @ x) /
+                   np.linalg.norm(b))
+    out.update({"solve_s": solve_t, "first_solve_s": first_t,
+                "status": status, "refinements": len(hist) - 1,
+                "rel_resid": true_r, "history": hist[:6]})
+
+    # setup time of the inner hierarchy, measured separately
+    s32 = amgx.SolverFactory.allocate(cfg)
+    a32 = amgx.gallery.poisson7pt(n_side, n_side, n_side, dtype=np.float32)
+    t0 = time.perf_counter()
+    s32.setup(amgx.Matrix(a32, mode="dFFI"))
+    out["setup_s"] = time.perf_counter() - t0
+    s32v, _ = s32.solve(np.ones(a32.n_rows, np.float32))  # compile
+    t0 = time.perf_counter()
+    s32.solve(np.ones(a32.n_rows, np.float32))
+    out["f32_cycle_solve_s"] = time.perf_counter() - t0
+    out["f32_cycle_iters"] = s32.last_iters
+    print(json.dumps(out), flush=True)
+
+    # -- honest dDDI: emulated f64 on device, few iterations --------------
+    cfg64 = amgx.AMGConfig(_classical_cfg("dDDI", True, 6, 1e-30))
+    s64 = amgx.SolverFactory.allocate(cfg64)
+    t0 = time.perf_counter()
+    s64.setup(amgx.Matrix(a, mode="dDDI"))
+    setup64 = time.perf_counter() - t0
+    s64.solve(b)                      # compile
+    t0 = time.perf_counter()
+    s64.solve(b)
+    dt = time.perf_counter() - t0
+    out["dddi"] = {"setup_s": setup64, "solve_s": dt,
+                   "iters": s64.last_iters,
+                   "s_per_iter": dt / max(1, s64.last_iters),
+                   "note": "emulated f64 (no Mosaic 64-bit lowering)"}
+    print(json.dumps(out), flush=True)
+
+    # -- f64 iteration parity: same config, pure f64, CPU backend ---------
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--phase",
+         "classical_f64_cpu", str(n_side)],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "AMGX_BENCH_PLATFORM": "cpu"})
+    for line in reversed(r.stdout.strip().splitlines()):
+        if line.strip().startswith("{"):
+            out["f64_ref"] = json.loads(line)
+            break
+    print(json.dumps(out))
+
+
+def phase_classical_f64_cpu(n_side: int):
+    """Pure-f64 classical AMG on the CPU backend: the iteration-parity
+    reference for the mixed-precision route."""
+    import amgx_tpu as amgx
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    a = amgx.gallery.poisson7pt(n_side, n_side, n_side, dtype=np.float64)
+    cfg = amgx.AMGConfig(_classical_cfg("dDDI", False, 100, 1e-8))
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a, mode="dDDI"))
+    b = np.ones(a.n_rows)
+    x, status = s.solve(b)
     h = [float(np.atleast_1d(v)[0]) for v in s.res_history]
-    print(json.dumps({
-        "n": a.n_rows, "nnz": a.nnz, "setup_s": setup_t,
-        "solve_s": solve_t, "iters": s.last_iters, "status": status,
-        "rel_resid": (h[-1] / h[0]) if h and h[0] else None}))
+    print(json.dumps({"iters": s.last_iters, "status": status,
+                      "rel_resid": (h[-1] / h[0]) if h and h[0] else None,
+                      "backend": "cpu f64"}))
 
 
 def phase_toy():
@@ -332,14 +409,18 @@ def phase_eigen(n_side: int):
     es = amgx.EigenSolverFactory.allocate(cfg)
     es.setup(amgx.Matrix(a, mode="dFFI"))
     t0 = time.perf_counter()
-    evals, _ = es.solve()
+    evals, _ = es.solve()            # includes device compile
+    dt_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    evals, _ = es.solve()            # steady state (warm program cache)
     dt = time.perf_counter() - t0
     lam = float(np.atleast_1d(np.asarray(evals))[0])
     # 7-pt Laplacian: lambda_max = 12 sin^2(N pi / (2(N+1)))
     exact = 12.0 * np.sin(n_side * np.pi / (2.0 * (n_side + 1))) ** 2
     out["lanczos"] = {"lambda_max": lam, "exact": float(exact),
                       "rel_err": abs(lam - exact) / exact,
-                      "time_s": dt, "iters": es.last_iters}
+                      "time_s": dt, "first_time_s": dt_first,
+                      "iters": es.last_iters}
     # PageRank on a synthetic directed graph (power iteration via the
     # PagerankOperator substrate)
     rng = np.random.default_rng(0)
@@ -355,10 +436,14 @@ def phase_eigen(n_side: int):
         "eig_tolerance=1e-8, eig_which=pagerank, eig_damping_factor=0.85")
     es2 = amgx.EigenSolverFactory.allocate(cfg2)
     es2.setup(amgx.Matrix(g, mode="dFFI"))
+    es2.pagerank_setup(amgx.Matrix(g, mode="dFFI"))
     t0 = time.perf_counter()
-    es2.solve()
+    es2.solve()                      # includes device compile
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    es2.solve()                      # steady state
     out["pagerank"] = {"n": ng, "time_s": time.perf_counter() - t0,
-                       "iters": es2.last_iters}
+                       "first_time_s": t_first, "iters": es2.last_iters}
     print(json.dumps(out))
 
 
@@ -483,6 +568,7 @@ if __name__ == "__main__":
         {"device": phase_device, "spmv_dia": phase_spmv_dia,
          "spmv_ell": phase_spmv_ell, "spmv_gather": phase_spmv_gather,
          "amg": phase_amg, "amg_classical": phase_amg_classical,
+         "classical_f64_cpu": phase_classical_f64_cpu,
          "toy": phase_toy, "eigen": phase_eigen,
          "scaling": phase_scaling}[name](*args)
     else:
