@@ -699,11 +699,13 @@ class DistEllMatrix:
             gms[d] = g
         if agree_max(fail) > 0:
             return
-        # geometry agreement: adaptive D may differ per shard; everyone
-        # repacks to the global max (always a valid, more-padded choice)
+        # geometry agreement: adaptive (D, G) may differ per shard;
+        # everyone repacks to the global max (always a valid, more-padded
+        # choice)
         d_glob = int(agree_max(max(g.D for g in gms.values())))
+        g_glob = int(agree_max(max(g.G for g in gms.values())))
         for d in list(gms):
-            if gms[d].D != d_glob:
+            if gms[d].D != d_glob or gms[d].G != g_glob:
                 c = np.asarray(cols_by[d]).reshape(-1).astype(np.int64)
                 v = np.asarray(vals_by[d]).reshape(-1)
                 rows = np.repeat(np.arange(lr, dtype=np.int64),
@@ -712,11 +714,12 @@ class DistEllMatrix:
                 gms[d] = csr_to_gather(
                     CSRMatrix.from_coo(lr, m, rows[keep], c[keep],
                                        v[keep]),
-                    dtype=v.dtype, D=d_glob, allow_empty=True)
+                    dtype=v.dtype, D=d_glob, G=g_glob, allow_empty=True)
         if agree_max(1.0 if any(g is None for g in gms.values())
                      else 0.0) > 0:
-            return              # forced-D repack blew the waste guard
-        nb_max = int(agree_max(max(g.bmeta.shape[0] for g in gms.values())))
+            return              # forced-(D,G) repack blew the waste guard
+        nb_max = int(agree_max(max(g.step_flags.shape[0]
+                                   for g in gms.values())))
         gms = {d: pad_gather(g, nb_max) for d, g in gms.items()}
         any_g = next(iter(gms.values()))
         n_dev = self.n_dev

@@ -30,17 +30,13 @@ from .partition import DistEllMatrix, RowPartition
 
 def _flatten_level_args(args):
     """None placeholders -> () so the level args form a uniform pytree."""
-    return tuple((a_args, p_args or (), r_args or (), inv_diag,
-                  coarse or (), gs, dilu or ())
-                 for (a_args, p_args, r_args, inv_diag, coarse, gs, dilu)
-                 in args)
+    return tuple(tuple(s if s is not None else () for s in lvl)
+                 for lvl in args)
 
 
 def _unflatten(flat):
-    return [(a_args, p_args or None, r_args or None, inv_diag,
-             coarse or None, gs, dilu or None)
-            for (a_args, p_args, r_args, inv_diag, coarse, gs, dilu)
-            in flat]
+    return [tuple(None if (isinstance(s, tuple) and len(s) == 0) else s
+                  for s in lvl) for lvl in flat]
 
 
 def _freeze(obj):
@@ -167,16 +163,19 @@ class DistributedSolver:
         amg_scope = None
         if self.precond_name not in ("AMG", "BLOCK_JACOBI", "JACOBI_L1",
                                      "CHEBYSHEV_POLY", "MULTICOLOR_DILU",
+                                     "MULTICOLOR_GS", "FIXCOLOR_GS",
+                                     "MULTICOLOR_ILU",
                                      "NOSOLVER", "DUMMY", None):
-            # color-sequential preconditioners (DILU/ILU/GS/KACZMARZ...)
-            # have no distributed implementation; raising sends the capi
-            # path to the single-chip solver instead of silently swapping
-            # the preconditioner for identity
+            # remaining color-sequential preconditioners (KACZMARZ,
+            # plain GS) have no distributed implementation; raising sends
+            # the capi path to the single-chip solver instead of silently
+            # swapping the preconditioner for identity
             raise NotImplementedError(
                 f"DistributedSolver does not implement preconditioner "
                 f"'{self.precond_name}'; supported: AMG, BLOCK_JACOBI, "
-                f"JACOBI_L1 (single-chip SolverFactory covers the full "
-                f"catalog)")
+                f"JACOBI_L1, CHEBYSHEV_POLY, MULTICOLOR_DILU/GS/ILU, "
+                f"FIXCOLOR_GS (single-chip SolverFactory covers the "
+                f"full catalog)")
         if self.precond_name == "AMG":
             _, amg_scope = self.cfg.get_pair("preconditioner", self.scope)
             self.use_amg = True
@@ -194,20 +193,43 @@ class DistributedSolver:
         self._gs2_inner = 2
         self._gs2_symmetric = False
         self._dilu = False
+        self._mcgs = False
+        self._mcgs_fix4 = False
+        self._mcgs_symmetric = False
+        self._milu = False
+        self._milu_scope = "default"
+        self._color_scope = "default"
+
+        def _scalar_only(name):
+            if csr.block_dim != (1, 1):
+                raise NotImplementedError(
+                    f"distributed {name} is scalar-only (BSR routes to "
+                    f"the single-chip solver)")
+
         if self.use_amg and amg_scope is not None:
             sm_name, sm_scope0 = self.cfg.get_pair("smoother", amg_scope)
             self._smoother_l1 = sm_name == "JACOBI_L1"
             if sm_name == "MULTICOLOR_DILU":
-                if csr.block_dim != (1, 1):
-                    raise NotImplementedError(
-                        "distributed MULTICOLOR_DILU smoothing is "
-                        "scalar-only (BSR routes to the single-chip "
-                        "solver)")
+                _scalar_only("MULTICOLOR_DILU smoothing")
                 self._dilu = True
+                self._color_scope = sm_scope0 \
+                    if sm_scope0 != "default" else amg_scope
+            if sm_name in ("MULTICOLOR_GS", "FIXCOLOR_GS"):
+                _scalar_only(f"{sm_name} smoothing")
+                self._mcgs = True
+                self._mcgs_fix4 = sm_name == "FIXCOLOR_GS"
+                self._mcgs_symmetric = bool(self.cfg.get("symmetric_GS",
+                                                         sm_scope0))
+                self._color_scope = sm_scope0 \
+                    if sm_scope0 != "default" else amg_scope
+            if sm_name == "MULTICOLOR_ILU":
+                _scalar_only("MULTICOLOR_ILU smoothing")
+                self._milu = True
+                self._milu_scope = sm_scope0
+                self._color_scope = sm_scope0 \
+                    if sm_scope0 != "default" else amg_scope
             if sm_name == "TWO_STAGE_GS":
-                if csr.block_dim != (1, 1):
-                    raise NotImplementedError(
-                        "distributed TWO_STAGE_GS smoothing is scalar-only")
+                _scalar_only("TWO_STAGE_GS smoothing")
                 self._gs2 = True
                 self._gs2_inner = max(1, int(self.cfg.get(
                     "gs_inner_sweeps", sm_scope0)))
@@ -215,19 +237,34 @@ class DistributedSolver:
                                                         sm_scope0))
         self._l1_diag = self._smoother_l1 or \
             self.precond_name == "JACOBI_L1"
-        if self.precond_name == "MULTICOLOR_DILU":
-            if csr.block_dim != (1, 1):
-                raise NotImplementedError(
-                    "distributed MULTICOLOR_DILU preconditioning is "
-                    "scalar-only (BSR routes to the single-chip solver)")
-            self._dilu = True
+        if self.precond_name in ("MULTICOLOR_DILU", "MULTICOLOR_GS",
+                                 "FIXCOLOR_GS", "MULTICOLOR_ILU"):
+            _scalar_only(f"{self.precond_name} preconditioning")
             _, pc_scope = self.cfg.get_pair("preconditioner", self.scope)
+            if self.precond_name == "MULTICOLOR_DILU":
+                self._dilu = True
+            elif self.precond_name == "MULTICOLOR_ILU":
+                self._milu = True
+                self._milu_scope = pc_scope
+            else:
+                self._mcgs = True
+                self._mcgs_fix4 = self.precond_name == "FIXCOLOR_GS"
+                self._mcgs_symmetric = bool(self.cfg.get("symmetric_GS",
+                                                         pc_scope))
+            self._color_scope = pc_scope
             self.smooth_damp = self.cfg.get("relaxation_factor", pc_scope)
             # preconditioners iterate their scope's max_iters (single-chip
             # SolverFactory semantics: the inner solver runs as a solver);
             # applied under lax.fori_loop so trace size stays O(nc)
             self._dilu_pre_iters = max(1, int(
                 self.cfg.get("max_iters", pc_scope)))
+        # boundary_coloring policy (reference core.cu:372-377): SYNC_COLORS
+        # (default) = per-color halo exchange, exact single-chip parity;
+        # FIRST/LAST = shard-local triangles for the color solves (cross-
+        # shard coupling stays in the outer residual — the hybrid
+        # decomposition): one collective per sweep instead of per color
+        self._color_local = self.cfg.get(
+            "boundary_coloring", self._color_scope) != "SYNC_COLORS"
 
         # level 0: prefer the shard-local banded layout (no gathers, halo
         # confined to margin rows); fall back to interior-first rows for the
@@ -246,7 +283,8 @@ class DistributedSolver:
             if getattr(a0, "dia_bands", None) is None and \
                     getattr(a0, "band_strips", None) is None and \
                     getattr(a0, "gather_arrays", None) is None and \
-                    not self.use_amg and not self._dilu:
+                    not self.use_amg and not self._dilu and \
+                    not self._mcgs and not self._milu:
                 a0 = DistEllMatrix.from_global(
                     csr, n_dev, row_part, dtype=mat_dt, mesh=self.mesh,
                     axis=self.axis, sort_interior_first=True)
@@ -264,12 +302,7 @@ class DistributedSolver:
             self._inv_diag(csr, a0, vec_dt, self.mesh, self.axis,
                            l1=self._l1_diag)
         self.levels = [DistLevel(a0, inv0)]
-        if self._dilu:
-            self._set_dilu_level(self.levels[0], csr, a0, vec_dt)
-        if self._gs2:
-            self.levels[0].gs = self._gs_tri_ops(
-                self._gs_shard_rows(csr, a0.row_part), self.levels[0],
-                vec_dt)
+        self._attach_smoother_level(self.levels[0], csr, a0, vec_dt)
         self._global_csrs = [csr]
 
         if self.use_amg:
@@ -473,12 +506,7 @@ class DistributedSolver:
             self.levels.append(DistLevel(ad, self._inv_diag(
                 ac, ad, vec_dt, self.mesh, self.axis,
                 l1=getattr(self, "_smoother_l1", False))))
-            if self._dilu:
-                self._set_dilu_level(self.levels[-1], ac, ad, vec_dt)
-            if self._gs2:
-                self.levels[-1].gs = self._gs_tri_ops(
-                    self._gs_shard_rows(ac, coarse_part), self.levels[-1],
-                    vec_dt)
+            self._attach_smoother_level(self.levels[-1], ac, ad, vec_dt)
             if self.cheby_smoothing:
                 self._cheby_bounds.append(self._lambda_bounds(ac))
             self._global_csrs.append(ac)
@@ -621,12 +649,7 @@ class DistributedSolver:
                 ad, self._inv_diag_sharded(ac, ad, vec_dt, self.mesh,
                                            self.axis,
                                            l1=self._smoother_l1)))
-            if self._dilu:
-                self._set_dilu_level(self.levels[-1], ac, ad, vec_dt)
-            if self._gs2:
-                self.levels[-1].gs = self._gs_tri_ops(
-                    self._gs_shard_rows(ac, coarse_part), self.levels[-1],
-                    vec_dt)
+            self._attach_smoother_level(self.levels[-1], ac, ad, vec_dt)
             if self.cheby_smoothing:
                 self._cheby_bounds.append(self._lambda_bounds_sharded(ac))
             self._structure.append(info)
@@ -709,6 +732,177 @@ class DistributedSolver:
             inv_dev, col_dev = jnp.asarray(inv_np), jnp.asarray(col_np)
         lvl.dilu = (inv_dev, col_dev)
         lvl.dilu_nc = nc
+        if getattr(self, "_color_local", False):
+            lvl.dilu_tri, lvl.dilu_tri_static = self._color_tri_ops(
+                lvl, sm, dm, colors, vec_dt)
+
+    def _attach_smoother_level(self, lvl, source, dm, vec_dt) -> None:
+        """Attach whatever per-level smoother data the configured smoother
+        / preconditioner needs (one call site per level-construction path
+        so every smoother works on every setup route)."""
+        if getattr(self, "_dilu", False):
+            self._set_dilu_level(lvl, source, dm, vec_dt)
+        if getattr(self, "_gs2", False):
+            lvl.gs = self._gs_tri_ops(
+                self._gs_shard_rows(source, dm.row_part), lvl, vec_dt)
+        if getattr(self, "_mcgs", False):
+            self._set_mcgs_level(lvl, source, dm, vec_dt)
+        if getattr(self, "_milu", False):
+            self._set_milu_level(lvl, source, dm, vec_dt)
+
+    def _stack_colors(self, colors, sm, dm, vec_dt):
+        """Stack per-shard color arrays into the (D, Lr) device form."""
+        from .multihost import put_stacked
+        lr = dm.lr
+        col_by = {}
+        for d in range(sm.n_dev):
+            if colors[d] is None:
+                continue
+            crow = np.full(lr, -1, np.int32)
+            crow[:colors[d].shape[0]] = colors[d]
+            col_by[d] = crow
+        if self.mesh is not None:
+            return put_stacked(col_by, sm.n_dev, (lr,), np.dtype(np.int32),
+                               self.mesh, self.axis)
+        col_np = np.full((sm.n_dev, lr), -1, np.int32)
+        for d, v in col_by.items():
+            col_np[d] = v
+        return jnp.asarray(col_np)
+
+    def _level_colors(self, sm):
+        """Per-shard row colors: shard-parallel JP (dist_color) or the
+        FIXCOLOR_GS round-robin 4-coloring on global row ids
+        (fixcolor_gauss_seidel_solver.cu)."""
+        from . import setup as dsetup
+        if getattr(self, "_mcgs_fix4", False):
+            colors = [None if sm.shards[d] is None else
+                      ((np.arange(sm.shards[d].n_rows, dtype=np.int64)
+                        + int(sm.part.offsets[d])) % 4).astype(np.int32)
+                      for d in range(sm.n_dev)]
+            return colors, 4
+        return dsetup.dist_color(sm)
+
+    def _color_tri_ops(self, lvl, sm, dm, colors, vec_dt):
+        """Shard-local strict lower/upper *by color rank* triangles of the
+        level operator (boundary_coloring != SYNC_COLORS): inside a color
+        solve, (A z)_c == (L z)_c exactly when z is supported on earlier
+        colors, so the masked full-A apply is replaced by these local
+        triangles — one halo exchange per sweep instead of per color.
+        Cross-shard couplings stay in the outer residual (the reference's
+        relaxed boundary-coloring semantics, core.cu:372-377)."""
+        shard_rows = self._gs_shard_rows(sm, dm.row_part)
+        ent, local_devs, partial = self._slot_entries(shard_rows, lvl)
+        perm = getattr(lvl.a, "row_perm", None)
+        slotcol = {}
+        for d in local_devs:
+            c = np.full(dm.lr, -1, np.int64)
+            cd = np.asarray(colors[d], np.int64)
+            if perm is not None:
+                pd = np.asarray(perm[d])
+                ok = pd >= 0
+                r0 = int(dm.row_part.offsets[d])
+                c[np.nonzero(ok)[0]] = cd[pd[ok] - r0]
+            else:
+                c[:cd.shape[0]] = cd
+            slotcol[d] = c
+        low, lo_offs = self._pack_tri(
+            ent, local_devs, partial, dm.n_dev, dm.lr, vec_dt,
+            lambda d, sr, sc: slotcol[d][sc] < slotcol[d][sr])
+        up, up_offs = self._pack_tri(
+            ent, local_devs, partial, dm.n_dev, dm.lr, vec_dt,
+            lambda d, sr, sc: slotcol[d][sc] > slotcol[d][sr])
+        return (low, up), (lo_offs, up_offs)
+
+    def _set_mcgs_level(self, lvl, source, dm, vec_dt) -> None:
+        """Multicolor / fixed-color Gauss-Seidel level data: colors (+
+        local triangles when boundary_coloring allows)."""
+        from . import setup as dsetup
+        sm = source if hasattr(source, "shards") else \
+            dsetup.ShardedCSR.from_global(source, dm.row_part)
+        colors, nc = self._level_colors(sm)
+        lvl.mcolor = self._stack_colors(colors, sm, dm, vec_dt)
+        lvl.mcolor_nc = nc
+        if getattr(self, "_color_local", False):
+            lvl.mcgs_tri, lvl.mcgs_tri_static = self._color_tri_ops(
+                lvl, sm, dm, colors, vec_dt)
+
+    def _set_milu_level(self, lvl, source, dm, vec_dt) -> None:
+        """Multicolor ILU(k) level data (multicolor_ilu_solver.cu): each
+        shard factorizes its owned diagonal block in its color ordering
+        (hybrid block-Jacobi ILU — cross-shard couplings stay in the outer
+        residual; the reference's non-SYNC halo_coloring semantics). The
+        triangular solves then run as color-masked updates over
+        shard-local L/U packs — one collective per sweep."""
+        from . import setup as dsetup
+        from .multihost import put_stacked
+        from ..solvers.multicolor import ilu0_factor_host
+        from ..matrix import CSRMatrix as _CSR
+        sm = source if hasattr(source, "shards") else \
+            dsetup.ShardedCSR.from_global(source, dm.row_part)
+        colors, nc = dsetup.dist_color(sm)
+        lvl.milu_color = self._stack_colors(colors, sm, dm, vec_dt)
+        lvl.milu_nc = nc
+        level_k = int(self.cfg.get("ilu_sparsity_level", self._milu_scope))
+        lr = dm.lr
+        local_devs = [d for d in range(sm.n_dev)
+                      if sm.shards[d] is not None]
+        rows_L, rows_U = [], []
+        inv_ud_by = {}
+        for d in range(sm.n_dev):
+            if sm.shards[d] is None:
+                rows_L.append(None)
+                rows_U.append(None)
+                continue
+            s = sm.shards[d]
+            r0 = int(sm.part.offsets[d])
+            r1 = int(sm.part.offsets[d + 1])
+            n = s.n_rows
+            rows = np.repeat(np.arange(n, dtype=np.int64), s.row_nnz())
+            own = (s.indices >= r0) & (s.indices < r1)
+            data = s.data if s.block_dim == (1, 1) else s.data[:, 0, 0]
+            loc = _CSR.from_coo(n, n, rows[own],
+                                (s.indices[own] - r0).astype(np.int64),
+                                np.real(data[own]).astype(np.float64),
+                                sum_duplicates=False)
+            work = loc
+            if level_k >= 1:
+                from ..ops.spgemm import sparsity_ilu1
+                work = sparsity_ilu1(loc)
+            col = colors[d]
+            perm = np.argsort(col, kind="stable")
+            rank = np.empty(n, np.int64)
+            rank[perm] = np.arange(n)
+            dataf = ilu0_factor_host(work.indptr, work.indices, work.data,
+                                     rank, perm)
+            rows_w = np.repeat(np.arange(n, dtype=np.int64),
+                               np.diff(work.indptr))
+            cols_w = work.indices.astype(np.int64)
+            lower = rank[cols_w] < rank[rows_w]
+            rows_L.append((rows_w[lower] + r0, cols_w[lower] + r0,
+                           dataf[lower]))
+            rows_U.append((rows_w[~lower] + r0, cols_w[~lower] + r0,
+                           dataf[~lower]))
+            ud = np.ones(lr)
+            dmask = (cols_w == rows_w) & (dataf != 0)
+            ud[rows_w[dmask]] = dataf[dmask]
+            inv_ud_by[d] = (1.0 / ud).astype(np.dtype(vec_dt))
+        entL, _, partial = self._slot_entries(rows_L, lvl)
+        entU, _, _ = self._slot_entries(rows_U, lvl)
+        every = lambda d, sr, sc: np.ones(sr.shape[0], bool)
+        Ltri, lo_offs = self._pack_tri(entL, local_devs, partial, dm.n_dev,
+                                       lr, vec_dt, every)
+        Utri, up_offs = self._pack_tri(entU, local_devs, partial, dm.n_dev,
+                                       lr, vec_dt, every)
+        if self.mesh is not None:
+            inv_ud = put_stacked(inv_ud_by, sm.n_dev, (lr,),
+                                 np.dtype(vec_dt), self.mesh, self.axis)
+        else:
+            arr = np.ones((sm.n_dev, lr), vec_dt)
+            for d, v in inv_ud_by.items():
+                arr[d] = v
+            inv_ud = jnp.asarray(arr)
+        lvl.milu = (Ltri, Utri, inv_ud)
+        lvl.milu_static = (lo_offs, up_offs)
 
     @staticmethod
     def _lambda_bounds_sharded(sm, iters: int = 12):
@@ -901,11 +1095,7 @@ class DistributedSolver:
         lvl0.inv_diag = self._inv_diag(
             csr, a0, vec_dt, self.mesh, self.axis,
             l1=getattr(self, "_l1_diag", False))
-        if getattr(self, "_dilu", False):
-            self._set_dilu_level(lvl0, csr, a0, vec_dt)
-        if getattr(self, "_gs2", False):
-            lvl0.gs = self._gs_tri_ops(
-                self._gs_shard_rows(csr, a0.row_part), lvl0, vec_dt)
+        self._attach_smoother_level(lvl0, csr, a0, vec_dt)
         cheby = getattr(self, "cheby_smoothing", False)
         if getattr(self, "_sharded_setup", False):
             # shard-parallel re-coarsening: reuse partitions and transfer
@@ -934,11 +1124,7 @@ class DistributedSolver:
                 nxt.inv_diag = self._inv_diag_sharded(
                     ac, ad, vec_dt, self.mesh, self.axis,
                     l1=getattr(self, "_smoother_l1", False))
-                if getattr(self, "_dilu", False):
-                    self._set_dilu_level(nxt, ac, ad, vec_dt)
-                if getattr(self, "_gs2", False):
-                    nxt.gs = self._gs_tri_ops(
-                        self._gs_shard_rows(ac, coarse_part), nxt, vec_dt)
+                self._attach_smoother_level(nxt, ac, ad, vec_dt)
                 if cheby:
                     self._cheby_bounds.append(
                         self._lambda_bounds_sharded(ac))
@@ -970,11 +1156,7 @@ class DistributedSolver:
             nxt.inv_diag = self._inv_diag(
                 ac, ad, vec_dt, self.mesh, self.axis,
                 l1=getattr(self, "_smoother_l1", False))
-            if getattr(self, "_dilu", False):
-                self._set_dilu_level(nxt, ac, ad, vec_dt)
-            if getattr(self, "_gs2", False):
-                nxt.gs = self._gs_tri_ops(
-                    self._gs_shard_rows(ac, coarse_part), nxt, vec_dt)
+            self._attach_smoother_level(nxt, ac, ad, vec_dt)
             if cheby:
                 self._cheby_bounds.append(self._lambda_bounds(ac))
             work = ac
@@ -1099,24 +1281,14 @@ class DistributedSolver:
             return comms.dist_spmv(cols, vals, pack, halo, x, ax)
         return apply, (dm.cols, dm.vals, dm.pack_idx, dm.halo_from)
 
-    def _gs_tri_ops(self, shard_rows, lvl, vec_dt):
-        """Shard-local strictly-triangular operators for hybrid two-stage
-        GS smoothing in the level's slot layout (cross-shard couplings are
-        excluded — the outer residual handles them, the standard hybrid-GS
-        decomposition). ``shard_rows[d]`` = (rows_g, cols_g, vals) of shard
-        d's owned rows with global ids. Returns ({'cols','vals'} lower,
-        upper or None) stacked (D, Lr, W) and device-sharded."""
-        if any(np.iscomplexobj(v) for sr_ in shard_rows if sr_ is not None
-               for v in (sr_[2],)):
-            # the triangular packs below are real-valued; dropping the
-            # imaginary part would smooth with the wrong operator (mirrors
-            # the block_dim guard -> single-chip fallback)
-            raise NotImplementedError(
-                "distributed TWO_STAGE_GS does not support complex modes")
+    def _slot_entries(self, shard_rows, lvl):
+        """Shard-local owned-x-owned entries in the level's slot layout:
+        returns (ent, local_devs, partial) with ent[d] = (slot_r, slot_c,
+        vals)."""
         a = lvl.a
-        n_dev, lr = a.n_dev, a.lr
         part = a.row_part
         perm = getattr(a, "row_perm", None)
+        n_dev = a.n_dev
         local_devs = [d for d in range(n_dev) if shard_rows[d] is not None]
         partial = len(local_devs) < n_dev
         ent = {}          # per local shard: (slot_r, slot_c, vals)
@@ -1136,85 +1308,107 @@ class DistributedSolver:
                 sr = rows_g - r0
                 sc = cols_g - r0
             ent[d] = (sr, sc, vals)
+        return ent, local_devs, partial
 
-        from . import setup as dsetup
-        from .multihost import allgather_host, put_stacked
-
-        def pack(pick):
-            # diagonal-offset (shift-FMA) form when the triangle is a few
-            # fixed diagonals in slot space (stencil levels) — TPU gathers
-            # scalarize, shifts don't. The offset set and ELL width are
-            # global properties: tiny all-reduces in multi-process runs.
-            offs = set()
-            for d in local_devs:
-                sr, sc, _ = ent[d]
-                m = pick(sr, sc)
-                offs |= set(np.unique(sc[m] - sr[m]).tolist())
-                if len(offs) > 12:
-                    break
-            over = len(offs) > 12
-            if partial:
-                mine = np.asarray(sorted(offs), np.int64)
-                offs = set()
-                for o in allgather_host(mine):
-                    offs |= set(int(x) for x in o)
-                over = dsetup._mh_scalar(True, float(over)) > 0 or \
-                    len(offs) > 12
-            offs = tuple(sorted(int(o) for o in offs))
-            if offs and not over and len(offs) <= 12:
-                oix = {o: k for k, o in enumerate(offs)}
-                rows_by = {}
-                for d in local_devs:
-                    sr, sc, vv = ent[d]
-                    m = pick(sr, sc)
-                    bands = np.zeros((len(offs), lr), np.float64)
-                    ks = np.asarray([oix[o] for o in (sc[m] - sr[m])],
-                                    np.int64) if m.any() else \
-                        np.zeros(0, np.int64)
-                    vm = vv[m]
-                    bands[ks, sr[m]] = np.real(vm) if \
-                        np.iscomplexobj(vm) else vm
-                    rows_by[d] = bands.astype(vec_dt)
-                return ({"bands": put_stacked(rows_by, n_dev,
-                                              (len(offs), lr),
-                                              np.dtype(vec_dt), self.mesh,
-                                              self.axis)}, offs)
-            w = 1
-            for d in local_devs:
-                sr, sc, _ = ent[d]
-                m = pick(sr, sc)
-                if m.any():
-                    w = max(w, int(np.bincount(sr[m], minlength=lr).max()))
-            if partial:
-                w = int(dsetup._mh_scalar(True, float(w)))
-            cols_by, vals_by = {}, {}
-            for d in local_devs:
-                sr, sc, vv = ent[d]
-                m = pick(sr, sc)
-                cols = np.zeros((lr, w), np.int32)
-                vals = np.zeros((lr, w), np.float64)
-                sr_m, sc_m, vv_m = sr[m], sc[m], vv[m]
-                order = np.argsort(sr_m, kind="stable")
-                sr_m, sc_m, vv_m = sr_m[order], sc_m[order], vv_m[order]
-                first = np.searchsorted(sr_m, np.arange(lr))
-                slot = np.arange(sr_m.size) - first[sr_m]
-                cols[sr_m, slot] = sc_m
-                vals[sr_m, slot] = np.real(vv_m) if \
-                    np.iscomplexobj(vv_m) else vv_m
-                cols_by[d] = cols
-                vals_by[d] = vals.astype(vec_dt)
-            return ({"cols": put_stacked(cols_by, n_dev, (lr, w),
-                                         np.dtype(np.int32), self.mesh,
-                                         self.axis),
-                     "vals": put_stacked(vals_by, n_dev, (lr, w),
-                                         np.dtype(vec_dt), self.mesh,
-                                         self.axis)}, None)
-
-        low, low_offs = pack(lambda sr, sc: sc < sr)
-        up, up_offs = (pack(lambda sr, sc: sc > sr)
+    def _gs_tri_ops(self, shard_rows, lvl, vec_dt):
+        """Shard-local strictly-triangular operators for hybrid two-stage
+        GS smoothing in the level's slot layout (cross-shard couplings are
+        excluded — the outer residual handles them, the standard hybrid-GS
+        decomposition). ``shard_rows[d]`` = (rows_g, cols_g, vals) of shard
+        d's owned rows with global ids. Returns ({'cols','vals'} lower,
+        upper or None) stacked (D, Lr, W) and device-sharded."""
+        if any(np.iscomplexobj(v) for sr_ in shard_rows if sr_ is not None
+               for v in (sr_[2],)):
+            # the triangular packs below are real-valued; dropping the
+            # imaginary part would smooth with the wrong operator (mirrors
+            # the block_dim guard -> single-chip fallback)
+            raise NotImplementedError(
+                "distributed TWO_STAGE_GS does not support complex modes")
+        a = lvl.a
+        n_dev, lr = a.n_dev, a.lr
+        ent, local_devs, partial = self._slot_entries(shard_rows, lvl)
+        low, low_offs = self._pack_tri(ent, local_devs, partial, n_dev, lr,
+                                       vec_dt, lambda d, sr, sc: sc < sr)
+        up, up_offs = (self._pack_tri(ent, local_devs, partial, n_dev, lr,
+                                      vec_dt, lambda d, sr, sc: sc > sr)
                        if self._gs2_symmetric else (None, None))
         lvl.gs_static = (low_offs, up_offs)
         return low, up
+
+    def _pack_tri(self, ent, local_devs, partial, n_dev, lr, vec_dt, pick):
+        """Pack a shard-local sub-operator selected by ``pick(d, sr, sc)``
+        into the stacked device form — diagonal-offset (shift-FMA) bands
+        when the selection is a few fixed diagonals in slot space (stencil
+        levels; TPU gathers scalarize, shifts don't), ELL otherwise. The
+        offset set and ELL width are global properties: tiny all-reduces
+        in multi-process runs. Returns (opdict, offs-or-None) for
+        ``_gs_tri_apply``."""
+        from . import setup as dsetup
+        from .multihost import allgather_host, put_stacked
+        offs = set()
+        for d in local_devs:
+            sr, sc, _ = ent[d]
+            m = pick(d, sr, sc)
+            offs |= set(np.unique(sc[m] - sr[m]).tolist())
+            if len(offs) > 12:
+                break
+        over = len(offs) > 12
+        if partial:
+            mine = np.asarray(sorted(offs), np.int64)
+            offs = set()
+            for o in allgather_host(mine):
+                offs |= set(int(x) for x in o)
+            over = dsetup._mh_scalar(True, float(over)) > 0 or \
+                len(offs) > 12
+        offs = tuple(sorted(int(o) for o in offs))
+        if offs and not over and len(offs) <= 12:
+            oix = {o: k for k, o in enumerate(offs)}
+            rows_by = {}
+            for d in local_devs:
+                sr, sc, vv = ent[d]
+                m = pick(d, sr, sc)
+                bands = np.zeros((len(offs), lr), np.float64)
+                ks = np.asarray([oix[o] for o in (sc[m] - sr[m])],
+                                np.int64) if m.any() else \
+                    np.zeros(0, np.int64)
+                vm = vv[m]
+                bands[ks, sr[m]] = np.real(vm) if \
+                    np.iscomplexobj(vm) else vm
+                rows_by[d] = bands.astype(vec_dt)
+            return ({"bands": put_stacked(rows_by, n_dev,
+                                          (len(offs), lr),
+                                          np.dtype(vec_dt), self.mesh,
+                                          self.axis)}, offs)
+        w = 1
+        for d in local_devs:
+            sr, sc, _ = ent[d]
+            m = pick(d, sr, sc)
+            if m.any():
+                w = max(w, int(np.bincount(sr[m], minlength=lr).max()))
+        if partial:
+            w = int(dsetup._mh_scalar(True, float(w)))
+        cols_by, vals_by = {}, {}
+        for d in local_devs:
+            sr, sc, vv = ent[d]
+            m = pick(d, sr, sc)
+            cols = np.zeros((lr, w), np.int32)
+            vals = np.zeros((lr, w), np.float64)
+            sr_m, sc_m, vv_m = sr[m], sc[m], vv[m]
+            order = np.argsort(sr_m, kind="stable")
+            sr_m, sc_m, vv_m = sr_m[order], sc_m[order], vv_m[order]
+            first = np.searchsorted(sr_m, np.arange(lr))
+            slot = np.arange(sr_m.size) - first[sr_m]
+            cols[sr_m, slot] = sc_m
+            vals[sr_m, slot] = np.real(vv_m) if \
+                np.iscomplexobj(vv_m) else vv_m
+            cols_by[d] = cols
+            vals_by[d] = vals.astype(vec_dt)
+        return ({"cols": put_stacked(cols_by, n_dev, (lr, w),
+                                     np.dtype(np.int32), self.mesh,
+                                     self.axis),
+                 "vals": put_stacked(vals_by, n_dev, (lr, w),
+                                     np.dtype(vec_dt), self.mesh,
+                                     self.axis)}, None)
 
     def _gs_shard_rows(self, source, part):
         """Per-shard (rows_g, cols_g, vals) COO of owned rows, from either
@@ -1346,6 +1540,11 @@ class DistributedSolver:
         a_args, p_args, r_args, inv_diag, coarse = lvl_args[idx][:5]
         gs = lvl_args[idx][5] if len(lvl_args[idx]) > 5 else ((), ())
         dilu = lvl_args[idx][6] if len(lvl_args[idx]) > 6 else None
+        dilu_tri = lvl_args[idx][7] if len(lvl_args[idx]) > 7 else None
+        mcolor = lvl_args[idx][8] if len(lvl_args[idx]) > 8 else None
+        mcgs_tri = lvl_args[idx][9] if len(lvl_args[idx]) > 9 else None
+        milu_color = lvl_args[idx][10] if len(lvl_args[idx]) > 10 else None
+        milu = lvl_args[idx][11] if len(lvl_args[idx]) > 11 else None
         static = self._level_static[idx]
 
         def spmv(args, v, st=None):
@@ -1367,22 +1566,38 @@ class DistributedSolver:
         cheby = getattr(self, "cheby_smoothing", False)
         gs2 = getattr(self, "_gs2", False) and gs[0]
         dl = getattr(self, "_dilu", False) and dilu
-        if cheby:
-            x = self._cheby_smooth(a_args, static, inv_diag,
-                                   self._cheby_bounds[idx], b, x,
-                                   self.cheby_order)
-        elif dl:
-            for _ in range(self.presweeps):
-                x = self._dilu_smooth(a_args, static, dilu,
-                                      self._dilu_nc[idx], b, x)
-        elif gs2:
-            for _ in range(self.presweeps):
-                x = self._gs2_smooth(a_args, static, inv_diag, gs[0],
-                                     gs[1], self._gs_static[idx], b, x)
-        else:
-            for _ in range(self.presweeps):
-                x = x + self.smooth_damp * self._invd_mul(
-                    inv_diag, b - spmv(a_args, x, static))
+        mc = getattr(self, "_mcgs", False) and mcolor is not None
+        il = getattr(self, "_milu", False) and milu is not None
+
+        def smooth(x, sweeps):
+            if cheby:
+                return self._cheby_smooth(a_args, static, inv_diag,
+                                          self._cheby_bounds[idx], b, x,
+                                          self.cheby_order)
+            for _ in range(sweeps):
+                if dl:
+                    x = self._dilu_smooth(
+                        a_args, static, dilu, self._dilu_nc[idx], b, x,
+                        tri=dilu_tri,
+                        tri_static=self._dilu_tri_static[idx])
+                elif mc:
+                    x = self._mcgs_smooth(
+                        a_args, static, inv_diag, mcolor,
+                        self._mc_nc[idx], b, x, tri=mcgs_tri,
+                        tri_static=self._mcgs_tri_static[idx])
+                elif il:
+                    x = self._milu_smooth(
+                        a_args, static, milu, self._milu_static[idx],
+                        milu_color, self._milu_nc[idx], b, x)
+                elif gs2:
+                    x = self._gs2_smooth(a_args, static, inv_diag, gs[0],
+                                         gs[1], self._gs_static[idx], b, x)
+                else:
+                    x = x + self.smooth_damp * self._invd_mul(
+                        inv_diag, b - spmv(a_args, x, static))
+            return x
+
+        x = smooth(x, self.presweeps)
         p_perms, r_perms = self._pr_perms[idx]
         r = b - spmv(a_args, x, static)
         rc = spmv(r_args, r, (None, None, None, r_perms))
@@ -1396,42 +1611,117 @@ class DistributedSolver:
             # the single-chip dispatcher in amg/cycles.py
             xc = self._vcycle(idx + 1, rc, xc, lvl_args, "V")
         x = x + spmv(p_args, xc, (None, None, None, p_perms))
-        if cheby:
-            x = self._cheby_smooth(a_args, static, inv_diag,
-                                   self._cheby_bounds[idx], b, x,
-                                   self.cheby_order)
-        elif dl:
-            for _ in range(self.postsweeps):
-                x = self._dilu_smooth(a_args, static, dilu,
-                                      self._dilu_nc[idx], b, x)
-        elif gs2:
-            for _ in range(self.postsweeps):
-                x = self._gs2_smooth(a_args, static, inv_diag, gs[0],
-                                     gs[1], self._gs_static[idx], b, x)
-        else:
-            for _ in range(self.postsweeps):
-                x = x + self.smooth_damp * self._invd_mul(
-                    inv_diag, b - spmv(a_args, x, static))
-        return x
+        return smooth(x, self.postsweeps)
 
-    def _dilu_smooth(self, a_args, static, dilu, nc, b, x):
+    def _dilu_smooth(self, a_args, static, dilu, nc, b, x,
+                     tri=None, tri_static=(None, None)):
         """One multicolor-DILU smoothing step inside the SPMD program
         (multicolor_dilu_solver.cu; the reference's default AMG smoother):
         x += omega * (E+U)^-1 E (E+L)^-1 (b - A x), each triangular solve
-        as nc color-sequential masked updates. Every color step's SpMV
-        carries its own halo exchange — the reference's SYNC_COLORS
-        boundary semantics (core.cu:372-377), so convergence matches the
-        single-chip smoother exactly."""
+        as nc color-sequential masked updates under lax.fori_loop.
+
+        boundary_coloring=SYNC_COLORS (tri=None): every color step's SpMV
+        carries its own halo exchange (core.cu:372-377), exact single-chip
+        parity. Otherwise ``tri`` holds shard-local strict lower/upper
+        by-color triangles — (A z)_c == (L z)_c for z supported on earlier
+        colors, so the sweep costs one halo exchange total."""
         invE, color = dilu
         r = b - self._apply_mat(a_args, x, static)
-        z = jnp.zeros_like(r)
-        for c in range(nc):
-            az = self._apply_mat(a_args, z, static)
-            z = jnp.where(color == c, invE * (r - az), z)
-        xd = jnp.zeros_like(r)
-        for c in range(nc - 1, -1, -1):
-            ax_ = self._apply_mat(a_args, xd, static)
-            xd = jnp.where(color == c, z - invE * ax_, xd)
+        lo_offs, up_offs = tri_static
+
+        def low_apply(z):
+            if tri is not None:
+                return self._gs_tri_apply(tri[0], lo_offs, z)
+            return self._apply_mat(a_args, z, static)
+
+        def up_apply(z):
+            if tri is not None:
+                return self._gs_tri_apply(tri[1], up_offs, z)
+            return self._apply_mat(a_args, z, static)
+
+        def fwd(c, z):
+            az = low_apply(z)
+            return jnp.where(color == c, invE * (r - az), z)
+
+        z = jax.lax.fori_loop(0, nc, fwd, jnp.zeros_like(r))
+
+        def bwd(i, xd):
+            c = nc - 1 - i
+            ax_ = up_apply(xd)
+            return jnp.where(color == c, z - invE * ax_, xd)
+
+        xd = jax.lax.fori_loop(0, nc, bwd, jnp.zeros_like(r))
+        return x + self.smooth_damp * xd
+
+    def _mcgs_smooth(self, a_args, static, inv_diag, color, nc, b, x,
+                     tri=None, tri_static=(None, None)):
+        """Color-parallel Gauss-Seidel sweep
+        (multicolor_gauss_seidel_solver.cu / fixcolor): per color
+        x_c += omega * D_c^-1 (b - A x)_c with the freshest other colors.
+        SYNC_COLORS = full SpMV (+halo) per color, single-chip parity;
+        otherwise the color loop updates a running residual with the
+        shard-local triangles (one halo exchange per sweep)."""
+        omega = self.smooth_damp
+        lo_offs, up_offs = tri_static
+
+        def sweep(x, reverse):
+            if tri is None:
+                def body(i, xx):
+                    c = (nc - 1 - i) if reverse else i
+                    r = b - self._apply_mat(a_args, xx, static)
+                    return jnp.where(
+                        color == c,
+                        xx + omega * self._invd_mul(inv_diag, r), xx)
+                return jax.lax.fori_loop(0, nc, body, x)
+            # local mode: r0 = b - A x once; inside the loop the masked
+            # update for color c needs (b - A x_new)_c = r0_c - (T dx)_c
+            # where dx (supported on already-updated colors) only reaches
+            # color c through the local strict triangle T (lower for the
+            # forward order, upper for the reverse)
+            r0 = b - self._apply_mat(a_args, x, static)
+            t, offs = (tri[1], up_offs) if reverse else (tri[0], lo_offs)
+
+            def body(i, c_):
+                xx, dx = c_
+                c = (nc - 1 - i) if reverse else i
+                r = r0 - self._gs_tri_apply(t, offs, dx)
+                upd = omega * self._invd_mul(inv_diag, r)
+                xx = jnp.where(color == c, xx + upd, xx)
+                dx = jnp.where(color == c, dx + upd, dx)
+                return xx, dx
+
+            x, _ = jax.lax.fori_loop(0, nc, body,
+                                     (x, jnp.zeros_like(x)))
+            return x
+
+        x = sweep(x, False)
+        if getattr(self, "_mcgs_symmetric", False):
+            x = sweep(x, True)
+        return x
+
+    def _milu_smooth(self, a_args, static, milu, milu_static, color, nc,
+                     b, x):
+        """Multicolor ILU(k) smoothing step (multicolor_ilu_solver.cu):
+        x += omega * U^-1 L^-1 (b - A x) with shard-local unit-lower /
+        upper factors solved as color-masked triangle applies — one halo
+        exchange (the residual) per sweep."""
+        Ltri, Utri, inv_ud = milu
+        lo_offs, up_offs = milu_static
+        r = b - self._apply_mat(a_args, x, static)
+
+        def fwd(c, y):
+            return jnp.where(color == c,
+                             r - self._gs_tri_apply(Ltri, lo_offs, y), y)
+
+        y = jax.lax.fori_loop(0, nc, fwd, jnp.zeros_like(r))
+
+        def bwd(i, xd):
+            c = nc - 1 - i
+            return jnp.where(
+                color == c,
+                inv_ud * (y - self._gs_tri_apply(Utri, up_offs, xd)), xd)
+
+        xd = jax.lax.fori_loop(0, nc, bwd, jnp.zeros_like(r))
         return x + self.smooth_damp * xd
 
     def _coarse_cg(self, a_args, static, inv_diag, b, x,
@@ -1527,6 +1817,18 @@ class DistributedSolver:
                            for lvl in self.levels]
         self._dilu_nc = [None if getattr(lvl, "dilu_nc", None) is None
                          else int(lvl.dilu_nc) for lvl in self.levels]
+        self._dilu_tri_static = [getattr(lvl, "dilu_tri_static",
+                                         (None, None))
+                                 for lvl in self.levels]
+        self._mc_nc = [None if getattr(lvl, "mcolor_nc", None) is None
+                       else int(lvl.mcolor_nc) for lvl in self.levels]
+        self._mcgs_tri_static = [getattr(lvl, "mcgs_tri_static",
+                                         (None, None))
+                                 for lvl in self.levels]
+        self._milu_nc = [None if getattr(lvl, "milu_nc", None) is None
+                         else int(lvl.milu_nc) for lvl in self.levels]
+        self._milu_static = [getattr(lvl, "milu_static", (None, None))
+                             for lvl in self.levels]
         out = []
         for lvl in self.levels:
             a_args = self._mat_pytree(lvl.a)
@@ -1536,7 +1838,12 @@ class DistributedSolver:
             out.append((a_args, p_args, r_args, lvl.inv_diag,
                         lvl.coarse_dense,
                         (gs[0] or (), gs[1] or ()),
-                        getattr(lvl, "dilu", None)))
+                        getattr(lvl, "dilu", None),
+                        getattr(lvl, "dilu_tri", None),
+                        getattr(lvl, "mcolor", None),
+                        getattr(lvl, "mcgs_tri", None),
+                        getattr(lvl, "milu_color", None),
+                        getattr(lvl, "milu", None)))
         return out
 
     def _build_step(self):
@@ -1635,6 +1942,11 @@ class DistributedSolver:
                getattr(self, "_gs2_symmetric", None),
                _freeze(self._level_static), _freeze(self._pr_perms),
                _freeze(getattr(self, "_gs_static", None)),
+               _freeze(getattr(self, "_dilu_tri_static", None)),
+               _freeze(getattr(self, "_mc_nc", None)),
+               _freeze(getattr(self, "_mcgs_tri_static", None)),
+               _freeze(getattr(self, "_milu_nc", None)),
+               _freeze(getattr(self, "_milu_static", None)),
                _freeze(getattr(self, "_cheby_bounds", None)),
                _freeze(getattr(self, "_cheb_solver_bounds", None)),
                _freeze(getattr(self, "_cheb_precond_bounds", None)),
@@ -1687,8 +1999,26 @@ class DistributedSolver:
                 def one(_, xv):
                     return self._dilu_smooth(
                         args[0][0], self._level_static[0], args[0][6],
-                        self._dilu_nc[0], r, xv)
+                        self._dilu_nc[0], r, xv, tri=args[0][7],
+                        tri_static=self._dilu_tri_static[0])
                 return jax.lax.fori_loop(0, self._dilu_pre_iters, one,
+                                         jnp.zeros_like(r))
+            if self.precond_name in ("MULTICOLOR_GS", "FIXCOLOR_GS"):
+                def one_gs(_, xv):
+                    return self._mcgs_smooth(
+                        args[0][0], self._level_static[0], args[0][3],
+                        args[0][8], self._mc_nc[0], r, xv,
+                        tri=args[0][9],
+                        tri_static=self._mcgs_tri_static[0])
+                return jax.lax.fori_loop(0, self._dilu_pre_iters, one_gs,
+                                         jnp.zeros_like(r))
+            if self.precond_name == "MULTICOLOR_ILU":
+                def one_ilu(_, xv):
+                    return self._milu_smooth(
+                        args[0][0], self._level_static[0], args[0][11],
+                        self._milu_static[0], args[0][10],
+                        self._milu_nc[0], r, xv)
+                return jax.lax.fori_loop(0, self._dilu_pre_iters, one_ilu,
                                          jnp.zeros_like(r))
             return r
 
@@ -1917,9 +2247,11 @@ class DistributedSolver:
              jax.tree.map(lambda _: shard, lvl_args[i][1] or ()) or (),
              jax.tree.map(lambda _: shard, lvl_args[i][2] or ()) or (),
              shard,
-             (spec_rep, spec_rep) if lvl.coarse_dense is not None else (),
-             jax.tree.map(lambda _: shard, lvl_args[i][5]),
-             jax.tree.map(lambda _: shard, lvl_args[i][6] or ()) or ())
+             (spec_rep, spec_rep) if lvl.coarse_dense is not None else ())
+            + tuple(
+                () if lvl_args[i][k] is None
+                else jax.tree.map(lambda _: shard, lvl_args[i][k])
+                for k in range(5, len(lvl_args[i])))
             for i, lvl in enumerate(self.levels))
 
         def wrap(fn, extra_in, extra_out):

@@ -83,6 +83,19 @@ class _NativeLib:
         except AttributeError:
             self._has_postpack = False
         try:
+            i8p_ = ctypes.POINTER(ctypes.c_int8)
+            i16p_ = ctypes.POINTER(ctypes.c_int16)
+            self._h.gather_postpack_en.restype = None
+            self._h.gather_postpack_en.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                i64p, i32p, i32p, i32p, i32p, f64p,
+                i64p, i32p, i32p,
+                ctypes.c_void_p, i16p_, i8p_]
+            self._has_postpack_en = True
+        except AttributeError:
+            self._has_postpack_en = False
+        try:
             self._h.pairwise_match.restype = ctypes.c_int64
             self._h.pairwise_match.argtypes = [
                 ctypes.c_int64, i64p, i32p, f64p,
@@ -208,10 +221,13 @@ class _NativeLib:
 
     def gather_postpack(self, t_tot, b_tot, d, qc, tile_of_edge,
                         row_in_tile, rl, cl, hi_local, vals, gb, rib, q,
-                        out_dtype):
+                        out_dtype, en_plane: bool = False):
         """Build the G5 device streams (vals_a, hl_a, bmeta) natively;
-        returns the three numpy arrays or None when unavailable."""
-        if not getattr(self, "_has_postpack", False):
+        returns the three numpy arrays or None when unavailable.
+        ``en_plane`` selects the v3 layout: per block [src | EN running
+        byte plane] with R = 128 + qc*128 (gather_postpack_en)."""
+        if not getattr(self, "_has_postpack_en" if en_plane
+                       else "_has_postpack", False):
             return None
         import ctypes
         i64p = ctypes.POINTER(ctypes.c_int64)
@@ -234,19 +250,25 @@ class _NativeLib:
         q = np.ascontiguousarray(q, np.int32)
         vals_a = np.zeros((t_tot, d, 128), out_dtype)
         hl_a = np.zeros((t_tot, d, 128), np.int16)
-        r_rows = 128 + 2 * qc * 128
-        bmeta = np.zeros((b_tot, r_rows, 128), np.int8)
-        self._h.gather_postpack(
-            nnz, int(t_tot), int(b_tot), int(d), int(qc),
-            1 if out_dtype == np.dtype(np.float32) else 0,
-            tile_of_edge.ctypes.data_as(i64p),
-            row_in_tile.ctypes.data_as(i32p),
-            rl.ctypes.data_as(i32p), cl.ctypes.data_as(i32p),
-            hi_local.ctypes.data_as(i32p), vals.ctypes.data_as(f64p),
-            gb.ctypes.data_as(i64p), rib.ctypes.data_as(i32p),
-            q.ctypes.data_as(i32p),
-            vals_a.ctypes.data_as(ctypes.c_void_p),
-            hl_a.ctypes.data_as(i16p), bmeta.ctypes.data_as(i8p))
+        if en_plane:
+            r_rows = 128 + qc * 128
+            bmeta = np.zeros((b_tot, r_rows, 128), np.int8)
+            bmeta[:, 128:, :] = -1        # EN prefill: "no slots yet"
+            fn = self._h.gather_postpack_en
+        else:
+            r_rows = 128 + 2 * qc * 128
+            bmeta = np.zeros((b_tot, r_rows, 128), np.int8)
+            fn = self._h.gather_postpack
+        fn(nnz, int(t_tot), int(b_tot), int(d), int(qc),
+           1 if out_dtype == np.dtype(np.float32) else 0,
+           tile_of_edge.ctypes.data_as(i64p),
+           row_in_tile.ctypes.data_as(i32p),
+           rl.ctypes.data_as(i32p), cl.ctypes.data_as(i32p),
+           hi_local.ctypes.data_as(i32p), vals.ctypes.data_as(f64p),
+           gb.ctypes.data_as(i64p), rib.ctypes.data_as(i32p),
+           q.ctypes.data_as(i32p),
+           vals_a.ctypes.data_as(ctypes.c_void_p),
+           hl_a.ctypes.data_as(i16p), bmeta.ctypes.data_as(i8p))
         return vals_a, hl_a, bmeta
 
     def jp_rounds(self, indptr, indices, order_desc):

@@ -1,4 +1,4 @@
-"""General-sparsity SpMV: the lane-binned gather format ("G5", rev 2).
+"""General-sparsity SpMV: the lane-binned gather format ("G5", rev 3).
 
 TPU-native replacement for the reference's arbitrary-sparsity CSR SpMV
 (base/src/multiply.cu:1056-1262, base/src/amgx_cusparse.cu:84-160).
@@ -15,41 +15,44 @@ fast dynamic-indexing primitives (measured on v5e, first-contact round 3):
 
 plus static circular shifts (``pltpu.roll``) and (128, 128) transposes.
 This module re-formulates CSR SpMV so every dynamic access is one of
-those:
+those.
 
-  Setup partitions rows into *panels* (S_p x 128 rows) and columns into
-  *windows* (W x 128 cols, W<=128 sub-rows of the lane-major x view).
-  Within each (panel, window) pair, edges pack into depth-D tiles under
-  one constraint per tile row: distinct column-lanes (gather sources) and
-  distinct row-lanes (contribution slots) — greedy bipartite edge
-  colouring (O(nnz), native kernel in csrc/amgx_host.cpp).
+Setup partitions rows into *panels* (S_p x 128 rows) and columns into
+*windows* (W x 128 cols); windows group into *x-groups* small enough to
+sit resident in VMEM.  Within each (panel, window) pair, edges pack into
+depth-D tiles under one constraint per tile row: distinct column-lanes
+(gather sources) and distinct row-lanes (contribution slots) — greedy
+bipartite edge colouring in descending-lane-degree order (native kernel,
+csrc/amgx_host.cpp), which lands exactly on the max-lane-degree depth
+lower bound on shuffled input.
 
-  Pass A (per tile, 8-row chunks; hi/lane travel in one int16 plane)
-      hs, hv = hi & 7, hi >> 3            # window sub-row -> (vreg, sublane)
-      u      = select_v(hv==v, take_along_axis(x_win[v], hs, axis=0))
-      t      = take_along_axis(u, lane, axis=1)
-      staging[tile rows] = t * vals       # staging: (BPB*128, 128) VMEM
+Rev-3 kernel = one *superstep* per grid step covering G staging blocks
+(G*128 tile rows), the round-3 fix for per-grid-step overhead (~350 ns)
+dominating runtime:
 
-  Pass B (one step per BPB 128-row staging blocks, amortizing the
-  per-grid-step cost; per block:)
-      stagT  = transpose(staging block)                    # lanes <-> rows
-      srt    = take_along_axis(stagT, src, axis=1)         # per-lane sort by q
-      P      = lane_cumsum(srt)                            # log-step rolls
-      y[l,q] += P[l, en(l,q)] - (P - srt)[l, st(l,q)]      # lane gathers
+  per superstep (skippable for distributed shape-padding):
+    pass A (all G*tpp tiles; x read from the step's RESIDENT x-group at
+            the tile's window offset — scalar-prefetched dynamic slice)
+      hs, hv = hi & 7, hi >> 3
+      u      = select_v(hv==v, take_along_axis(x_grp[woff+v], hs, 0))
+      stag   = take_along_axis(u, lane, 1) * vals
+    pass B (per block jb of the superstep)
+      srt    = take_along_axis(transpose(stag_jb), src, 1)
+      P      = lane_cumsum(srt)                       # log-step rolls
+      per q-chunk:  e  = where(EN>=0, P[EN], 0)       # ONE gather
+                    s0 = roll(e, 1) with cross-chunk carry column
+                    acc[:, chunk] += e - s0
 
-  ``src`` is the static per-(block, lane) permutation grouping a block's
-  contributions by destination row q; ``st``/``en`` are static per-
-  (block, lane, q) segment boundaries, encoded (st+1)*128+en in two int8
-  byte planes.  src and the boundary bytes ride one int8 "bmeta" stream
-  (fewer per-step DMA streams = lower grid overhead).  Destinations q are
-  extracted 128 per chunk so every gather source stays a single vreg
-  along its gather dimension.  No scatter is ever needed; blocks
-  accumulate into a (128, S_p) VMEM accumulator that is transposed into
-  the panel's y rows once per panel.
+``EN`` is rev 3's single running byte plane: EN(l, q) = (# slots in lane
+l with destination <= q) - 1, forward-filled from -1 — it replaces rev
+2's two seg-boundary byte planes (st/en), halving segment metadata and
+the extraction gathers.  src (rank -> staging row) and EN ride one int8
+"bmeta" stream, (B, 128 + Qc*128, 128) per block.  No scatter is ever
+needed; blocks accumulate into a (128, S_p) VMEM accumulator transposed
+into the panel's y rows once per panel.
 
 HBM traffic per stored slot: vals (4 B / 2 B bf16) + hl (2 B) + src (1 B)
-+ st/en (~2 B at S_p=128 per extraction chunk) plus one x window re-read
-per (panel, window) pair.
++ EN (Qc B) + one x-group read per (panel, group) run.
 
 Known limit: scattered matrices with m >> S_p*128*deg*W*128 leave tiles
 nearly empty (the efficiency guard then returns None and the layout
@@ -68,13 +71,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# x-group VMEM budget (bytes of f32 x per resident group); the rest of
+# the superstep working set (G blocks in, stag, acc, y block) stays well
+# under v5e's ~16 MB VMEM at the default G
+_XCAP_BYTES = 4 * 2 ** 20
+# per-grid-step overhead expressed in HBM-byte equivalents
+# (measured on the rev-3 superstep kernel; steps are fat, so this mostly
+# breaks ties toward fewer, fuller supersteps)
+_STEP_OVERHEAD_BYTES = 150_000
+
 
 def _lane_cumsum(x):
     """Axis-1 inclusive cumsum as a log-step Hillis-Steele scan — Mosaic
     has no lowering for the cumsum primitive, but roll + masked add
-    lowers (first-contact probe) and costs log2(128) vector adds.  (An
-    MXU triangular-ones matmul was considered and rejected: ~400+ cycles
-    for a (128,128) f32 dot vs ~336 for the scan on v5e.)"""
+    lowers (first-contact probe) and costs log2(128) vector adds."""
     n = x.shape[1]
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     s = 1
@@ -115,9 +125,8 @@ def _pack_pairs_python(pair_ptr, rl, cl):
 class GatherMatrix:
     """General-sparsity device operator in the lane-binned gather format."""
 
-    ARRAY_FIELDS = ("vals", "hl", "bmeta", "step_flags", "step_wid",
-                    "step_tid", "step_pid", "step_soff", "step_bid",
-                    "tile_window", "block_panel")
+    ARRAY_FIELDS = ("vals", "hl", "bmeta", "step_flags", "step_pid",
+                    "step_gid", "tile_wid", "tile_window", "block_panel")
 
     def __init__(self, arrays, meta):
         for k, v in arrays.items():
@@ -159,22 +168,28 @@ class GatherMatrix:
 
     @property
     def n_blocks(self):
-        return self.bmeta.shape[0] * self.BPB
+        return self.bmeta.shape[0]
+
+    @property
+    def n_steps(self):
+        return self.step_flags.shape[0]
 
     def __repr__(self):
-        return (f"GatherMatrix({self.n_rows}x{self.n_cols}, nnz={self.nnz}, "
-                f"slots={self.slots}, eff={self.nnz / max(1, self.slots):.2f},"
+        return (f"GatherMatrix({self.n_rows}x{self.n_cols}, nnz={self.nnz},"
+                f" slots={self.slots},"
+                f" eff={self.nnz / max(1, self.slots):.2f},"
                 f" tiles={self.vals.shape[0]}, blocks={self.n_blocks},"
-                f" steps={self.step_flags.shape[0]}, W={self.W},"
-                f" S_p={self.S_p}, D={self.D}, dtype={self.vals.dtype})")
+                f" steps={self.n_steps}, W={self.W}, S_p={self.S_p},"
+                f" D={self.D}, G={self.G}, groups={self.n_groups},"
+                f" dtype={self.vals.dtype})")
 
     # -- application ---------------------------------------------------------
 
     def _pad_x(self, x):
-        need = self.n_windows * self.W * 128
+        need = self.n_groups * self.wpg * self.W * 128
         if x.shape[0] < need:
             x = jnp.pad(x, (0, need - x.shape[0]))
-        return x[:need].reshape(self.n_windows * self.W, 128)
+        return x[:need]
 
     def _use_pallas(self, x):
         # Mosaic has no 64-bit lowering: dDDI falls to the (XLA) reference
@@ -184,11 +199,11 @@ class GatherMatrix:
 
     def apply(self, x):
         L = x.shape[0]
-        x2 = self._pad_x(x)
+        x1 = self._pad_x(x)
         if self._use_pallas(x):
-            y = self._apply_pallas(x2)
+            y = self._apply_pallas(x1)
         else:
-            y = self._apply_ref(x2)
+            y = self._apply_ref(x1)
         y = y.reshape(-1)
         if y.shape[0] < L:
             y = jnp.pad(y, (0, L - y.shape[0]))
@@ -199,35 +214,34 @@ class GatherMatrix:
         entries, e.g. a shard's [owned | halo] extended vector); returns
         exactly n_rows outputs. ``apply`` above keeps the square
         length-preserving contract the single-chip solvers rely on."""
-        x2 = self._pad_x(x)
-        y = (self._apply_pallas(x2) if self._use_pallas(x)
-             else self._apply_ref(x2)).reshape(-1)
+        x1 = self._pad_x(x)
+        y = (self._apply_pallas(x1) if self._use_pallas(x)
+             else self._apply_ref(x1)).reshape(-1)
         n = self.n_rows * self.block_dim[0]      # scalar output rows
         if y.shape[0] < n:
             y = jnp.pad(y, (0, n - y.shape[0]))
         return y[:n]
 
     def _decode_bmeta(self):
-        """bmeta (n_bsteps, BPB*R, 128) int8 -> (src, sten) jnp views over
-        all blocks: src (B, 128, 128) i32 and sten (B, Qc, 128, 128) i32."""
-        Qc, BPB = self.Qc, self.BPB
-        R = 128 + 2 * Qc * 128
-        nb = self.bmeta.shape[0] * BPB
-        bm = self.bmeta.reshape(nb, R, 128).astype(jnp.int32)
+        """bmeta (B, R, 128) int8 -> src (B, 128, 128) i32 and the running
+        EN plane (B, 128 lanes, Sq) i32 (sign-extended)."""
+        Qc = self.Qc
+        bm = self.bmeta.astype(jnp.int32)        # sign-extends int8
         src = bm[:, :128]
-        lo = bm[:, 128:128 + Qc * 128] & 255
-        hi = bm[:, 128 + Qc * 128:]
-        se = (lo | (hi << 8)).reshape(nb, Qc, 128, 128)
-        return src, se
+        nb = bm.shape[0]
+        en = bm[:, 128:].reshape(nb, Qc, 128, 128)
+        en = jnp.swapaxes(en, 1, 2).reshape(nb, 128, Qc * 128)
+        return src, en
 
-    def _apply_ref(self, x2):
+    def _apply_ref(self, x1):
         """Reference path (pure jnp; also the CPU execution path). Performs
         the identical gather algebra, fully vectorized over tiles and
         blocks, so the packed arrays are validated by every CPU test."""
         W, S_p, Qc = self.W, self.S_p, self.Qc
         n_panels = self.n_panels
-        dt = x2.dtype
-        x2w = x2.reshape(self.n_windows, W, 128)
+        dt = x1.dtype
+        x2w = x1.reshape(-1, 128)[: self.n_windows * W].reshape(
+            self.n_windows, W, 128)
         tw = self.tile_window
         hl = self.hl.astype(jnp.int32)
         hi = hl >> 8                                       # indexed by cl
@@ -237,104 +251,120 @@ class GatherMatrix:
         t = jnp.take_along_axis(u, lane, axis=2)
         contrib = t * self.vals[...].astype(dt)
         # tiles are contiguous in padded block order by construction
-        src, se = self._decode_bmeta()
+        src, en = self._decode_bmeta()
         n_blocks = src.shape[0]
         stag = contrib.reshape(n_blocks, 128, 128)
         stagT = jnp.swapaxes(stag, 1, 2)                   # (B, lane, row)
         srt = jnp.take_along_axis(stagT, src, axis=2)
         P = jnp.cumsum(srt, axis=2)
-        Pex = P - srt
-        stp1 = se >> 7
-        en = se & 127
-        Pb = jnp.broadcast_to(P[:, None], (n_blocks, Qc, 128, 128))
-        Pxb = jnp.broadcast_to(Pex[:, None], (n_blocks, Qc, 128, 128))
-        e = jnp.take_along_axis(Pb, en, axis=3)
-        s0 = jnp.take_along_axis(Pxb, jnp.maximum(stp1 - 1, 0), axis=3)
-        c = jnp.where(stp1 > 0, e - s0, jnp.zeros_like(e))
+        e = jnp.where(en >= 0,
+                      jnp.take_along_axis(P, jnp.maximum(en, 0), axis=2),
+                      jnp.zeros((n_blocks, 128, Qc * 128), P.dtype))
+        s0 = jnp.concatenate(
+            [jnp.zeros((n_blocks, 128, 1), e.dtype), e[..., :-1]], axis=2)
+        c = e - s0                                         # (B, lane, q)
         acc = jax.ops.segment_sum(c, self.block_panel,
                                   num_segments=n_panels)
-        # (p, qc, lane, q) -> (p, qc, q, lane) -> rows
-        y = jnp.swapaxes(acc, 2, 3).reshape(n_panels, Qc * 128, 128)
+        # (p, lane, q) -> (p, q, lane) -> rows
+        y = jnp.swapaxes(acc, 1, 2)
         return y[:, :S_p].reshape(n_panels * S_p, 128)
 
-    def _apply_pallas(self, x2, interpret: bool = False):
-        W, D, S_p, Qc, BPB = self.W, self.D, self.S_p, self.Qc, self.BPB
+    def _apply_pallas(self, x1, interpret: bool = False):
+        W, D, S_p, Qc, G = self.W, self.D, self.S_p, self.Qc, self.G
+        wpg, n_groups = self.wpg, self.n_groups
         n_steps = int(self.step_flags.shape[0])
+        tpp = 128 // D
         nv = W // 8
-        R = 128 + 2 * Qc * 128
-        dt = x2.dtype
+        R = 128 + Qc * 128
+        dt = x1.dtype
+        x3 = x1.reshape(n_groups, wpg * W, 128)
 
-        def kernel(flags, wid, tid, pid, soff, bid, x_ref, vals_ref, hl_ref,
-                   bm_ref, y_ref, stag, acc):
-            i = pl.program_id(0)
-            f = flags[i]
+        def kernel(flags, pid, gid, wid, x_ref, vals_ref, hl_ref, bm_ref,
+                   y_ref, stag, acc):
+            s = pl.program_id(0)
+            f = flags[s]
+            live = (f & 4) == 0
 
-            @pl.when(f == 0)
+            @pl.when(live)
             def _():
-                def chunk(j, carry):
-                    hlj = hl_ref[0, pl.ds(j * 8, 8)].astype(jnp.int32)
-                    hij = hlj >> 8
-                    hs = hij & 7
-                    if nv == 1:
-                        u = jnp.take_along_axis(x_ref[:], hs, axis=0)
+                # ---- pass A: stage all G*tpp tiles of the superstep
+                def tile_body(t, carry):
+                    w = wid[s * (G * tpp) + t]
+                    xoff = w * W
+
+                    def chunk(j, c2):
+                        hlj = hl_ref[t, pl.ds(j * 8, 8)].astype(jnp.int32)
+                        hij = hlj >> 8
+                        hs = hij & 7
+                        if nv == 1:
+                            u = jnp.take_along_axis(
+                                x_ref[0, pl.ds(xoff, 8)], hs, axis=0)
+                        else:
+                            hv = hij >> 3
+                            u = jnp.zeros((8, 128), dt)
+                            for v in range(nv):
+                                g = jnp.take_along_axis(
+                                    x_ref[0, pl.ds(xoff + v * 8, 8)],
+                                    hs, axis=0)
+                                u = jnp.where(hv == v, g, u)
+                        lj = hlj & 255
+                        tt = jnp.take_along_axis(u, lj, axis=1)
+                        stag[pl.ds(t * D + j * 8, 8)] = \
+                            tt * vals_ref[t, pl.ds(j * 8, 8)].astype(dt)
+                        return c2
+
+                    # static chunk unroll (measured ~2.3x over the rolled
+                    # fori at D=64; roll only to bound program size)
+                    if D <= 64:
+                        for j in range(D // 8):
+                            chunk(j, 0)
                     else:
-                        hv = hij >> 3
-                        u = jnp.zeros((8, 128), dt)
-                        for v in range(nv):
-                            g = jnp.take_along_axis(
-                                x_ref[v * 8:(v + 1) * 8], hs, axis=0)
-                            u = jnp.where(hv == v, g, u)
-                    lj = hlj & 255
-                    t = jnp.take_along_axis(u, lj, axis=1)
-                    stag[pl.ds(soff[i] * D + j * 8, 8)] = \
-                        t * vals_ref[0, pl.ds(j * 8, 8)].astype(dt)
+                        jax.lax.fori_loop(0, D // 8, chunk, 0)
                     return carry
-                if D <= 64:
-                    # static unroll measured ~15% faster than the rolled
-                    # loop (no dynamic-slice bookkeeping per chunk)
-                    for j in range(D // 8):
-                        chunk(j, 0)
-                else:
-                    # rolled: keeps the Mosaic program under the remote
-                    # compiler's request-size limit at large D
-                    jax.lax.fori_loop(0, D // 8, chunk, 0)
 
-            @pl.when(f > 0)
-            def _():
-                first = (f & 2) != 0
-                for jb in range(BPB):
-                    base = jb * R
-                    src = bm_ref[0, base:base + 128].astype(jnp.int32)
+                # static tile unroll while the program stays small —
+                # dynamic-slice bookkeeping per rolled iteration costs
+                # real VPU time on top of every chunk
+                if G * tpp <= 32:
+                    for t in range(G * tpp):
+                        tile_body(t, 0)
+                else:
+                    jax.lax.fori_loop(0, G * tpp, tile_body, 0)
+
+                # ---- pass B: reduce each block into the panel acc
+                first = (f & 1) != 0
+                idx0 = jax.lax.broadcasted_iota(
+                    jnp.int32, (128, 128), 1) == 0
+                for jb in range(G):
+                    src = bm_ref[jb, 0:128].astype(jnp.int32)
                     stagT = jnp.swapaxes(
                         stag[jb * 128:(jb + 1) * 128], 0, 1)
                     srt = jnp.take_along_axis(stagT, src, axis=1)
                     P = _lane_cumsum(srt)
-                    Pex = P - srt
+                    carry = jnp.zeros((128, 128), dt)
                     for qc in range(Qc):
-                        lo = bm_ref[0, base + 128 + qc * 128:
-                                    base + 128 + (qc + 1) * 128].astype(
-                            jnp.int32) & 255
-                        hi = bm_ref[0, base + 128 + Qc * 128 + qc * 128:
-                                    base + 128 + Qc * 128 +
-                                    (qc + 1) * 128].astype(jnp.int32)
-                        se = lo | (hi << 8)
-                        stp1 = se >> 7
-                        en = se & 127
-                        e = jnp.take_along_axis(P, en, axis=1)
-                        s0 = jnp.take_along_axis(
-                            Pex, jnp.maximum(stp1 - 1, 0), axis=1)
-                        c = jnp.where(stp1 > 0, e - s0, jnp.zeros_like(e))
+                        ENq = bm_ref[jb, 128 + qc * 128:
+                                     128 + (qc + 1) * 128].astype(jnp.int32)
+                        e = jnp.where(
+                            ENq >= 0,
+                            jnp.take_along_axis(
+                                P, jnp.maximum(ENq, 0), axis=1),
+                            jnp.zeros_like(P))
+                        er = pltpu.roll(e, jnp.asarray(1, jnp.int32), 1)
+                        s0 = jnp.where(idx0, carry, er)
+                        c = e - s0
+                        prev = acc[:, qc * 128:(qc + 1) * 128]
                         if jb == 0:
                             prev = jnp.where(first, jnp.zeros_like(c),
-                                             acc[:, qc * 128:(qc + 1) * 128])
-                        else:
-                            prev = acc[:, qc * 128:(qc + 1) * 128]
+                                             prev)
                         acc[:, qc * 128:(qc + 1) * 128] = prev + c
+                        carry = er
 
-            @pl.when((f & 4) != 0)
+            @pl.when(jnp.logical_and(live, (f & 2) != 0))
             def _():
                 for qc in range(Qc):
-                    yq = jnp.swapaxes(acc[:, qc * 128:(qc + 1) * 128], 0, 1)
+                    yq = jnp.swapaxes(acc[:, qc * 128:(qc + 1) * 128],
+                                      0, 1)
                     lo = qc * 128
                     if lo >= S_p:
                         continue
@@ -342,23 +372,21 @@ class GatherMatrix:
                     y_ref[lo:lo + h] = yq[:h]
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=4,
             grid=(n_steps,),
             in_specs=[
-                pl.BlockSpec((W, 128),
-                             lambda i, fl, wid, *_: (wid[i], 0)),
-                pl.BlockSpec((1, D, 128),
-                             lambda i, fl, wid, tid, *_: (tid[i], 0, 0)),
-                pl.BlockSpec((1, D, 128),
-                             lambda i, fl, wid, tid, *_: (tid[i], 0, 0)),
-                pl.BlockSpec((1, BPB * R, 128),
-                             lambda i, fl, wid, tid, pid, soff, bid:
-                             (bid[i], 0, 0)),
+                pl.BlockSpec((1, wpg * W, 128),
+                             lambda i, fl, pid, gid, wid: (gid[i], 0, 0)),
+                pl.BlockSpec((G * tpp, D, 128),
+                             lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((G * tpp, D, 128),
+                             lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((G, R, 128),
+                             lambda i, *_: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((S_p, 128),
-                                   lambda i, fl, wid, tid, pid, *_:
-                                   (pid[i], 0)),
-            scratch_shapes=[pltpu.VMEM((BPB * 128, 128), dt),
+                                   lambda i, fl, pid, *_: (pid[i], 0)),
+            scratch_shapes=[pltpu.VMEM((G * 128, 128), dt),
                             pltpu.VMEM((128, Qc * 128), dt)],
         )
         y = pl.pallas_call(
@@ -366,8 +394,8 @@ class GatherMatrix:
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((self.n_panels * S_p, 128), dt),
             interpret=interpret,
-        )(self.step_flags, self.step_wid, self.step_tid, self.step_pid,
-          self.step_soff, self.step_bid, x2, self.vals, self.hl, self.bmeta)
+        )(self.step_flags, self.step_pid, self.step_gid, self.tile_wid,
+          x3, self.vals, self.hl, self.bmeta)
         return y
 
 
@@ -454,43 +482,45 @@ def _scalar_expand(csr):
                               rows_s, cols_s, vals_s)
 
 
-def pad_gather(gm: GatherMatrix, nb_target: int) -> GatherMatrix:
-    """Pad a pack to ``nb_target`` B-steps (tiles/blocks/steps implied:
-    T = NB*unit, B = NB*BPB, steps = NB*(unit+1)).
+def pad_gather(gm: GatherMatrix, steps_target: int) -> GatherMatrix:
+    """Pad a pack to ``steps_target`` supersteps (tiles/blocks implied:
+    T = steps*G*tpp, B = steps*G).
 
     Cross-shard shape uniformity for the stacked distributed form: the
     SPMD program is identical on every shard, so all shards' arrays must
-    share shapes — the max NB over the mesh wins. Pad steps replicate the
-    last real step's block indices (Pallas dedups repeated same-block
-    fetches, so they cost no DMA) as pass-A steps with soff=0: they
-    restage dead data that no B-step ever reads."""
-    unit = gm.BPB * (128 // gm.D)
-    nb_cur = int(gm.bmeta.shape[0])
-    if nb_target <= nb_cur:
+    share shapes — the max steps over the mesh wins. Pad supersteps carry
+    flag bit 4 (skip): the kernel does nothing for them, and their block
+    indices repeat the last real step's (Pallas dedups repeated
+    same-block fetches, so they cost no DMA)."""
+    tpp = 128 // gm.D
+    unit_t = gm.G * tpp
+    cur = int(gm.step_flags.shape[0])
+    if steps_target <= cur:
         return gm
-    t_tgt = nb_target * unit
-    b_tgt = nb_target * gm.BPB
-    s_tgt = nb_target * (unit + 1)
+    t_tgt = steps_target * unit_t
+    b_tgt = steps_target * gm.G
 
-    def pad0(a, n, fill_last=False):
+    def pad0(a, n, fill_last=False, fill=None):
         a = np.asarray(a)
         k = n - a.shape[0]
         if k <= 0:
             return a
-        tail = np.repeat(a[-1:], k, axis=0) if fill_last else \
-            np.zeros((k,) + a.shape[1:], a.dtype)
+        if fill_last:
+            tail = np.repeat(a[-1:], k, axis=0)
+        elif fill is not None:
+            tail = np.full((k,) + a.shape[1:], fill, a.dtype)
+        else:
+            tail = np.zeros((k,) + a.shape[1:], a.dtype)
         return np.concatenate([a, tail], axis=0)
 
     arrays = dict(
         vals=jnp.asarray(pad0(gm.vals, t_tgt)),
         hl=jnp.asarray(pad0(gm.hl, t_tgt)),
-        bmeta=jnp.asarray(pad0(gm.bmeta, nb_target)),
-        step_flags=jnp.asarray(pad0(gm.step_flags, s_tgt)),
-        step_wid=jnp.asarray(pad0(gm.step_wid, s_tgt, True)),
-        step_tid=jnp.asarray(pad0(gm.step_tid, s_tgt, True)),
-        step_pid=jnp.asarray(pad0(gm.step_pid, s_tgt, True)),
-        step_soff=jnp.asarray(pad0(gm.step_soff, s_tgt)),
-        step_bid=jnp.asarray(pad0(gm.step_bid, s_tgt, True)),
+        bmeta=jnp.asarray(pad0(gm.bmeta, b_tgt, True)),
+        step_flags=jnp.asarray(pad0(gm.step_flags, steps_target, fill=4)),
+        step_pid=jnp.asarray(pad0(gm.step_pid, steps_target, True)),
+        step_gid=jnp.asarray(pad0(gm.step_gid, steps_target, True)),
+        tile_wid=jnp.asarray(pad0(gm.tile_wid, t_tgt, True)),
         tile_window=jnp.asarray(pad0(gm.tile_window, t_tgt, True)),
         block_panel=jnp.asarray(pad0(gm.block_panel, b_tgt, True)),
     )
@@ -500,7 +530,7 @@ def pad_gather(gm: GatherMatrix, nb_target: int) -> GatherMatrix:
 
 
 def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
-                  D: Optional[int] = None, BPB: int = 2,
+                  D: Optional[int] = None, G: Optional[int] = None,
                   max_efficiency_waste: float = 8.0,
                   allow_empty: bool = False) -> Optional[GatherMatrix]:
     """Build the lane-binned gather format from CSR (setup-phase, host).
@@ -510,7 +540,8 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
     select tree is W/8-way).  S_p: panel height in 128-row groups; above
     128 it is rounded to a multiple of 128 (one q-extraction chunk each).
     D: tile depth (rows of 128 slots); must divide 128; None = adaptive.
-    BPB: staging blocks reduced per B-step (amortizes grid overhead).
+    G: staging blocks per superstep (grid-overhead amortization); None =
+    adaptive jointly with D (exact padded-slot + step-overhead model).
 
     Returns None only for pathological packing efficiency
     (slots/nnz > max_efficiency_waste). Block (BSR) operators pack their
@@ -520,15 +551,6 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
     operator instead of returning None (the stacked distributed form
     needs every shard, including consolidated-away empty ones, to carry
     uniform arrays)."""
-
-    import time as _t, os as _os
-    _dbg = bool(_os.environ.get("AMGX_PACK_DEBUG"))
-    _tm = {"last": _t.perf_counter()}
-    def _tick(name):
-        if _dbg:
-            now = _t.perf_counter()
-            print("PACK", name, round(now - _tm["last"], 3), flush=True)
-            _tm["last"] = now
     blk = csr.block_dim
     n_blk, m_blk = csr.n_rows, csr.n_cols
     if blk != (1, 1):
@@ -563,7 +585,6 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
         vals = np.zeros(1, work_dt)
         nnz = 1
 
-    _tick('extract')
     # -- pick geometry -------------------------------------------------------
     W = max(8, min(W, 128, -(-m // 128)))
     W = -(-W // 8) * 8
@@ -575,6 +596,8 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
         S_p = -(-S_p // 8) * 8
     n_panels = -(-n // (S_p * 128))
     Qc = max(1, -(-S_p // 128))
+    wpg = max(1, min(n_windows, _XCAP_BYTES // (W * 128 * 4)))
+    n_groups = -(-n_windows // wpg)
 
     # pow2-aware index splitting (the geometry divisors are powers of two
     # for the default W/S_p; shifts beat int64 division ~5x on 10M edges)
@@ -593,7 +616,6 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
     hi_local = _div(off, 128).astype(np.int32)
     pair = panel * n_windows + window
 
-    _tick('geometry')
     from .. import native
     lib = native.lib()
     order = None
@@ -614,57 +636,86 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
     upairs = pair_s[pair_starts]
     pair_ptr = np.concatenate([pair_starts, [nnz]]).astype(np.int64)
 
-    _tick('order')
     if lib is not None and getattr(lib, "_has_gather_pack", False):
         s_slot = lib.gather_pack(pair_ptr, rl_s, cl_s)
     else:
         s_slot = _pack_pairs_python(pair_ptr, rl_s, cl_s)
 
-    _tick('firstfit')
-    # per-pair depth -> tile depth D (adaptive) -> tiles
+    # per-pair depth -> joint (D, G) search on the exact padded-slot count
     n_up = upairs.shape[0]
     edge_pair_idx = np.repeat(np.arange(n_up), np.diff(pair_ptr))
     depth = np.maximum.reduceat(s_slot.astype(np.int64) + 1,
                                 pair_ptr[:-1])
-    if D is None:
-        # cost model: slot traffic + per-grid-step overhead (~350 ns/step
-        # measured on v5e ~ the time 10k slot-bytes take at HBM speed)
-        best = None
-        for cand in (16, 32, 64, 128):
-            slots_c = int(np.sum(-(-depth // cand)) * cand) * 128
-            steps_c = slots_c // (cand * 128) + slots_c // (128 * 128) // BPB
-            cost = slots_c + steps_c * 40000
+    pair_panel = (upairs // n_windows).astype(np.int64)
+    pair_group = ((upairs % n_windows) // wpg).astype(np.int64)
+    sec_of_pair = pair_panel * n_groups + pair_group
+    n_sec = n_panels * n_groups
+    iz = 8 if is_c else np.dtype(dtype).itemsize
+
+    def padded_tiles(Dc, Gc):
+        tpp_c = 128 // Dc
+        unit = Gc * tpp_c
+        tiles_pp = -(-depth // Dc)
+        T_sec = np.bincount(sec_of_pair, weights=tiles_pp,
+                            minlength=n_sec).astype(np.int64)
+        T_pad = -(-T_sec // unit) * unit
+        # every panel needs >= 1 superstep (its y rows must be written)
+        per_panel = T_pad.reshape(n_panels, n_groups)
+        empty = per_panel.sum(axis=1) == 0
+        per_panel[empty, 0] = unit
+        return per_panel.reshape(-1)
+
+    cand_D = [D] if D is not None else [8, 16, 32, 64, 128]
+    # G=2 measured fastest across D on v5e (larger supersteps lose
+    # intra-step DMA/compute pipelining: G=4 +34%, G=8 ~2x slower)
+    cand_G = [G] if G is not None else [2]
+    best = None
+    for Dc in cand_D:
+        if 128 % Dc:
+            continue
+        for Gc in cand_G:
+            if G is None and Gc * (128 // Dc) > 32:
+                # keep the superstep's tile loop statically unrollable and
+                # its DMA small enough to pipeline against compute
+                # (measured: G=8/16 supersteps run ~2x slower than G=4)
+                continue
+            T_pad_c = padded_tiles(Dc, Gc)
+            T_tot_c = int(T_pad_c.sum())
+            slots_c = T_tot_c * Dc * 128
+            blocks_c = T_tot_c * Dc // 128
+            steps_c = max(1, blocks_c // Gc)
+            bytes_c = slots_c * (iz + 2) + \
+                blocks_c * (128 + Qc * 128) * 128
+            cost = bytes_c + steps_c * _STEP_OVERHEAD_BYTES
             if best is None or cost < best[0]:
-                best = (cost, cand)
-        D = best[1]
-    if 128 % D != 0:
+                best = (cost, Dc, Gc, T_pad_c)
+    if best is None:
         raise ValueError(f"tile depth {D} must divide 128")
-    tpp = 128 // D                       # tiles per staging block
-    unit = BPB * tpp                     # tiles per B-step
+    _, D, G, T_sec_pad = best
+    tpp = 128 // D
+    unit = G * tpp
+
     tiles_per_pair = -(-depth // D)
     tile_base = np.concatenate([[0], np.cumsum(tiles_per_pair)])
     T_real = int(tile_base[-1])
-
     tile_of_edge_real = tile_base[edge_pair_idx] + s_slot // D
     row_in_tile = (s_slot % D).astype(np.int64)
     tile_pair = np.repeat(np.arange(n_up), tiles_per_pair)
-    tile_panel_real = (upairs[tile_pair] // n_windows).astype(np.int64)
+    tile_sec_real = sec_of_pair[tile_pair]
     tile_window_real = (upairs[tile_pair] % n_windows).astype(np.int64)
 
-    # pad each panel's tile count to a multiple of the B-step unit (>= 1
-    # unit even for empty panels, so every panel's y rows get written)
-    T_p = np.bincount(tile_panel_real, minlength=n_panels)
-    T_p_pad = np.maximum(unit, -(-T_p // unit) * unit)
-    pad_base = np.concatenate([[0], np.cumsum(T_p_pad)]).astype(np.int64)
-    real_base = np.concatenate([[0], np.cumsum(T_p)]).astype(np.int64)
+    T_sec = np.bincount(tile_sec_real, minlength=n_sec).astype(np.int64)
+    pad_base = np.concatenate([[0], np.cumsum(T_sec_pad)]).astype(np.int64)
+    real_base = np.concatenate([[0], np.cumsum(T_sec)]).astype(np.int64)
     T_tot = int(pad_base[-1])
     slots = T_tot * D * 128
-    # guard on the packing's own waste; block-padding is bounded per panel
+    # guard on the packing's own waste; block-padding is bounded per
+    # (panel, group) section
     if T_real * D * 128 > max_efficiency_waste * nnz and nnz > 128:
         return None
-    # padded tile id of each real tile (pads appended at panel end)
-    tile_in_panel = np.arange(T_real) - real_base[tile_panel_real]
-    tile_pad_id = pad_base[tile_panel_real] + tile_in_panel
+    # padded tile id of each real tile (pads appended at section end)
+    tile_in_sec = np.arange(T_real) - real_base[tile_sec_real]
+    tile_pad_id = pad_base[tile_sec_real] + tile_in_sec
     tile_of_edge = tile_pad_id[tile_of_edge_real]
 
     # tile metadata over the padded range
@@ -672,39 +723,47 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
     tile_window[tile_pad_id] = tile_window_real
     is_real = np.zeros(T_tot, bool)
     is_real[tile_pad_id] = True
-    # pad tiles inherit the previous tile's window so the x stream dedups
+    # pad tiles inherit the previous tile's window (their vals are zero;
+    # only the x access must stay in range)
     last = np.maximum.accumulate(np.where(is_real, np.arange(T_tot), -1))
     filled = np.where(last >= 0, tile_window[np.maximum(last, 0)], 0)
     tile_window = np.where(is_real, tile_window, filled)
+    sec_of_tile = np.searchsorted(pad_base[1:], np.arange(T_tot), "right")
+    grp_of_tile = sec_of_tile % n_groups
+    tile_wid = np.clip(tile_window - grp_of_tile * wpg, 0,
+                       wpg - 1).astype(np.int32)
 
-    n_blocks_p = (T_p_pad // tpp).astype(np.int64)
-    block_base = np.concatenate([[0], np.cumsum(n_blocks_p)]).astype(np.int64)
-    B_tot = int(block_base[-1])
-    block_panel = np.searchsorted(block_base[1:], np.arange(B_tot), "right")
-    n_bsteps_p = n_blocks_p // BPB
-    bstep_base = np.concatenate([[0],
-                                 np.cumsum(n_bsteps_p)]).astype(np.int64)
-    NB = int(bstep_base[-1])
+    B_tot = T_tot // tpp
+    block_sec = sec_of_tile[np.arange(B_tot) * tpp]
+    block_panel = (block_sec // n_groups).astype(np.int64)
+    n_steps = B_tot // G
+    step_sec = block_sec[np.arange(n_steps) * G]
+    step_pid = (step_sec // n_groups).astype(np.int32)
+    step_gid = (step_sec % n_groups).astype(np.int32)
+    first = np.empty(n_steps, bool)
+    first[0] = True
+    first[1:] = step_pid[1:] != step_pid[:-1]
+    last_s = np.empty(n_steps, bool)
+    last_s[-1] = True
+    last_s[:-1] = step_pid[1:] != step_pid[:-1]
+    sflags = (first * 1 + last_s * 2).astype(np.int32)
 
-    _tick('tilemeta')
     # -- pack tile arrays + per-block segment planes -------------------------
-    stag_row = (tile_in_panel[tile_of_edge_real] * D + row_in_tile)
-    gb_e = block_base[panel[order]] + stag_row // 128
-    rib_e = (stag_row % 128).astype(np.int32)
+    lin = tile_of_edge * D + row_in_tile
+    gb_e = lin // 128
+    rib_e = (lin % 128).astype(np.int32)
     q_s = q[order]
     vals_s = vals[order]
-    R = 128 + 2 * Qc * 128
     post = None
-    if lib is not None and getattr(lib, "_has_postpack", False) \
+    if lib is not None and getattr(lib, "_has_postpack_en", False) \
             and not is_c and np.dtype(dtype) in (np.dtype(np.float32),
                                                  np.dtype(np.float64)):
         post = lib.gather_postpack(
             T_tot, B_tot, D, Qc, tile_of_edge, row_in_tile, rl_s, cl_s,
             hi_local[order], vals_s.astype(np.float64), gb_e, rib_e, q_s,
-            dtype)
+            dtype, en_plane=True)
     if post is not None:
         vals_a, hl_a, bmeta = post
-        bmeta = bmeta.reshape(NB, BPB * R, 128)
     else:
         vals_a = np.zeros((T_tot, D, 128), dtype)
         hl_a = np.zeros((T_tot, D, 128), np.int16)
@@ -716,7 +775,7 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
         np.bitwise_or.at(hl_a, (tile_of_edge, row_in_tile, rl_s),
                          cl_s.astype(np.int16))
 
-        # per-block sort + segment boundary planes
+        # per-block sort + the running EN plane
         skey = np.lexsort((q_s, rl_s, gb_e))
         gb_, l_, q_, rib_ = gb_e[skey], rl_s[skey], q_s[skey], rib_e[skey]
         grp = gb_ * 128 + l_
@@ -735,56 +794,32 @@ def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
         seg_end = np.empty(nnz, bool)
         seg_end[:-1] = new_seg[1:]
         seg_end[-1] = True
-        sten = np.zeros((B_tot, Qc * 128, 128), np.int16)
-        qs_seg = q_[new_seg]
-        code = ((rank[new_seg].astype(np.int32) + 1) * 128 +
-                rank[seg_end].astype(np.int32)).astype(np.int16)
-        sten[gb_[new_seg], (qs_seg // 128) * 128 + l_[new_seg],
-             qs_seg % 128] = code
-        # fold src + sten byte planes into one int8 stream per B-step:
-        # per sub-block: [src (128) | sten-lo (Qc*128) | sten-hi (Qc*128)]
-        sb = sten.view(np.uint8).reshape(B_tot, Qc * 128, 128, 2)
-        bmeta = np.concatenate(
-            [src, sb[..., 0].view(np.int8), sb[..., 1].view(np.int8)],
-            axis=1)                                        # (B_tot, R, 128)
-        bmeta = bmeta.reshape(NB, BPB * R, 128)
+        en = np.full((B_tot, 128, Qc * 128), -1, np.int8)
+        en[gb_[seg_end], l_[seg_end], q_[seg_end]] = \
+            rank[seg_end].astype(np.int8)
+        # running forward-fill: ranks increase with q within a lane, so a
+        # running max IS the forward fill from -1
+        en = np.maximum.accumulate(en, axis=2)
+        en_rows = en.reshape(B_tot, 128, Qc, 128).transpose(0, 2, 1, 3) \
+            .reshape(B_tot, Qc * 128, 128)
+        bmeta = np.concatenate([src, en_rows], axis=1)
 
-    _tick('postpack')
-    # -- step schedule: per panel, [A x unit, B] per B-step -------------------
-    steps_per_unit = unit + 1
-    n_steps = NB * steps_per_unit
-    step = np.arange(n_steps)
-    bstep_of_step = step // steps_per_unit
-    pos = step % steps_per_unit
-    is_b = pos == unit
-    tile_id = bstep_of_step * unit + np.minimum(pos, unit - 1)
-    sbid = bstep_of_step.astype(np.int32)
-    spid = block_panel[bstep_of_step * BPB].astype(np.int32)
-    stid = tile_id.astype(np.int32)
-    swid = tile_window[tile_id].astype(np.int32)
-    ssoff = np.where(is_b, 0, pos).astype(np.int32)
-    first_b = bstep_base[spid] == bstep_of_step
-    last_b = (bstep_base[spid] + n_bsteps_p[spid] - 1) == bstep_of_step
-    sflags = np.where(is_b, 1 + 2 * first_b + 4 * last_b, 0).astype(np.int32)
-
-    _tick('schedule')
     arrays = dict(
         vals=None,                       # filled per value plane below
         hl=jnp.asarray(hl_a),
         bmeta=jnp.asarray(bmeta),
         step_flags=jnp.asarray(sflags),
-        step_wid=jnp.asarray(swid),
-        step_tid=jnp.asarray(stid),
-        step_pid=jnp.asarray(spid),
-        step_soff=jnp.asarray(ssoff),
-        step_bid=jnp.asarray(sbid),
+        step_pid=jnp.asarray(step_pid),
+        step_gid=jnp.asarray(step_gid),
+        tile_wid=jnp.asarray(tile_wid),
         tile_window=jnp.asarray(tile_window.astype(np.int32)),
         block_panel=jnp.asarray(block_panel.astype(np.int32)),
     )
     meta = dict(n_rows=n_blk, n_cols=m_blk, block_dim=tuple(blk),
                 nnz=int(csr.nnz), slots=int(slots),
-                W=int(W), S_p=int(S_p), D=int(D), Qc=int(Qc), BPB=int(BPB),
-                n_windows=int(n_windows), n_panels=int(n_panels))
+                W=int(W), S_p=int(S_p), D=int(D), Qc=int(Qc), G=int(G),
+                n_windows=int(n_windows), n_panels=int(n_panels),
+                n_groups=int(n_groups), wpg=int(wpg))
     if is_c:
         # two real planes share every index array (GatherComplexMatrix)
         plane_dt = np.float32 if dtype == np.dtype(np.complex64) \

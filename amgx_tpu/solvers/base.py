@@ -346,8 +346,11 @@ class Solver:
                     return self.solve_iteration(b, xx, ss)
                 x1, st = jax.lax.fori_loop(0, max_iters - 1, body_fixed,
                                            (x1, st))
-                return x1, jnp.asarray(max_iters, jnp.int32), \
-                    jnp.zeros((1,), x.dtype)
+                # [iters | hist] in ONE array: the host reads the whole
+                # solve result in a single fetch (one tunnel round trip)
+                return x1, jnp.concatenate(
+                    [jnp.full((1,), max_iters, jnp.result_type(x.real)),
+                     jnp.zeros((1,), jnp.result_type(x.real))])
             r0 = b if zg else b - self.op.apply(x)
             bd = self.block_dim[0]
             ini = blas.get_norm(r0, self.norm, bd,
@@ -385,7 +388,8 @@ class Solver:
             x_f, _, it, hist, _ = jax.lax.while_loop(
                 cond, body, (x1, st, jnp.asarray(1, jnp.int32), hist,
                              done1))
-            return x_f, it, hist
+            return x_f, jnp.concatenate(
+                [it[None].astype(hist.dtype), hist])
         return fused
 
     # -- the outer solve loop -----------------------------------------------------
@@ -538,12 +542,15 @@ class Solver:
                     self._apply_device_state(saved)
             fn = jax.jit(run)
             self._jit_fused[zg] = fn
-        x_f, it_dev, hist = fn(self._device_state(), b, x)
-        x_f.block_until_ready()
-        it = int(it_dev)
+        x_f, packed = fn(self._device_state(), b, x)
+        # ONE host fetch per solve: [iters | residual history] ride one
+        # array (each scalar fetch costs a full tunnel round trip)
+        pk = np.asarray(packed)
+        it = int(pk[0])
+        hist = pk[1:]
         status = SolveStatus.SUCCESS
         if self.monitor_residual:
-            h = np.asarray(hist)[:it + 1]
+            h = hist[:it + 1]
             self.res_history = [v for v in h]
             self.convergence.init(h[0])
             if not np.all(np.isfinite(h)):

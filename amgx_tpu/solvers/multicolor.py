@@ -185,6 +185,41 @@ class MulticolorDILUSolver(Solver):
         return x, None
 
 
+def ilu0_factor_host(indptr, indices, data, rank, perm):
+    """ILU(0) factorization in the given row ordering (rank[i] = position
+    of row i; perm = order to process rows). Native C++ kernel when built
+    (csrc/amgx_host.cpp ilu0_factor), python IKJ fallback otherwise.
+    Returns the factored values array (L multipliers below, U above)."""
+    from .. import native
+    lib = native.lib()
+    if lib is not None:
+        return lib.ilu0(indptr, indices, np.asarray(data, np.float64),
+                        rank, perm)
+    n = len(indptr) - 1
+    data = np.asarray(data, np.float64).copy()
+    rowmap = [dict() for _ in range(n)]
+    for i in range(n):
+        for k in range(indptr[i], indptr[i + 1]):
+            rowmap[i][int(indices[k])] = k
+    for i in np.asarray(perm).tolist():
+        ri = rank[i]
+        # eliminate using rows j with rank[j] < rank[i]
+        ks = sorted(rowmap[i].items(), key=lambda kv: rank[kv[0]])
+        for j, kij in ks:
+            if rank[j] >= ri:
+                continue
+            dj = rowmap[j].get(j)
+            piv = data[dj] if dj is not None else 0.0
+            if piv == 0.0:
+                continue
+            lij = data[kij] / piv
+            data[kij] = lij
+            for jj, kjj in rowmap[j].items():
+                if rank[jj] > rank[j] and jj in rowmap[i]:
+                    data[rowmap[i][jj]] -= lij * data[kjj]
+    return data
+
+
 @register_solver("MULTICOLOR_ILU")
 class MulticolorILUSolver(Solver):
     """Multicolor ILU(k) smoother (multicolor_ilu_solver.cu). k in {0,1}
@@ -228,33 +263,7 @@ class MulticolorILUSolver(Solver):
         # ordering; native C++ kernel when built (csrc/amgx_host.cpp),
         # python IKJ fallback otherwise
         indptr, indices = work.indptr, work.indices
-        from .. import native
-        lib = native.lib()
-        if lib is not None:
-            data = lib.ilu0(indptr, indices,
-                            work.data.astype(np.float64), rank, perm)
-        else:
-            data = work.data.astype(np.float64).copy()
-            rowmap = [dict() for _ in range(n)]
-            for i in range(n):
-                for k in range(indptr[i], indptr[i + 1]):
-                    rowmap[i][int(indices[k])] = k
-            for i in perm.tolist():
-                ri = rank[i]
-                # eliminate using rows j with rank[j] < rank[i]
-                ks = sorted(rowmap[i].items(), key=lambda kv: rank[kv[0]])
-                for j, kij in ks:
-                    if rank[j] >= ri:
-                        continue
-                    dj = rowmap[j].get(j)
-                    piv = data[dj] if dj is not None else 0.0
-                    if piv == 0.0:
-                        continue
-                    lij = data[kij] / piv
-                    data[kij] = lij
-                    for jj, kjj in rowmap[j].items():
-                        if rank[jj] > rank[j] and jj in rowmap[i]:
-                            data[rowmap[i][jj]] -= lij * data[kjj]
+        data = ilu0_factor_host(indptr, indices, work.data, rank, perm)
         # split into L (strict, color-lower) and U (incl diag)
         rows = np.repeat(np.arange(n), np.diff(indptr))
         lower = rank[indices] < rank[rows]

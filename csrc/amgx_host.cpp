@@ -408,6 +408,114 @@ void gather_postpack(int64_t nnz, int64_t t_tot, int64_t b_tot, int64_t d,
     }
 }
 
+// G5 v3 post-pack: like gather_postpack but the per-(lane, q) segment
+// boundaries are emitted as ONE running int8 plane EN with
+// EN(l, q) = (# slots in lane l with destination <= q) - 1, forward-
+// filled along q from -1 (amgx_tpu/ops/gather_spmv.py rev 3). The kernel
+// then extracts contribution(q) = P[EN(q)] - P[EN(q-1)] with a single
+// gather + shifted reuse per 128-q chunk — and the bmeta stream shrinks
+// from 2 to 1 byte per (lane, q) cell.
+//   bmeta : (B_tot, R, 128) int8 with R = 128 + qc*128; EN rows arrive
+//           pre-filled with -1 (caller), src rows zeroed.
+void gather_postpack_en(int64_t nnz, int64_t t_tot, int64_t b_tot,
+                        int64_t d, int64_t qc, int32_t out_is_f32,
+                        const int64_t* tile_of_edge,
+                        const int32_t* row_in_tile,
+                        const int32_t* rl, const int32_t* cl,
+                        const int32_t* hi_local, const double* vals,
+                        const int64_t* gb, const int32_t* rib,
+                        const int32_t* q,
+                        void* vals_a, int16_t* hl_a, int8_t* bmeta) {
+    (void)t_tot;
+    const int64_t r_rows = 128 + qc * 128;
+    float* vf = static_cast<float*>(vals_a);
+    double* vd = static_cast<double*>(vals_a);
+    for (int64_t e = 0; e < nnz; ++e) {
+        const int64_t base = (tile_of_edge[e] * d + row_in_tile[e]) * 128;
+        if (out_is_f32)
+            vf[base + rl[e]] = static_cast<float>(vals[e]);
+        else
+            vd[base + rl[e]] = vals[e];
+        hl_a[base + cl[e]] |= static_cast<int16_t>(hi_local[e] << 8);
+        hl_a[base + rl[e]] |= static_cast<int16_t>(cl[e]);
+    }
+    std::vector<int64_t> bptr(static_cast<size_t>(b_tot) + 1, 0);
+    for (int64_t e = 0; e < nnz; ++e)
+        ++bptr[static_cast<size_t>(gb[e]) + 1];
+    for (int64_t b = 0; b < b_tot; ++b)
+        bptr[static_cast<size_t>(b) + 1] += bptr[static_cast<size_t>(b)];
+    std::vector<int64_t> by_block(static_cast<size_t>(nnz));
+    {
+        std::vector<int64_t> pos(bptr.begin(), bptr.end() - 1);
+        for (int64_t e = 0; e < nnz; ++e)
+            by_block[static_cast<size_t>(
+                pos[static_cast<size_t>(gb[e])]++)] = e;
+    }
+    const int64_t sq = qc * 128;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int64_t> cnt(static_cast<size_t>(128 * sq) + 1);
+        std::vector<int64_t> eord(static_cast<size_t>(128 * 128));
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 8)
+#endif
+        for (int64_t b = 0; b < b_tot; ++b) {
+            const int64_t lo = bptr[static_cast<size_t>(b)];
+            const int64_t hi2 = bptr[static_cast<size_t>(b) + 1];
+            const int64_t m = hi2 - lo;
+            if (m == 0) continue;
+            std::fill(cnt.begin(), cnt.end(), 0);
+            for (int64_t i = lo; i < hi2; ++i) {
+                const int64_t e = by_block[static_cast<size_t>(i)];
+                ++cnt[static_cast<size_t>(rl[e]) * sq + q[e] + 1];
+            }
+            for (size_t k = 0; k < static_cast<size_t>(128 * sq); ++k)
+                cnt[k + 1] += cnt[k];
+            for (int64_t i = lo; i < hi2; ++i) {
+                const int64_t e = by_block[static_cast<size_t>(i)];
+                eord[static_cast<size_t>(
+                    cnt[static_cast<size_t>(rl[e]) * sq + q[e]]++)] = e;
+            }
+            int8_t* bm = bmeta + b * r_rows * 128;
+            int8_t* src = bm;                               // rows [0,128)
+            int8_t* en = bm + 128 * 128;                    // EN plane
+            int64_t i = 0;
+            while (i < m) {
+                const int64_t e0 = eord[static_cast<size_t>(i)];
+                const int32_t l = rl[e0];
+                int64_t lane_end = i;
+                while (lane_end < m &&
+                       rl[eord[static_cast<size_t>(lane_end)]] == l)
+                    ++lane_end;
+                int64_t rank = 0;
+                int64_t j = i;
+                int32_t q_prev = -1;
+                for (; j < lane_end; ++j) {
+                    const int64_t e = eord[static_cast<size_t>(j)];
+                    const int32_t qv = q[e];
+                    if (qv != q_prev) {
+                        // forward-fill [q_prev, qv): EN = rank-1 so far
+                        for (int32_t qq = q_prev < 0 ? 0 : q_prev;
+                             qq < qv; ++qq)
+                            en[((qq / 128) * 128 + l) * 128 + qq % 128] =
+                                static_cast<int8_t>(rank - 1);
+                        q_prev = qv;
+                    }
+                    src[l * 128 + rank] = static_cast<int8_t>(rib[e]);
+                    ++rank;
+                }
+                // tail fill [q_prev, sq)
+                for (int32_t qq = q_prev < 0 ? 0 : q_prev; qq < sq; ++qq)
+                    en[((qq / 128) * 128 + l) * 128 + qq % 128] =
+                        static_cast<int8_t>(rank - 1);
+                i = lane_end;
+            }
+        }
+    }
+}
+
 // COO -> CSR with stable duplicate summing (the setup phase's most common
 // reshape: Galerkin triple products and permutations emit COO). Counting
 // sort by row, per-row stable sort by column (rows over threads), then a

@@ -143,8 +143,10 @@ def test_distributed_unsupported_preconditioner_raises(mesh):
     falls back to the single-chip solver) instead of silently swapping
     the preconditioner for identity."""
     a = amgx.gallery.poisson5pt(16, 16)
+    # MULTICOLOR_GS/ILU/DILU and FIXCOLOR_GS are distributed now
+    # (test_dist_smoothers.py); KACZMARZ remains single-chip-only
     cfg = amgx.AMGConfig(
-        "solver=PCG, preconditioner=MULTICOLOR_ILU, max_iters=50, "
+        "solver=PCG, preconditioner=KACZMARZ, max_iters=50, "
         "tolerance=1e-8, convergence=RELATIVE_INI, monitor_residual=1")
     s = DistributedSolver(cfg, mesh)
     with pytest.raises(NotImplementedError):

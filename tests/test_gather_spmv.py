@@ -140,6 +140,39 @@ def test_pallas_interpret_matches(rng):
     np.testing.assert_allclose(y_ref[:600], ref, rtol=2e-4, atol=2e-4)
 
 
+def test_pallas_interpret_multichunk_carry(rng):
+    """Qc > 1 exercises the rev-3 cross-chunk EN carry column, multiple
+    panels exercise the acc reset/flush flags, and several supersteps per
+    panel exercise cross-step acc accumulation."""
+    csr = _random_csr(70000, 70000, 6, rng, dtype=np.float32)
+    gm = csr_to_gather(csr, dtype=np.float32, W=16, S_p=256, G=2)
+    assert gm.Qc == 2 and gm.n_panels >= 2 and gm.n_steps > gm.n_panels
+    x = rng.standard_normal(70000).astype(np.float32)
+    x2 = gm._pad_x(jnp.asarray(x))
+    y_ref = np.asarray(gm._apply_ref(x2)).reshape(-1)
+    y_pal = np.asarray(gm._apply_pallas(x2, interpret=True)).reshape(-1)
+    np.testing.assert_allclose(y_pal, y_ref, rtol=2e-4, atol=2e-4)
+    ref = csr.to_scipy() @ x
+    np.testing.assert_allclose(y_ref[:70000], ref, rtol=2e-3, atol=2e-3)
+
+
+def test_pad_gather_skip_steps(rng):
+    """pad_gather appends skip-flagged supersteps; the padded operator
+    computes the identical product (distributed shape-uniformity path)."""
+    from amgx_tpu.ops.gather_spmv import pad_gather
+    csr = _random_csr(2000, 2000, 5, rng, dtype=np.float32)
+    gm = csr_to_gather(csr, dtype=np.float32, W=8, S_p=8, D=8)
+    gp = pad_gather(gm, gm.n_steps + 3)
+    assert gp.n_steps == gm.n_steps + 3
+    x = rng.standard_normal(2000).astype(np.float32)
+    x2 = gp._pad_x(jnp.asarray(x))
+    y_ref = np.asarray(gm._apply_ref(gm._pad_x(jnp.asarray(x))))
+    y_pad = np.asarray(gp._apply_pallas(x2, interpret=True))
+    np.testing.assert_allclose(y_pad.reshape(-1)[:2000],
+                               y_ref.reshape(-1)[:2000],
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_bsr_scalar_expansion(rng):
     """BSR packs via scalar expansion (reference covers bxb blocks
     natively, multiply.cu:1056-1262); n_rows/n_pad follow the block-unit
