@@ -79,6 +79,10 @@ _XCAP_BYTES = 4 * 2 ** 20
 # (measured on the rev-3 superstep kernel; steps are fat, so this mostly
 # breaks ties toward fewer, fuller supersteps)
 _STEP_OVERHEAD_BYTES = 150_000
+# cumsum on the MXU (srt @ triu ones) vs the VPU roll scan; toggled off
+# via env for A/B measurement
+import os as _os  # noqa: E402
+_MXU_SCAN = _os.environ.get("AMGX_G5_MXU_SCAN", "1") != "0"
 
 
 def _lane_cumsum(x):
@@ -335,12 +339,28 @@ class GatherMatrix:
                 first = (f & 1) != 0
                 idx0 = jax.lax.broadcasted_iota(
                     jnp.int32, (128, 128), 1) == 0
+                # MXU cumsum: P = srt @ upper-triangular ones — one
+                # (128,128,128) f32 matmul on the MXU instead of the
+                # 7-step roll scan on the VPU (the scan costs ~336
+                # vreg-cycles per block and pass B is VPU-bound)
+                ir = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+                ic = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+                triu = (ir <= ic).astype(dt)
                 for jb in range(G):
                     src = bm_ref[jb, 0:128].astype(jnp.int32)
                     stagT = jnp.swapaxes(
                         stag[jb * 128:(jb + 1) * 128], 0, 1)
                     srt = jnp.take_along_axis(stagT, src, axis=1)
-                    P = _lane_cumsum(srt)
+                    if _MXU_SCAN:
+                        # HIGHEST: 3-pass bf16 decomposition ~ f32 exact;
+                        # DEFAULT would silently run one bf16 pass
+                        # (measured 2e-3 relative error on the cumsum)
+                        P = jax.lax.dot_general(
+                            srt, triu, (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32).astype(dt)
+                    else:
+                        P = _lane_cumsum(srt)
                     carry = jnp.zeros((128, 128), dt)
                     for qc in range(Qc):
                         ENq = bm_ref[jb, 128 + qc * 128:
@@ -529,7 +549,7 @@ def pad_gather(gm: GatherMatrix, steps_target: int) -> GatherMatrix:
     return GatherMatrix(arrays, meta)
 
 
-def csr_to_gather(csr, dtype=None, W: int = 64, S_p: int = 512,
+def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 512,
                   D: Optional[int] = None, G: Optional[int] = None,
                   max_efficiency_waste: float = 8.0,
                   allow_empty: bool = False) -> Optional[GatherMatrix]:

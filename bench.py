@@ -170,7 +170,10 @@ def phase_spmv_gather(n_side: int, inner: int, reps: int):
     x = jnp.asarray(rng.standard_normal(csr.n_rows).astype(dtype))
     best = _slope_time(lambda k: g(gm, x, k), inner, reps)
     nbytes = csr.nnz * 8 + 2 * csr.n_rows * 4      # CSR-equivalent traffic
-    raw_bytes = (gm.slots * 12 + gm.n_panels * csr.n_cols * 4 +
+    # rev-3 per-slot traffic: vals 4 + hl 2 + src 1 + EN Qc bytes, plus
+    # one x-group read per (panel, group) run and the vectors
+    raw_bytes = (gm.slots * (7 + gm.Qc) +
+                 gm.n_panels * min(csr.n_cols, gm.wpg * gm.W * 128) * 4 +
                  2 * csr.n_rows * 4)
     out = {"n": csr.n_rows, "nnz": csr.nnz, "time_s": best,
            "gbps": nbytes / best / 1e9,
