@@ -484,15 +484,18 @@ def send_coo_to_owners(part: RowPartition,
     for d in build:
         r0 = int(part.offsets[d])
         nl = part.size(d)
+        bd = tuple(trail) if len(trail) == 2 else (1, 1)
         if rows_by[d]:
             r = np.concatenate(rows_by[d]) - r0
             c = np.concatenate(cols_by[d])
             v = np.concatenate(vals_by[d], axis=0)
-            shards[d] = CSRMatrix.from_coo(nl, n_cols, r, c, v)
+            shards[d] = CSRMatrix.from_coo(nl, n_cols, r, c, v,
+                                           block_dim=bd)
         else:
             shards[d] = CSRMatrix(nl, n_cols, np.zeros(nl + 1, np.int64),
                                   np.zeros(0, np.int32),
-                                  np.zeros((0,) + trail, dtype))
+                                  np.zeros((0,) + trail, dtype),
+                                  block_dim=bd)
     return ShardedCSR(part, shards, n_cols)
 
 
@@ -1625,10 +1628,13 @@ def dist_shard_local_aggregates(sm: ShardedCSR, selector: str, cfg,
 
 
 def dist_pc_interpolation(part: RowPartition, agg: Sequence[np.ndarray],
-                          nc: int) -> ShardedCSR:
+                          nc: int, block_dim=(1, 1)) -> ShardedCSR:
     """Piecewise-constant prolongator from per-shard aggregate maps with
     global coarse ids (aggregation P, aggregation_amg_level.cu:1986): row i
-    has the single entry (agg[i], 1.0) — trivially row-local."""
+    has the single entry (agg[i], 1.0) — trivially row-local. BSR levels
+    carry identity blocks so block vectors transfer per component
+    (aggregation_amg_level.cu restrict/prolongate on bxb blocks)."""
+    bx, by = block_dim
     shards = [None] * part.n_dev
     for d in range(part.n_dev):
         if agg[d] is None:
@@ -1636,8 +1642,13 @@ def dist_pc_interpolation(part: RowPartition, agg: Sequence[np.ndarray],
         a = np.asarray(agg[d], np.int64)
         keep = a >= 0
         rows = np.nonzero(keep)[0]
-        shards[d] = CSRMatrix.from_coo(a.size, nc, rows, a[keep],
-                                       np.ones(rows.size))
+        if bx > 1:
+            vals = np.tile(np.eye(bx), (rows.size, 1, 1))
+            shards[d] = CSRMatrix.from_coo(a.size, nc, rows, a[keep],
+                                           vals, block_dim=(bx, bx))
+        else:
+            shards[d] = CSRMatrix.from_coo(a.size, nc, rows, a[keep],
+                                           np.ones(rows.size))
     return ShardedCSR(part, shards, nc)
 
 
@@ -1651,7 +1662,9 @@ def dist_transpose(p: ShardedCSR, out_part: RowPartition) -> ShardedCSR:
         r0 = int(p.part.offsets[d])
         rows = np.repeat(np.arange(s.n_rows, dtype=np.int64),
                          s.row_nnz()) + r0
-        contribs.append((s.indices.astype(np.int64), rows, s.data))
+        data = s.data if s.block_dim == (1, 1) \
+            else np.swapaxes(s.data, 1, 2)       # (P^T)_IJ = (P_JI)^T
+        contribs.append((s.indices.astype(np.int64), rows, data))
     return send_coo_to_owners(out_part, contribs, int(p.part.offsets[-1]),
                               local_devs=p.devs if p.is_partial else None)
 

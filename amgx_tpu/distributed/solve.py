@@ -354,9 +354,10 @@ class DistributedSolver:
             # distributed_manager.cu:1388): every coarsening step touches
             # only owned rows plus their one-ring halo, so per-shard setup
             # work and memory are O(N/P) and no global operator is
-            # materialized below level 0. Global-graph selectors
-            # (non-shard-local aggregation, HMIS/CR, MULTIPASS/EM
-            # interpolation) still route through the assembled fallback.
+            # materialized below level 0. Covers PMIS/HMIS (+AGGRESSIVE),
+            # CR, D1/D2/MULTIPASS/EM and shard-local aggregation (scalar
+            # and BSR); only global-graph aggregation selectors
+            # (shard_local=0) route through the assembled fallback.
             aggr_levels = int(g("aggressive_levels") or 0)
             aggr_sel = str(g("aggressive_selector"))
             if aggr_sel == "DEFAULT":
@@ -370,10 +371,15 @@ class DistributedSolver:
                 and (aggr_levels == 0 or
                      (aggr_sel in ("AGGRESSIVE_PMIS", "AGGRESSIVE_HMIS")
                       and aggr_interp in ("D1", "D2", "MULTIPASS"))))
-            self._sharded_setup = csr.block_dim == (1, 1) and (
+            # BSR coarsens through shard-local aggregation (the
+            # reference's natively-blocked distributed aggregation setup,
+            # aggregation_amg_level.cu:1264-1579); classical/energymin
+            # stay scalar-only (classical_amg_level.cu asserts block 1)
+            self._sharded_setup = (
                 (algorithm == "AGGREGATION" and shard_local) or
-                (algorithm == "CLASSICAL" and classical_ok) or
-                algorithm == "ENERGYMIN")
+                (csr.block_dim == (1, 1) and
+                 ((algorithm == "CLASSICAL" and classical_ok) or
+                  algorithm == "ENERGYMIN")))
             if self._sharded_setup:
                 self._setup_levels_sharded(
                     csr, g, amg_scope, algorithm, selector, interpolator,
@@ -545,7 +551,8 @@ class DistributedSolver:
                 nc = int(natural_part.offsets[-1])
                 if nc == 0 or nc >= swork.n_rows:
                     break
-                sp_ = dsetup.dist_pc_interpolation(fine_part, agg, nc)
+                sp_ = dsetup.dist_pc_interpolation(
+                    fine_part, agg, nc, block_dim=swork.block_dim)
                 info = {"agg": agg, "nc": nc, "p": sp_,
                         "natpart": natural_part}
             else:
@@ -636,15 +643,15 @@ class DistributedSolver:
             lvl.p = DistEllMatrix.from_shards(
                 sp_.blocks(), fine_part, coarse_part, swork.n_rows, nc,
                 dtype=mat_dt, mesh=self.mesh, axis=self.axis,
-                sort_interior_first=False)
+                sort_interior_first=False, block_dim=sp_.block_dim)
             lvl.r = DistEllMatrix.from_shards(
                 sr.blocks(), coarse_part, fine_part, nc, swork.n_rows,
                 dtype=mat_dt, mesh=self.mesh, axis=self.axis,
-                sort_interior_first=False)
+                sort_interior_first=False, block_dim=sr.block_dim)
             ad = DistEllMatrix.from_shards(
                 ac.blocks(), coarse_part, coarse_part, nc, nc,
                 dtype=mat_dt, mesh=self.mesh, axis=self.axis,
-                sort_interior_first=False)
+                sort_interior_first=False, block_dim=ac.block_dim)
             self.levels.append(DistLevel(
                 ad, self._inv_diag_sharded(ac, ad, vec_dt, self.mesh,
                                            self.axis,
@@ -666,6 +673,7 @@ class DistributedSolver:
         exchange is needed)."""
         host_dt = np.complex128 if np.issubdtype(
             np.dtype(dtype), np.complexfloating) else np.float64
+        bx = sm.block_dim[0]
         rows_by_dev = {}
         for dev, dg in enumerate(sm.diagonal()):
             if dg is None:                      # remote shard (partial)
@@ -676,18 +684,40 @@ class DistributedSolver:
                 rows = np.repeat(np.arange(s.n_rows), s.row_nnz())
                 r0 = int(sm.part.offsets[dev])
                 off = s.indices.astype(np.int64) != rows + r0
-                l1sum = np.zeros(s.n_rows)
-                np.add.at(l1sum, rows[off], np.abs(s.data[off]))
-                dg = dg + l1sum
-            safe = np.where(dg == 0, 1.0, dg)
-            row = np.ones(dm.lr, host_dt)
-            row[:dg.shape[0]] = 1.0 / safe
+                if bx == 1:
+                    l1sum = np.zeros(s.n_rows)
+                    np.add.at(l1sum, rows[off], np.abs(s.data[off]))
+                    dg = dg + l1sum
+                else:
+                    l1sum = np.zeros((s.n_rows, bx))
+                    np.add.at(l1sum, rows[off],
+                              np.abs(s.data[off]).sum(axis=2))
+                    dg = dg + np.einsum("ni,ij->nij", l1sum, np.eye(bx))
+            if bx == 1:
+                safe = np.where(dg == 0, 1.0, dg)
+                row = np.ones(dm.lr, host_dt)
+                row[:dg.shape[0]] = 1.0 / safe
+            else:
+                # batched block inverse; singular blocks fall back to
+                # identity (the single-chip _inv_diag_arrays guard)
+                dets = np.linalg.det(dg)
+                bad = ~np.isfinite(dets) | (dets == 0)
+                safe = np.where(bad[:, None, None], np.eye(bx), dg)
+                inv = np.linalg.inv(safe)
+                inv[bad] = np.eye(bx)
+                row = np.tile(np.eye(bx), (dm.lr, 1, 1)).astype(
+                    host_dt)
+                row[:inv.shape[0]] = inv
             rows_by_dev[dev] = row.astype(dtype)
+        shape = (dm.lr,) if bx == 1 else (dm.lr, bx, bx)
         if mesh is not None:
             from .multihost import put_stacked
-            return put_stacked(rows_by_dev, dm.n_dev, (dm.lr,),
+            return put_stacked(rows_by_dev, dm.n_dev, shape,
                                np.dtype(dtype), mesh, axis)
-        out = np.ones((dm.n_dev, dm.lr), host_dt).astype(dtype)
+        out = np.ones((dm.n_dev,) + shape, host_dt)
+        if bx > 1:
+            out = np.tile(np.eye(bx), (dm.n_dev, dm.lr, 1, 1))
+        out = out.astype(dtype)
         for dev, row in rows_by_dev.items():
             out[dev] = row
         return jnp.asarray(out)

@@ -125,12 +125,42 @@ cfg4 = amgx.AMGConfig({"config_version": 2, "solver": {
                        "postsweeps": 1, "max_iters": 1,
                        "min_coarse_rows": 24, "max_levels": 6,
                        "cycle": "V"}}})
-s4 = DistributedSolver(cfg4, mesh=make_mesh(4 * nproc))
-s4.setup(A4)
-x4, st4 = s4.solve(b4)
-r4 = np.linalg.norm(b4 - A4.to_scipy().astype(np.float64) @ np.asarray(x4)) \
+from amgx_tpu.distributed.setup import ShardedCSR  # noqa: E402
+from amgx_tpu.distributed.partition import RowPartition as _RP  # noqa: E402
+from amgx_tpu.distributed import multihost as _mh4  # noqa: E402
+
+# rank-local BSR entry: each process passes ONLY its devices' block-row
+# shards (VERDICT r3 item 6: the coupled 4x4 config sets up O(N/P))
+n_dev4 = 4 * nproc
+part4 = _RP.equal(A4.n_rows, n_dev4)
+sp4full = A4
+shards4 = [None] * n_dev4
+for d in range(4 * pid, 4 * (pid + 1)):
+    r0, r1 = int(part4.offsets[d]), int(part4.offsets[d + 1])
+    p0, p1 = int(A4.indptr[r0]), int(A4.indptr[r1])
+    shards4[d] = CSRMatrix(r1 - r0, A4.n_cols, A4.indptr[r0:r1 + 1] - p0,
+                           A4.indices[p0:p1], A4.data[p0:p1],
+                           block_dim=A4.block_dim)
+sm4 = ShardedCSR(part4, shards4, A4.n_cols)
+_mh4.gathered_bytes = 0
+_mh4.max_gather_bytes = 0
+s4 = DistributedSolver(cfg4, mesh=make_mesh(n_dev4))
+s4.setup(sm4)
+assert s4._sharded_setup, "BSR config fell off the shard-parallel setup"
+lo4 = int(part4.offsets[4 * pid]) * 4
+hi4 = int(part4.offsets[4 * (pid + 1)]) * 4
+x4loc, st4 = s4.solve(b4[lo4:hi4])
+bsr_max_gather = _mh4.max_gather_bytes
+x4 = np.concatenate(allgather_host(np.asarray(x4loc)))
+r4 = np.linalg.norm(b4 - A4.to_scipy().astype(np.float64) @ x4) \
     / np.linalg.norm(b4)
 assert st4 == 0 and r4 < 1e-6 and len(s4.levels) >= 2, (st4, r4)
+# O(N/P) gate for the BSR path: no single cross-process payload may
+# approach the block operator's size (same discriminator as step 5)
+nnz4_bytes = A4.nnz * 16 * 8
+assert bsr_max_gather < 0.25 * nnz4_bytes, (
+    f"BSR rank-local setup shipped {bsr_max_gather}B in one gather "
+    f">= 0.25*{nnz4_bytes}B")
 
 # 5. rank-local AMG: per-rank upload + shard-parallel classical setup,
 #    O(N/P) per process end-to-end. The allgather byte counter bounds the
