@@ -1149,7 +1149,8 @@ class DistributedSolver:
                 ad = DistEllMatrix.from_shards(
                     ac.blocks(), coarse_part, coarse_part, ac.n_rows,
                     ac.n_cols, dtype=mat_dt, mesh=self.mesh,
-                    axis=self.axis, sort_interior_first=False)
+                    axis=self.axis, sort_interior_first=False,
+                    block_dim=ac.block_dim)
                 nxt.a = ad
                 nxt.inv_diag = self._inv_diag_sharded(
                     ac, ad, vec_dt, self.mesh, self.axis,
