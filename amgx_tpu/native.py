@@ -96,6 +96,23 @@ class _NativeLib:
         except AttributeError:
             self._has_postpack_en = False
         try:
+            self._h.gather_prepack.restype = ctypes.c_int64
+            self._h.gather_prepack.argtypes = [
+                ctypes.c_int64, i64p, i32p, f64p, f64p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64,
+                i32p, i32p, i32p, i32p, f64p, i64p]
+            self._h.gather_seg_max.restype = None
+            self._h.gather_seg_max.argtypes = [ctypes.c_int64, i64p, i32p,
+                                               i64p]
+            self._h.gather_finish.restype = None
+            self._h.gather_finish.argtypes = [
+                ctypes.c_int64, i64p, i32p, i64p, ctypes.c_int64,
+                i64p, i32p, i64p, i32p]
+            self._has_prepack = True
+        except AttributeError:
+            self._has_prepack = False
+        try:
             self._h.pairwise_match.restype = ctypes.c_int64
             self._h.pairwise_match.argtypes = [
                 ctypes.c_int64, i64p, i32p, f64p,
@@ -270,6 +287,71 @@ class _NativeLib:
            vals_a.ctypes.data_as(ctypes.c_void_p),
            hl_a.ctypes.data_as(i16p), bmeta.ctypes.data_as(i8p))
         return vals_a, hl_a, bmeta
+
+    def gather_prepack(self, n, indptr, indices, data, diag,
+                       sp128, w128, n_windows, n_pairs):
+        """CSR -> pair-sorted G5 edge streams in one parallel pass.
+        Returns (rl, cl, hi, q, vals, pair_cnt, nnz_kept) or None."""
+        if not getattr(self, "_has_prepack", False):
+            return None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        indptr = np.ascontiguousarray(indptr, np.int64)
+        indices = np.ascontiguousarray(indices, np.int32)
+        data = np.ascontiguousarray(data, np.float64)
+        cap = data.shape[0] + (n if diag is not None else 0)
+        if diag is not None:
+            diag = np.ascontiguousarray(diag, np.float64)
+        rl = np.empty(cap, np.int32)
+        cl = np.empty(cap, np.int32)
+        hi = np.empty(cap, np.int32)
+        q = np.empty(cap, np.int32)
+        vals = np.empty(cap, np.float64)
+        pair_cnt = np.zeros(n_pairs, np.int64)
+        kept = self._h.gather_prepack(
+            int(n), indptr.ctypes.data_as(i64p),
+            indices.ctypes.data_as(i32p), data.ctypes.data_as(f64p),
+            diag.ctypes.data_as(f64p) if diag is not None
+            else ctypes.cast(None, f64p),
+            int(sp128), int(w128), int(n_windows), int(n_pairs),
+            rl.ctypes.data_as(i32p), cl.ctypes.data_as(i32p),
+            hi.ctypes.data_as(i32p), q.ctypes.data_as(i32p),
+            vals.ctypes.data_as(f64p), pair_cnt.ctypes.data_as(i64p))
+        return (rl[:kept], cl[:kept], hi[:kept], q[:kept], vals[:kept],
+                pair_cnt, int(kept))
+
+    def gather_seg_max(self, pair_ptr, s_slot):
+        """Per-pair max(slot)+1."""
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        pair_ptr = np.ascontiguousarray(pair_ptr, np.int64)
+        s_slot = np.ascontiguousarray(s_slot, np.int32)
+        depth = np.empty(len(pair_ptr) - 1, np.int64)
+        self._h.gather_seg_max(
+            len(pair_ptr) - 1, pair_ptr.ctypes.data_as(i64p),
+            s_slot.ctypes.data_as(i32p), depth.ctypes.data_as(i64p))
+        return depth
+
+    def gather_finish(self, pair_ptr, s_slot, pair_tile0, d):
+        """Edge -> (padded tile id, row-in-tile, block id, row-in-block)."""
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        pair_ptr = np.ascontiguousarray(pair_ptr, np.int64)
+        s_slot = np.ascontiguousarray(s_slot, np.int32)
+        pair_tile0 = np.ascontiguousarray(pair_tile0, np.int64)
+        nnz = s_slot.shape[0]
+        tile_of_edge = np.empty(nnz, np.int64)
+        row_in_tile = np.empty(nnz, np.int32)
+        gb = np.empty(nnz, np.int64)
+        rib = np.empty(nnz, np.int32)
+        self._h.gather_finish(
+            len(pair_ptr) - 1, pair_ptr.ctypes.data_as(i64p),
+            s_slot.ctypes.data_as(i32p), pair_tile0.ctypes.data_as(i64p),
+            int(d), tile_of_edge.ctypes.data_as(i64p),
+            row_in_tile.ctypes.data_as(i32p), gb.ctypes.data_as(i64p),
+            rib.ctypes.data_as(i32p))
+        return tile_of_edge, row_in_tile, gb, rib
 
     def jp_rounds(self, indptr, indices, order_desc):
         """Closed-form Jones-Plassmann rounds; returns round_of array."""

@@ -585,25 +585,6 @@ def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 512,
     else:
         work_dt = np.float64
     n, m = csr.n_rows, csr.n_cols
-    rows = np.repeat(np.arange(n, dtype=np.int64), csr.row_nnz())
-    cols = csr.indices.astype(np.int64)
-    vals = csr.data.astype(work_dt)
-    if csr.diag_data is not None:
-        # fold the external diagonal (DIAG prop) into the stream
-        rows = np.concatenate([rows, np.arange(n, dtype=np.int64)])
-        cols = np.concatenate([cols, np.arange(n, dtype=np.int64)])
-        vals = np.concatenate([vals, csr.diag_data.astype(work_dt)])
-    keep = vals != 0
-    rows, cols, vals = rows[keep], cols[keep], vals[keep]
-    nnz = rows.shape[0]
-    if nnz == 0:
-        if not allow_empty:
-            return None
-        # one explicit zero slot: y = 0*x[0] for row 0 — a valid pack
-        rows = np.zeros(1, np.int64)
-        cols = np.zeros(1, np.int64)
-        vals = np.zeros(1, work_dt)
-        nnz = 1
 
     # -- pick geometry -------------------------------------------------------
     W = max(8, min(W, 128, -(-m // 128)))
@@ -619,42 +600,80 @@ def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 512,
     wpg = max(1, min(n_windows, _XCAP_BYTES // (W * 128 * 4)))
     n_groups = -(-n_windows // wpg)
 
-    # pow2-aware index splitting (the geometry divisors are powers of two
-    # for the default W/S_p; shifts beat int64 division ~5x on 10M edges)
-    def _div(a, k):
-        return a >> int(k).bit_length() - 1 if k & (k - 1) == 0 else a // k
-
-    def _mod(a, k):
-        return a & (k - 1) if k & (k - 1) == 0 else a % k
-
-    panel = _div(rows, S_p * 128)
-    window = _div(cols, W * 128)
-    rl = _mod(rows, 128).astype(np.int32)
-    q = _div(_mod(rows, S_p * 128), 128).astype(np.int32)
-    off = _mod(cols, W * 128)
-    cl = _mod(off, 128).astype(np.int32)
-    hi_local = _div(off, 128).astype(np.int32)
-    pair = panel * n_windows + window
-
     from .. import native
     lib = native.lib()
-    order = None
-    if lib is not None and getattr(lib, "_has_csort", False):
-        # native path: stable O(nnz) pair sort, no shuffle — the native
-        # first-fit orders edges by lane degree internally (gather_pack)
-        order = lib.counting_sort_perm(pair, n_panels * n_windows)
-    if order is None:
-        # fallback: panel-major pair ordering, shuffled inside each pair
-        # for first-fit balance
-        rng = np.random.default_rng(12345)
-        shuf = rng.permutation(nnz)
-        order = shuf[np.argsort(pair[shuf], kind="stable")]
-    pair_s = pair[order]
-    rl_s, cl_s = rl[order], cl[order]
-    bnd = np.flatnonzero(np.diff(pair_s)) + 1        # pair_s is sorted
-    pair_starts = np.concatenate([[0], bnd])
-    upairs = pair_s[pair_starts]
-    pair_ptr = np.concatenate([pair_starts, [nnz]]).astype(np.int64)
+    pre = None
+    if lib is not None and getattr(lib, "_has_prepack", False) \
+            and not is_c:
+        # native front half: zero-filter + diag fold + index split +
+        # stable pair sort + permutation apply, one parallel pass
+        pre = lib.gather_prepack(
+            n, csr.indptr, csr.indices, csr.data, csr.diag_data,
+            S_p * 128, W * 128, n_windows, n_panels * n_windows)
+    if pre is not None and pre[6] > 0:
+        rl_s, cl_s, hi_s, q_s, vals_s, pair_cnt, nnz = pre
+        upairs = np.flatnonzero(pair_cnt)
+        ptr_dense = np.concatenate(
+            [[0], np.cumsum(pair_cnt)]).astype(np.int64)
+        pair_ptr = np.concatenate(
+            [ptr_dense[upairs], [nnz]]).astype(np.int64)
+    else:
+        rows = np.repeat(np.arange(n, dtype=np.int64), csr.row_nnz())
+        cols = csr.indices.astype(np.int64)
+        vals = csr.data.astype(work_dt)
+        if csr.diag_data is not None:
+            # fold the external diagonal (DIAG prop) into the stream
+            rows = np.concatenate([rows, np.arange(n, dtype=np.int64)])
+            cols = np.concatenate([cols, np.arange(n, dtype=np.int64)])
+            vals = np.concatenate([vals, csr.diag_data.astype(work_dt)])
+        keep = vals != 0
+        rows, cols, vals = rows[keep], cols[keep], vals[keep]
+        nnz = rows.shape[0]
+        if nnz == 0:
+            if not allow_empty:
+                return None
+            # one explicit zero slot: y = 0*x[0] for row 0 — a valid pack
+            rows = np.zeros(1, np.int64)
+            cols = np.zeros(1, np.int64)
+            vals = np.zeros(1, work_dt)
+            nnz = 1
+
+        # pow2-aware index splitting (the geometry divisors are powers of
+        # two for the default W/S_p; shifts beat int64 division ~5x)
+        def _div(a, k):
+            return a >> int(k).bit_length() - 1 if k & (k - 1) == 0 \
+                else a // k
+
+        def _mod(a, k):
+            return a & (k - 1) if k & (k - 1) == 0 else a % k
+
+        panel = _div(rows, S_p * 128)
+        window = _div(cols, W * 128)
+        rl = _mod(rows, 128).astype(np.int32)
+        q = _div(_mod(rows, S_p * 128), 128).astype(np.int32)
+        off = _mod(cols, W * 128)
+        cl = _mod(off, 128).astype(np.int32)
+        hi_local = _div(off, 128).astype(np.int32)
+        pair = panel * n_windows + window
+
+        order = None
+        if lib is not None and getattr(lib, "_has_csort", False):
+            # native path: stable O(nnz) pair sort, no shuffle — the
+            # native first-fit orders edges by lane degree internally
+            order = lib.counting_sort_perm(pair, n_panels * n_windows)
+        if order is None:
+            # fallback: panel-major pair ordering, shuffled inside each
+            # pair for first-fit balance
+            rng = np.random.default_rng(12345)
+            shuf = rng.permutation(nnz)
+            order = shuf[np.argsort(pair[shuf], kind="stable")]
+        pair_s = pair[order]
+        rl_s, cl_s = rl[order], cl[order]
+        hi_s, q_s, vals_s = hi_local[order], q[order], vals[order]
+        bnd = np.flatnonzero(np.diff(pair_s)) + 1    # pair_s is sorted
+        pair_starts = np.concatenate([[0], bnd])
+        upairs = pair_s[pair_starts]
+        pair_ptr = np.concatenate([pair_starts, [nnz]]).astype(np.int64)
 
     if lib is not None and getattr(lib, "_has_gather_pack", False):
         s_slot = lib.gather_pack(pair_ptr, rl_s, cl_s)
@@ -663,9 +682,11 @@ def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 512,
 
     # per-pair depth -> joint (D, G) search on the exact padded-slot count
     n_up = upairs.shape[0]
-    edge_pair_idx = np.repeat(np.arange(n_up), np.diff(pair_ptr))
-    depth = np.maximum.reduceat(s_slot.astype(np.int64) + 1,
-                                pair_ptr[:-1])
+    if lib is not None and getattr(lib, "_has_prepack", False):
+        depth = lib.gather_seg_max(pair_ptr, s_slot)
+    else:
+        depth = np.maximum.reduceat(s_slot.astype(np.int64) + 1,
+                                    pair_ptr[:-1])
     pair_panel = (upairs // n_windows).astype(np.int64)
     pair_group = ((upairs % n_windows) // wpg).astype(np.int64)
     sec_of_pair = pair_panel * n_groups + pair_group
@@ -718,8 +739,6 @@ def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 512,
     tiles_per_pair = -(-depth // D)
     tile_base = np.concatenate([[0], np.cumsum(tiles_per_pair)])
     T_real = int(tile_base[-1])
-    tile_of_edge_real = tile_base[edge_pair_idx] + s_slot // D
-    row_in_tile = (s_slot % D).astype(np.int64)
     tile_pair = np.repeat(np.arange(n_up), tiles_per_pair)
     tile_sec_real = sec_of_pair[tile_pair]
     tile_window_real = (upairs[tile_pair] % n_windows).astype(np.int64)
@@ -736,7 +755,20 @@ def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 512,
     # padded tile id of each real tile (pads appended at section end)
     tile_in_sec = np.arange(T_real) - real_base[tile_sec_real]
     tile_pad_id = pad_base[tile_sec_real] + tile_in_sec
-    tile_of_edge = tile_pad_id[tile_of_edge_real]
+    # edge -> padded tile placement (a pair's tiles are contiguous in the
+    # padded numbering, so the native kernel only needs each pair's first
+    # padded tile id)
+    if lib is not None and getattr(lib, "_has_prepack", False):
+        tile_of_edge, row_in_tile, gb_e, rib_e = lib.gather_finish(
+            pair_ptr, s_slot, tile_pad_id[tile_base[:-1]], D)
+    else:
+        edge_pair_idx = np.repeat(np.arange(n_up), np.diff(pair_ptr))
+        tile_of_edge_real = tile_base[edge_pair_idx] + s_slot // D
+        row_in_tile = (s_slot % D).astype(np.int64)
+        tile_of_edge = tile_pad_id[tile_of_edge_real]
+        lin = tile_of_edge * D + row_in_tile
+        gb_e = lin // 128
+        rib_e = (lin % 128).astype(np.int32)
 
     # tile metadata over the padded range
     tile_window = np.zeros(T_tot, np.int64)
@@ -769,18 +801,13 @@ def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 512,
     sflags = (first * 1 + last_s * 2).astype(np.int32)
 
     # -- pack tile arrays + per-block segment planes -------------------------
-    lin = tile_of_edge * D + row_in_tile
-    gb_e = lin // 128
-    rib_e = (lin % 128).astype(np.int32)
-    q_s = q[order]
-    vals_s = vals[order]
     post = None
     if lib is not None and getattr(lib, "_has_postpack_en", False) \
             and not is_c and np.dtype(dtype) in (np.dtype(np.float32),
                                                  np.dtype(np.float64)):
         post = lib.gather_postpack(
             T_tot, B_tot, D, Qc, tile_of_edge, row_in_tile, rl_s, cl_s,
-            hi_local[order], vals_s.astype(np.float64), gb_e, rib_e, q_s,
+            hi_s, np.asarray(vals_s, np.float64), gb_e, rib_e, q_s,
             dtype, en_plane=True)
     if post is not None:
         vals_a, hl_a, bmeta = post
@@ -791,7 +818,7 @@ def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 512,
         # hi lives in the high byte at the column lane; lane in the low
         # byte at the row lane (independent positions, one int16 stream)
         np.bitwise_or.at(hl_a, (tile_of_edge, row_in_tile, cl_s),
-                         (hi_local[order] << 8).astype(np.int16))
+                         (hi_s.astype(np.int16) << 8))
         np.bitwise_or.at(hl_a, (tile_of_edge, row_in_tile, rl_s),
                          cl_s.astype(np.int16))
 

@@ -209,6 +209,179 @@ void ilu0_factor(int64_t n, const int64_t* indptr, const int32_t* indices,
     }
 }
 
+// G5 pre-pack: the whole CSR->sorted-edge-stream front half of
+// csr_to_gather in one parallel pass (replaces numpy repeat / zero-filter
+// / index-split / counting-sort / six fancy-index permutations — the
+// round-4 pack-time bottleneck). Produces edge streams sorted by
+// (panel, window) pair, stable in original edge order (CSR entries in
+// indptr order first, then external-diagonal entries — matching the
+// concatenated-stream order of the numpy path). Explicit zeros dropped.
+// Returns the kept edge count; pair_cnt (dense, n_pairs entries) receives
+// per-pair edge counts.
+int64_t gather_prepack(int64_t n, const int64_t* indptr,
+                       const int32_t* indices, const double* data,
+                       const double* diag,
+                       int64_t sp128, int64_t w128, int64_t n_windows,
+                       int64_t n_pairs,
+                       int32_t* rl_s, int32_t* cl_s, int32_t* hi_s,
+                       int32_t* q_s, double* vals_s, int64_t* pair_cnt) {
+    int nt = 1;
+#ifdef _OPENMP
+    nt = omp_get_max_threads();
+#endif
+    // rows are ascending along the CSR stream, so per-thread contiguous
+    // row ranges + (pair, thread) scan keeps the sort stable
+    std::vector<int64_t> cnt(static_cast<size_t>(nt) *
+                             static_cast<size_t>(n_pairs), 0);
+    const int64_t rows_per_t = (n + nt - 1) / nt;
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nt)
+#endif
+    {
+        int t = 0;
+#ifdef _OPENMP
+        t = omp_get_thread_num();
+#endif
+        int64_t* c = cnt.data() +
+            static_cast<size_t>(t) * static_cast<size_t>(n_pairs);
+        const int64_t r0 = t * rows_per_t;
+        const int64_t r1 = std::min<int64_t>(n, r0 + rows_per_t);
+        for (int64_t r = r0; r < r1; ++r) {
+            const int64_t pbase = (r / sp128) * n_windows;
+            for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k)
+                if (data[k] != 0.0)
+                    ++c[pbase + indices[k] / w128];
+        }
+    }
+    // diag entries counted separately (they sit after all CSR edges in
+    // the stable order, handled by a second scatter block below)
+    std::vector<int64_t> dcnt;
+    if (diag) {
+        dcnt.assign(static_cast<size_t>(nt) *
+                    static_cast<size_t>(n_pairs), 0);
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nt)
+#endif
+        {
+            int t = 0;
+#ifdef _OPENMP
+            t = omp_get_thread_num();
+#endif
+            int64_t* c = dcnt.data() +
+                static_cast<size_t>(t) * static_cast<size_t>(n_pairs);
+            const int64_t r0 = t * rows_per_t;
+            const int64_t r1 = std::min<int64_t>(n, r0 + rows_per_t);
+            for (int64_t r = r0; r < r1; ++r)
+                if (diag[r] != 0.0)
+                    ++c[(r / sp128) * n_windows + r / w128];
+        }
+    }
+    // exclusive scan: pair-major, CSR threads first, then diag threads
+    int64_t total = 0;
+    for (int64_t p = 0; p < n_pairs; ++p) {
+        int64_t pair_total = 0;
+        for (int t = 0; t < nt; ++t) {
+            const size_t i = static_cast<size_t>(t) *
+                static_cast<size_t>(n_pairs) + static_cast<size_t>(p);
+            const int64_t v = cnt[i];
+            cnt[i] = total + pair_total;
+            pair_total += v;
+        }
+        if (diag)
+            for (int t = 0; t < nt; ++t) {
+                const size_t i = static_cast<size_t>(t) *
+                    static_cast<size_t>(n_pairs) + static_cast<size_t>(p);
+                const int64_t v = dcnt[i];
+                dcnt[i] = total + pair_total;
+                pair_total += v;
+            }
+        pair_cnt[p] = pair_total;
+        total += pair_total;
+    }
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nt)
+#endif
+    {
+        int t = 0;
+#ifdef _OPENMP
+        t = omp_get_thread_num();
+#endif
+        int64_t* c = cnt.data() +
+            static_cast<size_t>(t) * static_cast<size_t>(n_pairs);
+        const int64_t r0 = t * rows_per_t;
+        const int64_t r1 = std::min<int64_t>(n, r0 + rows_per_t);
+        for (int64_t r = r0; r < r1; ++r) {
+            const int32_t rl = static_cast<int32_t>(r & 127);
+            const int32_t q = static_cast<int32_t>((r % sp128) >> 7);
+            const int64_t pbase = (r / sp128) * n_windows;
+            for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k) {
+                const double v = data[k];
+                if (v == 0.0) continue;
+                const int64_t col = indices[k];
+                const int64_t o = c[pbase + col / w128]++;
+                rl_s[o] = rl;
+                cl_s[o] = static_cast<int32_t>(col & 127);
+                hi_s[o] = static_cast<int32_t>((col % w128) >> 7);
+                q_s[o] = q;
+                vals_s[o] = v;
+            }
+        }
+        if (diag) {
+            int64_t* dc = dcnt.data() +
+                static_cast<size_t>(t) * static_cast<size_t>(n_pairs);
+            for (int64_t r = r0; r < r1; ++r) {
+                const double v = diag[r];
+                if (v == 0.0) continue;
+                const int64_t o = dc[(r / sp128) * n_windows + r / w128]++;
+                rl_s[o] = static_cast<int32_t>(r & 127);
+                cl_s[o] = static_cast<int32_t>(r & 127);
+                hi_s[o] = static_cast<int32_t>((r % w128) >> 7);
+                q_s[o] = static_cast<int32_t>((r % sp128) >> 7);
+                vals_s[o] = v;
+            }
+        }
+    }
+    return total;
+}
+
+// Per-pair slot-depth max: depth[p] = max(s_slot[lo:hi]) + 1.
+void gather_seg_max(int64_t n_pairs, const int64_t* pair_ptr,
+                    const int32_t* s_slot, int64_t* depth) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t p = 0; p < n_pairs; ++p) {
+        int32_t m = -1;
+        for (int64_t e = pair_ptr[p]; e < pair_ptr[p + 1]; ++e)
+            if (s_slot[e] > m) m = s_slot[e];
+        depth[p] = m + 1;
+    }
+}
+
+// Edge->tile placement once D is chosen: tile ids (padded numbering,
+// contiguous per pair), row-in-tile, staging-block id and row-in-block.
+void gather_finish(int64_t n_pairs, const int64_t* pair_ptr,
+                   const int32_t* s_slot, const int64_t* pair_tile0,
+                   int64_t d,
+                   int64_t* tile_of_edge, int32_t* row_in_tile,
+                   int64_t* gb, int32_t* rib) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t p = 0; p < n_pairs; ++p) {
+        const int64_t t0 = pair_tile0[p];
+        for (int64_t e = pair_ptr[p]; e < pair_ptr[p + 1]; ++e) {
+            const int32_t s = s_slot[e];
+            const int64_t tile = t0 + s / d;
+            const int64_t lin = tile * d + (s % d);
+            tile_of_edge[e] = tile;
+            row_in_tile[e] = static_cast<int32_t>(s % d);
+            gb[e] = lin >> 7;
+            rib[e] = static_cast<int32_t>(lin & 127);
+        }
+    }
+}
+
 // Slot packing for the lane-binned gather SpMV format
 // (amgx_tpu/ops/gather_spmv.py). Edges are grouped by (panel, window)
 // pair; within a pair each edge takes the lowest tile row where both its
