@@ -164,18 +164,17 @@ class DistributedSolver:
         if self.precond_name not in ("AMG", "BLOCK_JACOBI", "JACOBI_L1",
                                      "CHEBYSHEV_POLY", "MULTICOLOR_DILU",
                                      "MULTICOLOR_GS", "FIXCOLOR_GS",
-                                     "MULTICOLOR_ILU",
+                                     "MULTICOLOR_ILU", "KACZMARZ",
                                      "NOSOLVER", "DUMMY", None):
-            # remaining color-sequential preconditioners (KACZMARZ,
-            # plain GS) have no distributed implementation; raising sends
-            # the capi path to the single-chip solver instead of silently
-            # swapping the preconditioner for identity
+            # plain (non-multicolor) GS has no distributed implementation;
+            # raising sends the capi path to the single-chip solver
+            # instead of silently swapping the preconditioner for identity
             raise NotImplementedError(
                 f"DistributedSolver does not implement preconditioner "
                 f"'{self.precond_name}'; supported: AMG, BLOCK_JACOBI, "
                 f"JACOBI_L1, CHEBYSHEV_POLY, MULTICOLOR_DILU/GS/ILU, "
-                f"FIXCOLOR_GS (single-chip SolverFactory covers the "
-                f"full catalog)")
+                f"FIXCOLOR_GS, KACZMARZ (single-chip SolverFactory "
+                f"covers the full catalog)")
         if self.precond_name == "AMG":
             _, amg_scope = self.cfg.get_pair("preconditioner", self.scope)
             self.use_amg = True
@@ -198,6 +197,8 @@ class DistributedSolver:
         self._mcgs_symmetric = False
         self._milu = False
         self._milu_scope = "default"
+        self._kacz = False
+        self._kacz_scope = "default"
         self._color_scope = "default"
 
         def _scalar_only(name):
@@ -228,6 +229,11 @@ class DistributedSolver:
                 self._milu_scope = sm_scope0
                 self._color_scope = sm_scope0 \
                     if sm_scope0 != "default" else amg_scope
+            if sm_name == "KACZMARZ":
+                _scalar_only("KACZMARZ smoothing")
+                self._kacz = True
+                self._kacz_scope = sm_scope0 \
+                    if sm_scope0 != "default" else amg_scope
             if sm_name == "TWO_STAGE_GS":
                 _scalar_only("TWO_STAGE_GS smoothing")
                 self._gs2 = True
@@ -238,7 +244,8 @@ class DistributedSolver:
         self._l1_diag = self._smoother_l1 or \
             self.precond_name == "JACOBI_L1"
         if self.precond_name in ("MULTICOLOR_DILU", "MULTICOLOR_GS",
-                                 "FIXCOLOR_GS", "MULTICOLOR_ILU"):
+                                 "FIXCOLOR_GS", "MULTICOLOR_ILU",
+                                 "KACZMARZ"):
             _scalar_only(f"{self.precond_name} preconditioning")
             _, pc_scope = self.cfg.get_pair("preconditioner", self.scope)
             if self.precond_name == "MULTICOLOR_DILU":
@@ -246,6 +253,9 @@ class DistributedSolver:
             elif self.precond_name == "MULTICOLOR_ILU":
                 self._milu = True
                 self._milu_scope = pc_scope
+            elif self.precond_name == "KACZMARZ":
+                self._kacz = True
+                self._kacz_scope = pc_scope
             else:
                 self._mcgs = True
                 self._mcgs_fix4 = self.precond_name == "FIXCOLOR_GS"
@@ -284,7 +294,7 @@ class DistributedSolver:
                     getattr(a0, "band_strips", None) is None and \
                     getattr(a0, "gather_arrays", None) is None and \
                     not self.use_amg and not self._dilu and \
-                    not self._mcgs and not self._milu:
+                    not self._mcgs and not self._milu and not self._kacz:
                 a0 = DistEllMatrix.from_global(
                     csr, n_dev, row_part, dtype=mat_dt, mesh=self.mesh,
                     axis=self.axis, sort_interior_first=True)
@@ -779,6 +789,8 @@ class DistributedSolver:
             self._set_mcgs_level(lvl, source, dm, vec_dt)
         if getattr(self, "_milu", False):
             self._set_milu_level(lvl, source, dm, vec_dt)
+        if getattr(self, "_kacz", False):
+            self._set_kacz_level(lvl, source, dm, vec_dt)
 
     def _stack_colors(self, colors, sm, dm, vec_dt):
         """Stack per-shard color arrays into the (D, Lr) device form."""
@@ -933,6 +945,88 @@ class DistributedSolver:
             inv_ud = jnp.asarray(arr)
         lvl.milu = (Ltri, Utri, inv_ud)
         lvl.milu_static = (lo_offs, up_offs)
+
+    def _set_kacz_level(self, lvl, source, dm, vec_dt) -> None:
+        """Kaczmarz level data (kaczmarz_solver.cu): the transposed
+        operator A^T as a second sharded SpMV operand (row projections
+        apply through A^T), per-row inverse squared norms, and — in
+        multicolor mode (kaczmarz_coloring_needed=1) — a per-shard
+        distance-2 coloring of the owned diagonal block, so same-color
+        rows within a shard touch disjoint columns (exact simultaneous
+        projections; cross-shard same-color overlap follows the relaxed
+        boundary-coloring semantics like the other hybrid smoothers).
+        Without coloring, the damped simultaneous (Cimmino) projection is
+        exact distributed — no coloring dependence at all."""
+        from . import setup as dsetup
+        from .multihost import put_stacked
+        sm = source if hasattr(source, "shards") else \
+            dsetup.ShardedCSR.from_global(source, dm.row_part)
+        # natural slot order required (col_perm is set only by the
+        # interior-first reorder, which the setup gate disables for
+        # KACZMARZ levels)
+        assert getattr(dm, "col_perm", None) is None, \
+            "KACZMARZ levels are built with natural row order"
+        at = dsetup.dist_transpose(sm, sm.part)
+        lvl.kacz_at_dm = DistEllMatrix.from_shards(
+            at.blocks(), sm.part, sm.part, sm.n_rows, sm.n_cols,
+            dtype=np.dtype(vec_dt), mesh=self.mesh, axis=self.axis,
+            sort_interior_first=False)
+        lr = dm.lr
+        use_coloring = bool(self.cfg.get("kaczmarz_coloring_needed",
+                                         self._kacz_scope))
+        inv_by, col_by = {}, {}
+        nc = 0
+        max_deg = 0
+        for d in sm.devs:
+            s = sm.shards[d]
+            r0 = int(sm.part.offsets[d])
+            r1 = int(sm.part.offsets[d + 1])
+            n_loc = s.n_rows
+            rows = np.repeat(np.arange(n_loc, dtype=np.int64),
+                             s.row_nnz())
+            data = np.real(s.data if s.block_dim == (1, 1)
+                           else s.data[:, 0, 0]).astype(np.float64)
+            rn = np.zeros(lr)
+            np.add.at(rn, rows, np.abs(data) ** 2)
+            row = np.zeros(lr, np.dtype(vec_dt))
+            nzr = rn != 0
+            row[nzr] = (1.0 / rn[nzr]).astype(np.dtype(vec_dt))
+            inv_by[d] = row
+            max_deg = max(max_deg, int(s.row_nnz().max()) if n_loc else 0)
+            if use_coloring:
+                from ..coloring import color_matrix
+                from ..matrix import CSRMatrix as _CSR
+                own = (s.indices >= r0) & (s.indices < r1)
+                loc = _CSR.from_coo(
+                    n_loc, n_loc, rows[own],
+                    (s.indices[own] - r0).astype(np.int64), data[own],
+                    sum_duplicates=False)
+                coloring = color_matrix(loc, "MIN_MAX_2RING")
+                crow = np.full(lr, -1, np.int32)
+                crow[:n_loc] = coloring.colors
+                col_by[d] = crow
+                nc = max(nc, int(coloring.num_colors))
+        if sm.is_partial:
+            nc = int(dsetup._mh_scalar(True, float(nc)))
+            max_deg = int(dsetup._mh_scalar(True, float(max_deg)))
+        if self.mesh is not None:
+            inv_dev = put_stacked(inv_by, sm.n_dev, (lr,),
+                                  np.dtype(vec_dt), self.mesh, self.axis)
+            col_dev = put_stacked(col_by, sm.n_dev, (lr,),
+                                  np.dtype(np.int32), self.mesh,
+                                  self.axis) if use_coloring else None
+        else:
+            inv_np = np.zeros((sm.n_dev, lr), vec_dt)
+            col_np = np.full((sm.n_dev, lr), -1, np.int32)
+            for d, v in inv_by.items():
+                inv_np[d] = v
+                if use_coloring:
+                    col_np[d] = col_by[d]
+            inv_dev = jnp.asarray(inv_np)
+            col_dev = jnp.asarray(col_np) if use_coloring else None
+        lvl.kacz = (inv_dev, col_dev)
+        lvl.kacz_nc = nc if use_coloring else 0
+        lvl.kacz_damp = 1.0 if use_coloring else 1.0 / max(1, max_deg)
 
     @staticmethod
     def _lambda_bounds_sharded(sm, iters: int = 12):
@@ -1576,6 +1670,8 @@ class DistributedSolver:
         mcgs_tri = lvl_args[idx][9] if len(lvl_args[idx]) > 9 else None
         milu_color = lvl_args[idx][10] if len(lvl_args[idx]) > 10 else None
         milu = lvl_args[idx][11] if len(lvl_args[idx]) > 11 else None
+        kacz_at = lvl_args[idx][12] if len(lvl_args[idx]) > 12 else None
+        kacz = lvl_args[idx][13] if len(lvl_args[idx]) > 13 else None
         static = self._level_static[idx]
 
         def spmv(args, v, st=None):
@@ -1599,6 +1695,7 @@ class DistributedSolver:
         dl = getattr(self, "_dilu", False) and dilu
         mc = getattr(self, "_mcgs", False) and mcolor is not None
         il = getattr(self, "_milu", False) and milu is not None
+        kz = getattr(self, "_kacz", False) and kacz is not None
 
         def smooth(x, sweeps):
             if cheby:
@@ -1620,6 +1717,11 @@ class DistributedSolver:
                     x = self._milu_smooth(
                         a_args, static, milu, self._milu_static[idx],
                         milu_color, self._milu_nc[idx], b, x)
+                elif kz:
+                    x = self._kacz_smooth(
+                        a_args, static, kacz_at, self._kacz_static[idx],
+                        kacz, self._kacz_nc[idx], self._kacz_damp[idx],
+                        b, x)
                 elif gs2:
                     x = self._gs2_smooth(a_args, static, inv_diag, gs[0],
                                          gs[1], self._gs_static[idx], b, x)
@@ -1755,6 +1857,28 @@ class DistributedSolver:
         xd = jax.lax.fori_loop(0, nc, bwd, jnp.zeros_like(r))
         return x + self.smooth_damp * xd
 
+    def _kacz_smooth(self, a_args, static, at_args, at_static, kacz, nc,
+                     damping, b, x):
+        """One Kaczmarz smoothing step (kaczmarz_solver.cu): multicolor —
+        per color c, r = b - A x (halo exchange), delta = masked row
+        projections r_c / ||a_c||^2, x += omega A^T delta (second halo
+        exchange through the transposed operand); Cimmino (no coloring) —
+        one damped simultaneous projection, exactly the single-chip
+        iteration."""
+        inv_rn, color = kacz
+        omega = self.smooth_damp
+        if color is None or nc == 0:
+            r = b - self._apply_mat(a_args, x, static)
+            return x + (omega * damping) * self._apply_mat(
+                at_args, inv_rn * r, at_static)
+
+        def body(c, xx):
+            r = b - self._apply_mat(a_args, xx, static)
+            delta = jnp.where(color == c, inv_rn * r, jnp.zeros_like(r))
+            return xx + omega * self._apply_mat(at_args, delta, at_static)
+
+        return jax.lax.fori_loop(0, nc, body, x)
+
     def _coarse_cg(self, a_args, static, inv_diag, b, x,
                    tol: float = 1e-10, max_iters: int = 200):
         """Jacobi-preconditioned CG to tolerance for the coarsest level when
@@ -1860,6 +1984,18 @@ class DistributedSolver:
                          else int(lvl.milu_nc) for lvl in self.levels]
         self._milu_static = [getattr(lvl, "milu_static", (None, None))
                              for lvl in self.levels]
+        self._kacz_nc = [getattr(lvl, "kacz_nc", 0) for lvl in self.levels]
+        self._kacz_damp = [getattr(lvl, "kacz_damp", 1.0)
+                           for lvl in self.levels]
+        self._kacz_static = [
+            None if getattr(lvl, "kacz_at_dm", None) is None else
+            (getattr(lvl.kacz_at_dm, "dia_offsets", None),
+             getattr(lvl.kacz_at_dm, "margins", None),
+             getattr(lvl.kacz_at_dm, "band_meta", None),
+             getattr(lvl.kacz_at_dm, "nbr_perms", None),
+             None if getattr(lvl.kacz_at_dm, "gather_meta", None) is None
+             else tuple(sorted(lvl.kacz_at_dm.gather_meta.items())))
+            for lvl in self.levels]
         out = []
         for lvl in self.levels:
             a_args = self._mat_pytree(lvl.a)
@@ -1874,7 +2010,10 @@ class DistributedSolver:
                         getattr(lvl, "mcolor", None),
                         getattr(lvl, "mcgs_tri", None),
                         getattr(lvl, "milu_color", None),
-                        getattr(lvl, "milu", None)))
+                        getattr(lvl, "milu", None),
+                        None if getattr(lvl, "kacz_at_dm", None) is None
+                        else self._mat_pytree(lvl.kacz_at_dm),
+                        getattr(lvl, "kacz", None)))
         return out
 
     def _build_step(self):
@@ -1978,6 +2117,9 @@ class DistributedSolver:
                _freeze(getattr(self, "_mcgs_tri_static", None)),
                _freeze(getattr(self, "_milu_nc", None)),
                _freeze(getattr(self, "_milu_static", None)),
+               _freeze(getattr(self, "_kacz_nc", None)),
+               _freeze(getattr(self, "_kacz_damp", None)),
+               _freeze(getattr(self, "_kacz_static", None)),
                _freeze(getattr(self, "_cheby_bounds", None)),
                _freeze(getattr(self, "_cheb_solver_bounds", None)),
                _freeze(getattr(self, "_cheb_precond_bounds", None)),
@@ -2050,6 +2192,14 @@ class DistributedSolver:
                         self._milu_static[0], args[0][10],
                         self._milu_nc[0], r, xv)
                 return jax.lax.fori_loop(0, self._dilu_pre_iters, one_ilu,
+                                         jnp.zeros_like(r))
+            if self.precond_name == "KACZMARZ":
+                def one_kz(_, xv):
+                    return self._kacz_smooth(
+                        args[0][0], self._level_static[0], args[0][12],
+                        self._kacz_static[0], args[0][13],
+                        self._kacz_nc[0], self._kacz_damp[0], r, xv)
+                return jax.lax.fori_loop(0, self._dilu_pre_iters, one_kz,
                                          jnp.zeros_like(r))
             return r
 

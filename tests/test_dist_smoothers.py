@@ -194,3 +194,57 @@ def test_sweep_cost_collectives(mesh):
     for coll in ("collective-permute", "all-gather", "all-reduce",
                  "all-to-all"):
         assert coll not in txt, f"triangle apply emits {coll}"
+
+
+def test_amg_kaczmarz_smoother(mesh):
+    """Distributed multicolor KACZMARZ smoother (kaczmarz_solver.cu):
+    per-shard distance-2 coloring, projections through the sharded A^T
+    operand. Hybrid coloring -> convergence within several iterations of
+    the single-chip smoother. (Kaczmarz effectively smooths A^T A, so it
+    is a weak AMG smoother everywhere — 2 sweeps and a 2-D problem keep
+    the V-cycle contractive, matching single-chip behavior.)"""
+    a = amgx.gallery.poisson5pt(24, 24)
+    cfg = _amg_cfg("KACZMARZ", presweeps=2, postsweeps=2)
+    cfg["solver"]["tolerance"] = 1e-8
+    cfg["solver"]["max_iters"] = 200
+    sv, s1 = _run_pair(cfg, a, mesh)
+    assert sv._kacz and sv.levels[0].kacz is not None
+    assert sv.levels[0].kacz_at_dm is not None
+    assert sv.last_iters <= s1.last_iters + 10, \
+        (sv.last_iters, s1.last_iters)
+
+
+def test_kaczmarz_preconditioner_cimmino(mesh):
+    """Cimmino mode (kaczmarz_coloring_needed=0) is coloring-free: the
+    damped simultaneous projection is exactly the single-chip iteration,
+    so iteration counts must match."""
+    a = _permuted_poisson(10)
+    b = np.ones(a.n_rows)
+    cfg = ("solver=PCG, preconditioner=KACZMARZ, max_iters=400, "
+           "kaczmarz_coloring_needed=0, tolerance=1e-8, "
+           "convergence=RELATIVE_INI, monitor_residual=1")
+    sv = DistributedSolver(amgx.AMGConfig(cfg), mesh)
+    sv.setup(a)
+    x, st = sv.solve(b)
+    r = np.linalg.norm(b - a.to_scipy() @ np.asarray(x)) / np.linalg.norm(b)
+    assert st == 0 and r < 1e-6, (st, r)
+    assert sv.levels[0].kacz[1] is None      # no coloring attached
+    s1 = amgx.SolverFactory.allocate(amgx.AMGConfig(cfg))
+    s1.setup(amgx.Matrix(a))
+    _, st1 = s1.solve(b)
+    assert st1 == 0
+    assert abs(sv.last_iters - s1.last_iters) <= 1, \
+        (sv.last_iters, s1.last_iters)
+
+
+def test_kaczmarz_preconditioner_colored(mesh):
+    a = amgx.gallery.poisson5pt(20, 20)
+    b = np.ones(a.n_rows)
+    cfg = ("solver=PCG, preconditioner=KACZMARZ, max_iters=300, "
+           "tolerance=1e-8, convergence=RELATIVE_INI, monitor_residual=1")
+    sv = DistributedSolver(amgx.AMGConfig(cfg), mesh)
+    sv.setup(a)
+    x, st = sv.solve(b)
+    r = np.linalg.norm(b - a.to_scipy() @ np.asarray(x)) / np.linalg.norm(b)
+    assert st == 0 and r < 1e-6, (st, r)
+    assert sv._kacz_nc[0] >= 2
