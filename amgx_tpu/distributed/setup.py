@@ -1915,3 +1915,201 @@ def dist_dilu_factor(sm: ShardedCSR, colors: List[np.ndarray],
         e_out[d] = E[d]
         ie_out[d] = invE[d]
     return e_out, ie_out
+
+
+class DistScaler:
+    """Per-shard scale vectors from a rank-local (O(N/P)) equation
+    scaling pass (reference: Scaler hooks scale distributed systems,
+    solver.cu:469-482). ``dl``/``dr`` hold the owned-row factors per
+    shard in scalar-row space (block rows expanded)."""
+
+    def __init__(self, part: RowPartition, dl: list, dr: list, bx: int):
+        self.part = part
+        self.dl = dl
+        self.dr = dr
+        self.bx = bx
+
+    def _rows(self, vecs, r0: int, r1: int) -> np.ndarray:
+        """Concatenated factors for global block rows [r0, r1) — must be
+        covered by locally-held shards."""
+        offs = self.part.offsets
+        parts = []
+        for d in range(self.part.n_dev):
+            lo, hi = max(r0, int(offs[d])), min(r1, int(offs[d + 1]))
+            if lo >= hi:
+                continue
+            v = vecs[d]
+            assert v is not None, "rows not held by this process"
+            parts.append(v[(lo - int(offs[d])) * self.bx:
+                           (hi - int(offs[d])) * self.bx])
+        return np.concatenate(parts) if parts else np.zeros(0)
+
+    def scale_rhs(self, b: np.ndarray, r0: int, r1: int) -> np.ndarray:
+        return np.asarray(b) * self._rows(self.dl, r0, r1)
+
+    def scale_solution_in(self, x: np.ndarray, r0: int, r1: int
+                          ) -> np.ndarray:
+        return np.asarray(x) / self._rows(self.dr, r0, r1)
+
+    def unscale_solution(self, x: np.ndarray, r0: int, r1: int
+                         ) -> np.ndarray:
+        return np.asarray(x) * self._rows(self.dr, r0, r1)
+
+
+def _ghost_pull(sm: ShardedCSR, owned: list, halo_cols: list) -> list:
+    """dr values at each shard's ghost columns (boundary exchange)."""
+    return exchange_col_values(sm.part, owned, halo_cols)
+
+
+def _ghost_push(sm: ShardedCSR, contribs: dict) -> list:
+    """Sum per-shard contributions keyed by global column id into the
+    owning shards. ``contribs[d] = (ids, vals)`` covers only d's ghost
+    columns, so the cross-process traffic is boundary-sized."""
+    from . import multihost as mh
+    part = sm.part
+    out = [None if sm.shards[d] is None else
+           np.zeros(sm.shards[d].n_rows) for d in range(sm.n_dev)]
+    local_ids, local_vals = [], []
+    for d, (ids, vals) in contribs.items():
+        local_ids.append(ids)
+        local_vals.append(vals)
+    ids = np.concatenate(local_ids) if local_ids else np.zeros(0, np.int64)
+    vals = np.concatenate(local_vals) if local_vals else np.zeros(0)
+    if sm.is_partial:
+        ids = np.concatenate(mh.allgather_host(ids.astype(np.int64)))
+        vals = np.concatenate(mh.allgather_host(vals.astype(np.float64)))
+    for d in sm.devs:
+        r0, r1 = int(part.offsets[d]), int(part.offsets[d + 1])
+        mine = (ids >= r0) & (ids < r1)
+        np.add.at(out[d], ids[mine] - r0, vals[mine])
+    return out
+
+
+def dist_scale(sm: ShardedCSR, name: str, iterations: int = 10
+               ) -> DistScaler:
+    """Rank-local equation scaling: rewrites ``sm`` in place
+    (A <- Dl A Dr) and returns the per-shard scale vectors. Ghost Dr
+    values move through boundary-sized exchanges; the column-norm pass of
+    binormalization pushes ghost contributions back to their owners.
+    Matches the single-chip scalers (scalers.py / core/src/scalers/)
+    numerically up to cross-shard accumulation order."""
+    part = sm.part
+    bx, by = sm.block_dim
+    halo_cols = [np.zeros(0, np.int64) if sm.shards[d] is None else None
+                 for d in range(sm.n_dev)]
+    owned_masks = [None] * sm.n_dev
+    for d in sm.devs:
+        s = sm.shards[d]
+        r0, r1 = int(part.offsets[d]), int(part.offsets[d + 1])
+        own = (s.indices >= r0) & (s.indices < r1)
+        owned_masks[d] = own
+        halo_cols[d] = np.unique(s.indices[~own]).astype(np.int64)
+
+    def col_vec(d, owned_v, ghost_v):
+        """Per-nnz column values for shard d from (owned arrays, ghost
+        values aligned with halo_cols[d])."""
+        s = sm.shards[d]
+        r0 = int(part.offsets[d])
+        own = owned_masks[d]
+        v = np.empty(s.indices.shape[0])
+        v[own] = owned_v[s.indices[own] - r0]
+        if (~own).any():
+            pos = np.searchsorted(halo_cols[d], s.indices[~own])
+            v[~own] = ghost_v[pos]
+        return v
+
+    def abs2(d):
+        s = sm.shards[d]
+        data = s.data if s.block_dim == (1, 1) else s.data[:, 0, 0]
+        return np.abs(np.real(data).astype(np.float64)) ** 2
+
+    if name == "DIAGONAL_SYMMETRIC":
+        dl = {}
+        for d in sm.devs:
+            s = sm.shards[d]
+            r0 = int(part.offsets[d])
+            rows = np.repeat(np.arange(s.n_rows, dtype=np.int64),
+                             s.row_nnz())
+            diag = np.zeros(s.n_rows)
+            dmask = s.indices - r0 == rows
+            data = s.data if s.block_dim == (1, 1) else s.data[:, 0, 0]
+            diag[rows[dmask]] = np.real(data[dmask])
+            if s.diag_data is not None:
+                dd = s.diag_data if s.block_dim == (1, 1) \
+                    else s.diag_data[:, 0, 0]
+                diag = diag + np.real(dd)
+            dl[d] = 1.0 / np.sqrt(np.where(diag == 0, 1.0, np.abs(diag)))
+        dr = dl
+    elif name in ("BINORMALIZATION", "NBINORMALIZATION"):
+        dl = {d: np.ones(sm.shards[d].n_rows) for d in sm.devs}
+        dr = {d: np.ones(sm.shards[d].n_rows) for d in sm.devs}
+        for _ in range(iterations):
+            ghosts = _ghost_pull(
+                sm, [None if sm.shards[d] is None else dr[d] ** 2
+                     for d in range(sm.n_dev)],
+                halo_cols)
+            for d in sm.devs:
+                s = sm.shards[d]
+                rows = np.repeat(np.arange(s.n_rows, dtype=np.int64),
+                                 s.row_nnz())
+                r = np.zeros(s.n_rows)
+                np.add.at(r, rows, abs2(d) * col_vec(d, dr[d] ** 2,
+                                                     ghosts[d]))
+                dl[d] = 1.0 / np.sqrt(np.sqrt(np.where(r == 0, 1.0, r)))
+            contribs = {}
+            own_sum = {}
+            for d in sm.devs:
+                s = sm.shards[d]
+                r0 = int(part.offsets[d])
+                rows = np.repeat(np.arange(s.n_rows, dtype=np.int64),
+                                 s.row_nnz())
+                w = abs2(d) * (dl[d] ** 2)[rows]
+                own = owned_masks[d]
+                loc = np.zeros(s.n_rows)
+                np.add.at(loc, s.indices[own] - r0, w[own])
+                own_sum[d] = loc
+                if (~own).any():
+                    gids = s.indices[~own]
+                    gsum = np.zeros(halo_cols[d].shape[0])
+                    np.add.at(gsum, np.searchsorted(halo_cols[d], gids),
+                              w[~own])
+                    contribs[d] = (halo_cols[d], gsum)
+            pushed = _ghost_push(sm, contribs)
+            for d in sm.devs:
+                c = own_sum[d] + pushed[d]
+                dr[d] = 1.0 / np.sqrt(np.sqrt(np.where(c == 0, 1.0, c)))
+        if name == "NBINORMALIZATION":
+            s_max = max((max(dl[d].max(initial=0.0),
+                             dr[d].max(initial=0.0)) for d in sm.devs),
+                        default=0.0)
+            s_max = _mh_scalar(sm.is_partial, float(s_max))
+            if s_max > 0:
+                dl = {d: dl[d] / s_max for d in sm.devs}
+                dr = {d: dr[d] / s_max for d in sm.devs}
+    else:
+        raise ValueError(f"Unknown scaler '{name}'")
+
+    # rewrite A <- Dl A Dr in place (ghost Dr via one more exchange)
+    ghosts = _ghost_pull(
+        sm, [None if sm.shards[d] is None else dr[d]
+             for d in range(sm.n_dev)], halo_cols)
+    for d in sm.devs:
+        s = sm.shards[d]
+        rows = np.repeat(np.arange(s.n_rows, dtype=np.int64), s.row_nnz())
+        scale = dl[d][rows] * col_vec(d, dr[d], ghosts[d])
+        if s.block_dim != (1, 1):
+            scale = scale[:, None, None]
+        s.data = s.data * scale
+        if s.diag_data is not None:
+            dscale = dl[d] * dr[d]
+            if s.block_dim != (1, 1):
+                dscale = dscale[:, None, None]
+            s.diag_data = s.diag_data * dscale
+
+    # scalar-row-space copies for the rhs/solution transforms
+    dl_out = [None] * sm.n_dev
+    dr_out = [None] * sm.n_dev
+    for d in sm.devs:
+        dl_out[d] = np.repeat(dl[d], bx) if bx > 1 else dl[d]
+        dr_out[d] = np.repeat(dr[d], by) if by > 1 else dr[d]
+    return DistScaler(part, dl_out, dr_out, bx)

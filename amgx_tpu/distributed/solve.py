@@ -149,13 +149,28 @@ class DistributedSolver:
         sharded_in = isinstance(csr, dsetup.ShardedCSR)
         self._user_csr0 = csr
         if sharded_in:
-            if self.cfg.get("scaling", self.scope) != "NONE":
-                raise NotImplementedError(
-                    "equation scaling is not supported with rank-local "
-                    "(ShardedCSR) entry; pre-scale per rank or upload "
-                    "globally")
+            self._scaler = None
+            self._dist_scaler = None
+            scaling = self.cfg.get("scaling", self.scope)
+            if scaling != "NONE":
+                # rank-local scaling: scale a per-shard copy in place
+                # (boundary-sized exchanges only; the reference scales
+                # distributed systems the same way, solver.cu:469-482)
+                from ..matrix import CSRMatrix as _CSR
+                csr = dsetup.ShardedCSR(csr.part, [
+                    None if s is None else _CSR(
+                        s.n_rows, s.n_cols, s.indptr, s.indices,
+                        s.data.copy(), block_dim=s.block_dim,
+                        diag_data=None if s.diag_data is None
+                        else s.diag_data.copy())
+                    for s in csr.shards], csr.n_cols)
+                self._dist_scaler = dsetup.dist_scale(
+                    csr, scaling,
+                    iterations=int(self.cfg.get("scaling_iterations",
+                                                self.scope) or 10))
             row_part = csr.part
         else:
+            self._dist_scaler = None
             csr = self._apply_scaling(csr)
         vec_dt, mat_dt = mode_dtypes(self.mode)
         n_dev = self.mesh.devices.size
@@ -2525,6 +2540,13 @@ class DistributedSolver:
         rank_local_vecs = (
             rr is not None
             and np.asarray(b).size == (rr[1] - rr[0]) * bx0)
+        dsc = getattr(self, "_dist_scaler", None)
+        if dsc is not None:
+            s0, s1 = (rr[0], rr[1]) if rank_local_vecs \
+                else (0, a0.n_rows)
+            b = dsc.scale_rhs(b, s0, s1)
+            if x0 is not None:
+                x0 = dsc.scale_solution_in(x0, s0, s1)
         if rank_local_vecs:
             # per-rank vectors: each process passes only its owned rows
             b_d = a0.scatter_vector_local(
@@ -2570,6 +2592,10 @@ class DistributedSolver:
             if rank_local_vecs else a0.gather_vector(x_out, "rows")
         if scaler is not None:
             out = out * scaler._dr[:a0.n_rows * a0.block_dim[0]]
+        if dsc is not None:
+            out = dsc.unscale_solution(
+                out, *((rr[0], rr[1]) if rank_local_vecs
+                       else (0, a0.n_rows)))
         self.solve_time = time.perf_counter() - t0
         ini = self.res_history[0] if self.res_history else 1.0
         target = self.tolerance * (ini if "RELATIVE" in self.convergence

@@ -398,3 +398,56 @@ def test_bsr_sharded_setup(mesh):
     r = np.linalg.norm(b4 - a4.to_scipy().astype(np.float64)
                        @ np.asarray(x)) / np.linalg.norm(b4)
     assert st == 0 and r < 1e-6, (st, r)
+
+
+def test_rank_local_scaling(mesh):
+    """Equation scaling with ShardedCSR entry (reference: scaler hooks
+    scale distributed systems, solver.cu:469-482): per-shard
+    binormalization with boundary exchanges must match the single-chip
+    scaler's convergence on a badly row-scaled system, and the returned
+    solution must solve the ORIGINAL system."""
+    rng = np.random.default_rng(5)
+    base = amgx.gallery.poisson5pt(16, 16)
+    s = base.to_scipy().tocsr()
+    rowscale = 10.0 ** rng.uniform(-1.5, 1.5, base.n_rows)
+    s = sp.diags(rowscale) @ s @ sp.diags(rowscale)
+    s = s.tocsr()
+    from amgx_tpu.matrix import CSRMatrix
+    a = CSRMatrix(base.n_rows, base.n_cols, s.indptr, s.indices, s.data)
+    b = np.ones(a.n_rows)
+    cfg_str = ("solver=PCG, preconditioner=BLOCK_JACOBI, max_iters=500, "
+               "tolerance=1e-10, convergence=RELATIVE_INI, "
+               "monitor_residual=1, scaling=NBINORMALIZATION")
+    sm = ds.ShardedCSR.from_global(a, RowPartition.equal(a.n_rows, 8))
+    sv = DistributedSolver(amgx.AMGConfig(cfg_str), mesh)
+    sv.setup(sm)
+    x, st = sv.solve(b)
+    assert sv._dist_scaler is not None
+    r = np.linalg.norm(b - s @ np.asarray(x)) / np.linalg.norm(b)
+    assert st == 0 and r < 1e-7, (st, r)
+    # the per-shard scale vectors must match the single-chip scaler's
+    # (the load-bearing parity: same fixed point from boundary-sized
+    # exchanges as from the global pass)
+    from amgx_tpu import scalers as _sc
+    from amgx_tpu.matrix import Matrix as _M
+    ref = _sc.make_scaler("NBINORMALIZATION", amgx.AMGConfig(cfg_str))
+    work = CSRMatrix(a.n_rows, a.n_cols, a.indptr, a.indices,
+                     a.data.copy())
+    ref.setup(_M(work))
+    got = np.concatenate([sv._dist_scaler.dl[d] for d in range(8)])
+    np.testing.assert_allclose(got, ref._dl[:a.n_rows], rtol=1e-10)
+
+
+def test_rank_local_scaling_diagonal(mesh):
+    a = amgx.gallery.poisson7pt(8, 8, 8)
+    b = np.ones(a.n_rows)
+    cfg_str = ("solver=PCG, preconditioner=BLOCK_JACOBI, max_iters=300, "
+               "tolerance=1e-10, convergence=RELATIVE_INI, "
+               "monitor_residual=1, scaling=DIAGONAL_SYMMETRIC")
+    sm = ds.ShardedCSR.from_global(a, RowPartition.equal(a.n_rows, 8))
+    sv = DistributedSolver(amgx.AMGConfig(cfg_str), mesh)
+    sv.setup(sm)
+    x, st = sv.solve(b)
+    r = np.linalg.norm(b - a.to_scipy() @ np.asarray(x)) / \
+        np.linalg.norm(b)
+    assert st == 0 and r < 1e-7, (st, r)
