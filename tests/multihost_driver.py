@@ -169,63 +169,89 @@ assert bsr_max_gather < 0.25 * nnz4_bytes, (
 #    exchange, comms_mpi_hostbuffer_stream.cu:835-990).
 from amgx_tpu.distributed import multihost as _mh  # noqa: E402
 
-A5 = amgx.gallery.poisson7pt(14, 14, 14)
-n5 = A5.n_rows
-lo5, hi5 = pid * n5 // nproc, (pid + 1) * n5 // nproc
-sp5 = A5.to_scipy().tocsr()
-loc5 = sp5[lo5:hi5]
-b5 = np.ones(n5)
-_mh.gathered_bytes = 0
-_mh.max_gather_bytes = 0
-_, cfg5 = capi.AMGX_config_create(
-    "config_version=2, solver=PCG, max_iters=100, tolerance=1e-10, "
-    "convergence=RELATIVE_INI, monitor_residual=1, "
-    "preconditioner(amg)=AMG, amg:algorithm=CLASSICAL, "
-    "amg:selector=PMIS, amg:interpolator=D1, amg:smoother=BLOCK_JACOBI, "
-    "amg:relaxation_factor=0.7, amg:presweeps=1, amg:postsweeps=1, "
-    "amg:max_iters=1, amg:min_coarse_rows=32, amg:max_levels=12, "
-    "amg:cycle=V")
-_, rsrc5 = capi.AMGX_resources_create_simple(cfg5)
-_, mh5 = capi.AMGX_matrix_create(rsrc5, "dDDI")
-_, bh5 = capi.AMGX_vector_create(rsrc5, "dDDI")
-_, xh5 = capi.AMGX_vector_create(rsrc5, "dDDI")
-rc5 = capi.AMGX_matrix_upload_distributed(
-    mh5, n5, hi5 - lo5, loc5.nnz, 1, 1, loc5.indptr, loc5.indices,
-    loc5.data)
-assert rc5 == capi.RC_OK
-assert mh5._sharded is not None and mh5._sharded.is_partial
-assert all(mh5._sharded.shards[d] is None for d in range(8)
-           if not (4 * pid <= d < 4 * (pid + 1))), "remote shards present"
-capi.AMGX_vector_upload(bh5, hi5 - lo5, 1, b5[lo5:hi5])
-capi.AMGX_vector_set_zero(xh5, hi5 - lo5, 1)
-_, sh5 = capi.AMGX_solver_create(rsrc5, "dDDI", cfg5)
-capi.AMGX_solver_setup(sh5, mh5)
-assert sh5.dist_solver is not None and sh5.dist_solver._sharded_setup
-capi.AMGX_solver_solve_with_0_initial_guess(sh5, bh5, xh5)
-_, x5loc = capi.AMGX_vector_download(xh5)
-assert x5loc.shape[0] == hi5 - lo5, x5loc.shape
-rl_gathered = _mh.gathered_bytes       # before the validation-only gather
-rl_max_gather = _mh.max_gather_bytes
-x5 = np.concatenate(allgather_host(x5loc))
-r5 = np.linalg.norm(b5 - sp5 @ x5) / np.linalg.norm(b5)
-assert sh5.status == 0 and r5 < 1e-8, (sh5.status, r5)
-# O(N/P) gate: no single cross-process payload may approach the operator
-# size. Boundary exchanges scale as N^(2/3) while an O(N) regression
-# ships nnz-scale data in one call (at 14^3 legit calls are <=25KB, the
-# operator is ~216KB). The cumulative total is NOT bounded against nnz
-# here because at this toy size the sum of all shard boundaries already
-# rivals N — the per-call bound is the size-robust discriminator.
-nnz_bytes = sp5.nnz * (8 + 4)
+
+def ranklocal_amg(nn):
+    """Rank-local C-API upload + classical AMG solve on an nn^3 Poisson.
+
+    Returns (resid, iters, cumulative_gathered_bytes, max_gather_bytes,
+    nnz) measured over upload+setup+solve (the validation gather of the
+    full solution is excluded from the counters).
+    """
+    A5 = amgx.gallery.poisson7pt(nn, nn, nn)
+    n5 = A5.n_rows
+    lo5, hi5 = pid * n5 // nproc, (pid + 1) * n5 // nproc
+    sp5 = A5.to_scipy().tocsr()
+    loc5 = sp5[lo5:hi5]
+    b5 = np.ones(n5)
+    _mh.gathered_bytes = 0
+    _mh.max_gather_bytes = 0
+    _, cfg5 = capi.AMGX_config_create(
+        "config_version=2, solver=PCG, max_iters=100, tolerance=1e-10, "
+        "convergence=RELATIVE_INI, monitor_residual=1, "
+        "preconditioner(amg)=AMG, amg:algorithm=CLASSICAL, "
+        "amg:selector=PMIS, amg:interpolator=D1, "
+        "amg:smoother=BLOCK_JACOBI, amg:relaxation_factor=0.7, "
+        "amg:presweeps=1, amg:postsweeps=1, amg:max_iters=1, "
+        "amg:min_coarse_rows=32, amg:max_levels=12, amg:cycle=V")
+    _, rsrc5 = capi.AMGX_resources_create_simple(cfg5)
+    _, mh5 = capi.AMGX_matrix_create(rsrc5, "dDDI")
+    _, bh5 = capi.AMGX_vector_create(rsrc5, "dDDI")
+    _, xh5 = capi.AMGX_vector_create(rsrc5, "dDDI")
+    rc5 = capi.AMGX_matrix_upload_distributed(
+        mh5, n5, hi5 - lo5, loc5.nnz, 1, 1, loc5.indptr, loc5.indices,
+        loc5.data)
+    assert rc5 == capi.RC_OK
+    assert mh5._sharded is not None and mh5._sharded.is_partial
+    assert all(mh5._sharded.shards[d] is None for d in range(8)
+               if not (4 * pid <= d < 4 * (pid + 1))), "remote shards"
+    capi.AMGX_vector_upload(bh5, hi5 - lo5, 1, b5[lo5:hi5])
+    capi.AMGX_vector_set_zero(xh5, hi5 - lo5, 1)
+    _, sh5 = capi.AMGX_solver_create(rsrc5, "dDDI", cfg5)
+    capi.AMGX_solver_setup(sh5, mh5)
+    assert sh5.dist_solver is not None and sh5.dist_solver._sharded_setup
+    capi.AMGX_solver_solve_with_0_initial_guess(sh5, bh5, xh5)
+    _, x5loc = capi.AMGX_vector_download(xh5)
+    assert x5loc.shape[0] == hi5 - lo5, x5loc.shape
+    gathered = _mh.gathered_bytes      # before the validation-only gather
+    max_gather = _mh.max_gather_bytes
+    x5 = np.concatenate(allgather_host(x5loc))
+    r5 = np.linalg.norm(b5 - sp5 @ x5) / np.linalg.norm(b5)
+    assert sh5.status == 0 and r5 < 1e-8, (sh5.status, r5)
+    return r5, sh5.dist_solver.last_iters, gathered, max_gather, sp5.nnz
+
+
+r5, rlamg_iters, rl_gathered, rl_max_gather, nnz5 = ranklocal_amg(14)
+# O(N/P) gate #1: no single cross-process payload may approach the
+# operator size. Boundary exchanges scale as N^(2/3) while an O(N)
+# regression ships nnz-scale data in one call (at 14^3 legit calls are
+# <=25KB, the operator is ~216KB).
+nnz_bytes = nnz5 * (8 + 4)
 assert rl_max_gather < 0.2 * nnz_bytes, (
     f"a single allgather carried {rl_max_gather}B >= 0.2*{nnz_bytes}B "
     f"— O(N) payload crept into the rank-local path")
 
+# O(N/P) gate #2 (size-scaled, regression-proof): run the identical flow
+# at a ~5x-nnz larger problem and require the CUMULATIVE cross-process
+# traffic to grow sub-linearly in nnz. Legit traffic is boundary-scale
+# (~N^(2/3): (24/14)^2 = 2.9x here, plus size-independent metadata); any
+# O(N) payload hidden below gate #1's per-call bound drags the cumulative
+# ratio toward the nnz ratio (~5x) and trips this.
+r5b, _, rl_gathered_b, rl_max_gather_b, nnz5b = ranklocal_amg(24)
+nnz_ratio = nnz5b / nnz5
+traffic_ratio = rl_gathered_b / max(rl_gathered, 1)
+assert traffic_ratio < 0.75 * nnz_ratio, (
+    f"cumulative rank-local traffic grew {traffic_ratio:.2f}x for a "
+    f"{nnz_ratio:.2f}x nnz increase (14^3 -> 24^3): O(N) traffic crept "
+    f"into upload/setup/solve")
+
 # traffic counters are process-dependent (different shard boundaries) —
 # keep them off the MULTIHOST_OK line the test compares across processes
 print(f"MULTIHOST_TRAFFIC pid={pid} rl_gathered={rl_gathered} "
-      f"rl_max_gather={rl_max_gather}", flush=True)
+      f"rl_max_gather={rl_max_gather} rl_gathered_24={rl_gathered_b} "
+      f"traffic_ratio={traffic_ratio:.2f} nnz_ratio={nnz_ratio:.2f}",
+      flush=True)
 print(f"MULTIHOST_OK pid={pid} amg_resid={r:.3e} pcg_resid={r2:.3e} "
       f"amg_iters={s.last_iters} ranklocal_resid={r3:.3e} "
       f"bsr_resid={r4:.3e} bsr_iters={s4.last_iters} "
-      f"rlamg_resid={r5:.3e} rlamg_iters={sh5.dist_solver.last_iters}",
+      f"rlamg_resid={r5:.3e} rlamg_iters={rlamg_iters}",
       flush=True)
