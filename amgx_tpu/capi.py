@@ -101,7 +101,9 @@ def AMGX_resources_destroy(rsrc):
 
 def AMGX_matrix_create(rsrc: Resources, mode: str = "dDDI"
                        ) -> Tuple[int, Matrix]:
-    return RC_OK, Matrix(mode=mode)
+    m = Matrix(mode=mode)
+    m._rsrc = rsrc    # read paths pull reader knobs (complex_conversion)
+    return RC_OK, m
 
 
 def AMGX_matrix_upload_all(m: Matrix, n: int, nnz: int, block_dimx: int,
@@ -331,8 +333,20 @@ def AMGX_write_parameters_description(path: str, fmt: str = "json"):
     return RC_OK
 
 
+def _reader_conversion(m: Matrix) -> int:
+    """complex_conversion from the matrix's resources config, applied only
+    when reading a complex file into a real mode (readers.cu:682)."""
+    rsrc = getattr(m, "_rsrc", None)
+    if rsrc is None or "Z" in m.mode or "C" in m.mode:
+        return 0
+    try:
+        return int(rsrc.cfg.get("complex_conversion"))
+    except Exception:
+        return 0
+
+
 def AMGX_read_system(m: Matrix, rhs: _Vector, sol: _Vector, path: str):
-    csr, b, x = _read_system(path)
+    csr, b, x = _read_system(path, _reader_conversion(m))
     m.csr = csr
     m.initialized = True
     m._device_op = None
@@ -627,7 +641,7 @@ def AMGX_read_system_distributed(m: Matrix, rhs: _Vector, sol: _Vector,
     """reference: AMGX_read_system_distributed — rank-0 read + scatter;
     here: read globally and attach the mesh partition manager."""
     import jax as _jax
-    csr, b, x = _read_system(path)
+    csr, b, x = _read_system(path, _reader_conversion(m))
     n = csr.n_rows
     rc, dist = AMGX_distribution_create()
     if partition_vector is not None:

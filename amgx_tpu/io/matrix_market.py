@@ -45,9 +45,10 @@ def read_matrix_market(path: str):
             if flag.startswith("blockdim"):
                 parts = flag.split("=")[1].split("x")
                 block_dims = (int(parts[0]), int(parts[1]))
+        is_complex = field == "complex"
         rows = np.empty(nnz, np.int64)
         cols = np.empty(nnz, np.int64)
-        vals = np.empty(nnz, np.float64)
+        vals = np.empty(nnz, np.complex128 if is_complex else np.float64)
         pattern = field == "pattern"
         k = 0
         rest = []
@@ -58,7 +59,9 @@ def read_matrix_market(path: str):
             if k < nnz:
                 rows[k] = int(s[0]) - 1
                 cols[k] = int(s[1]) - 1
-                vals[k] = 1.0 if pattern else float(s[2])
+                vals[k] = (1.0 if pattern else
+                           complex(float(s[2]), float(s[3]))
+                           if is_complex else float(s[2]))
                 k += 1
             else:
                 # trailing embedded vectors (rhs/solution) start here
@@ -67,6 +70,11 @@ def read_matrix_market(path: str):
             raise ValueError(f"{path}: expected {nnz} entries, found {k}")
         rhs = sol = None
         nb = n_rows * block_dims[0]
+        if is_complex:
+            # embedded complex vectors: two floats (re im) per entry
+            rest = list(np.asarray(rest[:len(rest) // 2 * 2],
+                                   np.float64).reshape(-1, 2)
+                        .view(np.complex128).ravel())
         if has_rhs:
             rhs = np.array(rest[:nb])
             rest = rest[nb:]
@@ -75,9 +83,12 @@ def read_matrix_market(path: str):
         if symmetry in ("symmetric", "skew-symmetric", "hermitian"):
             off = rows != cols
             sgn = -1.0 if symmetry == "skew-symmetric" else 1.0
+            mirrored = vals[off]
+            if symmetry == "hermitian":
+                mirrored = np.conj(mirrored)
             rows = np.concatenate([rows, cols[off]])
             cols2 = np.concatenate([cols, rows[:nnz][off]])
-            vals = np.concatenate([vals, sgn * vals[off]])
+            vals = np.concatenate([vals, sgn * mirrored])
             cols = cols2
         if block_dims != (1, 1):
             bx, by = block_dims
@@ -88,7 +99,7 @@ def read_matrix_market(path: str):
             order = np.lexsort((jj, ii, bcols, brows))
             key = brows * n_cols + bcols
             uniq, inv = np.unique(key[order], return_inverse=True)
-            data = np.zeros((uniq.size, bx, by), np.float64)
+            data = np.zeros((uniq.size, bx, by), vals.dtype)
             data[inv, ii[order], jj[order]] = vals[order]
             m = CSRMatrix.from_coo(n_rows // bx, n_cols // by,
                                    uniq // n_cols, uniq % n_cols, data,
@@ -103,8 +114,17 @@ def write_matrix_market(path: str, m: CSRMatrix,
                         sol: Optional[np.ndarray] = None) -> None:
     m = m.fold_diagonal()    # DIAG property is in-memory storage detail
     bx, by = m.block_dim
+    is_complex = np.iscomplexobj(m.data)
+
+    def _num(v) -> str:
+        if is_complex:
+            v = complex(v)
+            return f"{v.real!r} {v.imag!r}"
+        return repr(float(v))
+
     with open(path, "w") as f:
-        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"%%MatrixMarket matrix coordinate "
+                f"{'complex' if is_complex else 'real'} general\n")
         flags = []
         if rhs is not None:
             flags.append("rhs")
@@ -118,7 +138,7 @@ def write_matrix_market(path: str, m: CSRMatrix,
             f.write(f"{m.n_rows} {m.n_cols} {m.nnz}\n")
             rows = np.repeat(np.arange(m.n_rows), m.row_nnz())
             for i, j, v in zip(rows, m.indices, m.data):
-                f.write(f"{i + 1} {j + 1} {float(v)!r}\n")
+                f.write(f"{i + 1} {j + 1} {_num(v)}\n")
         else:
             f.write(f"{m.n_rows * bx} {m.n_cols * by} {m.nnz * bx * by}\n")
             rows = np.repeat(np.arange(m.n_rows), m.row_nnz())
@@ -126,24 +146,32 @@ def write_matrix_market(path: str, m: CSRMatrix,
                 for ii in range(bx):
                     for jj in range(by):
                         f.write(f"{i * bx + ii + 1} {j * by + jj + 1} "
-                                f"{float(m.data[k, ii, jj])!r}\n")
+                                f"{_num(m.data[k, ii, jj])}\n")
         for vec in (rhs, sol):
             if vec is not None:
                 for v in np.asarray(vec).ravel():
-                    f.write(f"{float(v)!r}\n")
+                    f.write(f"{_num(v)}\n")
 
 
-def read_system(path: str):
+def read_system(path: str, complex_conversion: int = 0):
     """AMGX_read_system equivalent: returns (matrix, rhs, sol); absent
     vectors are returned as None. The format is sniffed from the file
     header (the reference's reader registry dispatches MatrixMarket vs
-    NVAMG binary the same way, matrix_io.cu:118)."""
+    NVAMG binary the same way, matrix_io.cu:118). A non-zero
+    ``complex_conversion`` rewrites a complex system as its K1..K4 real
+    equivalent (core.cu:381, readers.cu:244-476)."""
     with open(path, "rb") as f:
-        head = f.read(8)
-    if head == b"AMGXTPUB":
+        head = f.read(14)
+    if head[:8] == b"AMGXTPUB" or head == b"%%NVAMGBinary\n":
         from .binary import read_system_binary
-        return read_system_binary(path)
-    return read_matrix_market(path)
+        m, rhs, sol = read_system_binary(path)
+    else:
+        m, rhs, sol = read_matrix_market(path)
+    if complex_conversion and np.iscomplexobj(m.data):
+        from .complex_conversion import convert_complex_system
+        m, rhs, sol = convert_complex_system(m.fold_diagonal(), rhs, sol,
+                                             complex_conversion)
+    return m, rhs, sol
 
 
 def write_system(path: str, m: CSRMatrix, rhs=None, sol=None) -> None:

@@ -243,6 +243,11 @@ def register_all_parameters() -> None:
       "band-structured; solve vectors are permuted at the API boundary",
       allowed_values=["NONE", "AUTO", "RCM"])
     P("partition_vec_size", int, 0, "compat")
+    P("complex_conversion", int, 0,
+      "convert a complex system read from file to a real one: 1..4 = "
+      "scalar K1..K4 formulation of 2x size, 221..224 = same-size system "
+      "of 2x2 real blocks (reference core.cu:381, readers.cu:244-476)",
+      allowed_values=[0, 1, 2, 3, 4, 221, 222, 223, 224])
 
     # -- system / resources (inert hints kept for config compatibility) ---------
     P("determinism_flag", int, 0, "force deterministic algorithm variants",
