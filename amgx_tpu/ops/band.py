@@ -128,14 +128,17 @@ def band_spmv_pallas(a: BandMatrix, x, interpret: bool = False):
         num_scalar_prefetch=1,
         grid=(a.tiles,),
         in_specs=[
-            pl.BlockSpec((1, t_rows, w), lambda i, b: (i, 0, 0),
+            pl.BlockSpec((1, t_rows, w),
+                         lambda i, b: (i, np.int32(0), np.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows128, 128), lambda i, b: (b[i], 0),
+            pl.BlockSpec((rows128, 128), lambda i, b: (b[i], np.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows128, 128), lambda i, b: (b[i] + 1, 0),
+            pl.BlockSpec((rows128, 128),
+                         lambda i, b: (b[i] + np.int32(1),
+                                       np.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t_rows), lambda i, b: (i, 0),
+        out_specs=pl.BlockSpec((1, t_rows), lambda i, b: (i, np.int32(0)),
                                memory_space=pltpu.VMEM),
     )
     y = pl.pallas_call(

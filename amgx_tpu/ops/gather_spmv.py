@@ -85,6 +85,30 @@ import os as _os  # noqa: E402
 _MXU_SCAN = _os.environ.get("AMGX_G5_MXU_SCAN", "1") != "0"
 
 
+def _take2d(a, idx, axis):
+    """2-D take_along_axis that stays 32-bit inside Mosaic kernels.
+
+    jnp.take_along_axis promotes index arrays to int64 whenever
+    jax_enable_x64 is on (lax_utils.int_dtype_for_dim falls back to the
+    default int dtype), and Mosaic has no 64-bit lowering — the kernel
+    would die in convert_element_type. Build the exact lax.gather the
+    Mosaic rule pattern-matches (lowering.py _gather_lowering_rule ->
+    tpu.dynamic_gather) with int32 indices directly."""
+    if axis == 0:
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(0,),
+            start_index_map=(0,), operand_batching_dims=(1,),
+            start_indices_batching_dims=(1,))
+    else:
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(1,),
+            start_index_map=(1,), operand_batching_dims=(0,),
+            start_indices_batching_dims=(0,))
+    return jax.lax.gather(
+        a, idx.astype(jnp.int32)[..., None], dnums, (1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 def _lane_cumsum(x):
     """Axis-1 inclusive cumsum as a log-step Hillis-Steele scan — Mosaic
     has no lowering for the cumsum primitive, but roll + masked add
@@ -301,18 +325,18 @@ class GatherMatrix:
                         hij = hlj >> 8
                         hs = hij & 7
                         if nv == 1:
-                            u = jnp.take_along_axis(
+                            u = _take2d(
                                 x_ref[0, pl.ds(xoff, 8)], hs, axis=0)
                         else:
                             hv = hij >> 3
                             u = jnp.zeros((8, 128), dt)
                             for v in range(nv):
-                                g = jnp.take_along_axis(
+                                g = _take2d(
                                     x_ref[0, pl.ds(xoff + v * 8, 8)],
                                     hs, axis=0)
                                 u = jnp.where(hv == v, g, u)
                         lj = hlj & 255
-                        tt = jnp.take_along_axis(u, lj, axis=1)
+                        tt = _take2d(u, lj, axis=1)
                         stag[pl.ds(t * D + j * 8, 8)] = \
                             tt * vals_ref[t, pl.ds(j * 8, 8)].astype(dt)
                         return c2
@@ -350,7 +374,7 @@ class GatherMatrix:
                     src = bm_ref[jb, 0:128].astype(jnp.int32)
                     stagT = jnp.swapaxes(
                         stag[jb * 128:(jb + 1) * 128], 0, 1)
-                    srt = jnp.take_along_axis(stagT, src, axis=1)
+                    srt = _take2d(stagT, src, axis=1)
                     if _MXU_SCAN:
                         # HIGHEST: 3-pass bf16 decomposition ~ f32 exact;
                         # DEFAULT would silently run one bf16 pass
@@ -367,8 +391,7 @@ class GatherMatrix:
                                      128 + (qc + 1) * 128].astype(jnp.int32)
                         e = jnp.where(
                             ENq >= 0,
-                            jnp.take_along_axis(
-                                P, jnp.maximum(ENq, 0), axis=1),
+                            _take2d(P, jnp.maximum(ENq, 0), axis=1),
                             jnp.zeros_like(P))
                         er = pltpu.roll(e, jnp.asarray(1, jnp.int32), 1)
                         s0 = jnp.where(idx0, carry, er)
@@ -391,21 +414,25 @@ class GatherMatrix:
                     h = min(128, S_p - lo)
                     y_ref[lo:lo + h] = yq[:h]
 
+        # index-map constants must be typed: bare python 0 traces as i64
+        # under jax_enable_x64 and Mosaic can't legalize an i64-returning
+        # transform func
+        z = np.int32(0)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(n_steps,),
             in_specs=[
                 pl.BlockSpec((1, wpg * W, 128),
-                             lambda i, fl, pid, gid, wid: (gid[i], 0, 0)),
+                             lambda i, fl, pid, gid, wid: (gid[i], z, z)),
                 pl.BlockSpec((G * tpp, D, 128),
-                             lambda i, *_: (i, 0, 0)),
+                             lambda i, *_: (i, z, z)),
                 pl.BlockSpec((G * tpp, D, 128),
-                             lambda i, *_: (i, 0, 0)),
+                             lambda i, *_: (i, z, z)),
                 pl.BlockSpec((G, R, 128),
-                             lambda i, *_: (i, 0, 0)),
+                             lambda i, *_: (i, z, z)),
             ],
             out_specs=pl.BlockSpec((S_p, 128),
-                                   lambda i, fl, pid, *_: (pid[i], 0)),
+                                   lambda i, fl, pid, *_: (pid[i], z)),
             scratch_shapes=[pltpu.VMEM((G * 128, 128), dt),
                             pltpu.VMEM((128, Qc * 128), dt)],
         )
@@ -851,14 +878,17 @@ def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 512,
             .reshape(B_tot, Qc * 128, 128)
         bmeta = np.concatenate([src, en_rows], axis=1)
 
+    # all index operands pinned to 32-bit: under jax_enable_x64
+    # jnp.asarray would keep numpy's int64 and Mosaic has no 64-bit
+    # lowering (the kernel would die in convert_element_type)
     arrays = dict(
         vals=None,                       # filled per value plane below
         hl=jnp.asarray(hl_a),
         bmeta=jnp.asarray(bmeta),
-        step_flags=jnp.asarray(sflags),
-        step_pid=jnp.asarray(step_pid),
-        step_gid=jnp.asarray(step_gid),
-        tile_wid=jnp.asarray(tile_wid),
+        step_flags=jnp.asarray(np.asarray(sflags, np.int32)),
+        step_pid=jnp.asarray(np.asarray(step_pid, np.int32)),
+        step_gid=jnp.asarray(np.asarray(step_gid, np.int32)),
+        tile_wid=jnp.asarray(np.asarray(tile_wid, np.int32)),
         tile_window=jnp.asarray(tile_window.astype(np.int32)),
         block_panel=jnp.asarray(block_panel.astype(np.int32)),
     )

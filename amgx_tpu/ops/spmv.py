@@ -179,7 +179,7 @@ def dia_spmv_pallas(a: DiaMatrix, x, chunk: int = 65536):
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((len(offsets), chunk), lambda i: (0, i),
+            pl.BlockSpec((len(offsets), chunk), lambda i: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((chunk,), lambda i: (i,),
@@ -262,7 +262,7 @@ def dia_spmv_pallas2d(a: DiaMatrix, x, chunk_rows: int = 256,
     # array are the prev/cur/next windows of logical chunk i
     xp3 = jnp.pad(x2, ((chunk_rows, chunk_rows), (0, 0)))
     xblock = lambda off: pl.BlockSpec(
-        (chunk_rows, 128), lambda i, off=off: (i + off, 0),
+        (chunk_rows, 128), lambda i, off=off: (i + np.int32(off), np.int32(0)),
         memory_space=pltpu.VMEM)
     y = pl.pallas_call(
         kernel,
@@ -270,9 +270,10 @@ def dia_spmv_pallas2d(a: DiaMatrix, x, chunk_rows: int = 256,
         in_specs=[
             xblock(0), xblock(1), xblock(2),
             pl.BlockSpec((len(offsets), chunk_rows, 128),
-                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+                         lambda i: (np.int32(0), i, np.int32(0)),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((chunk_rows, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((chunk_rows, 128), lambda i: (i, np.int32(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, 128), x.dtype),
         interpret=interpret,

@@ -303,8 +303,9 @@ class Solver:
         dispatches into 1."""
         if not bool(self.cfg.get("fused_solve", self.scope)):
             return False
-        if self.print_solve_stats:
-            return False
+        # print_solve_stats does NOT unfuse: the residual table is printed
+        # post-hoc from the fetched history (identical output, one fetch —
+        # live per-iteration printing would cost a tunnel round trip each)
         conv = self.cfg.get("convergence", self.scope)
         return conv in ("ABSOLUTE", "RELATIVE_INI", "RELATIVE_INI_CORE",
                         "COMBINED_REL_INI_ABS")
@@ -565,6 +566,16 @@ class Solver:
         if self.scaler is not None:
             x_f = self.scaler.unscale_solution(x_f)
         self.solve_time = time.perf_counter() - t0
+        if self.print_solve_stats:
+            # post-hoc residual table from the single fetched history
+            self._print_header()
+            if self.monitor_residual and len(self.res_history):
+                self.res_history = [self.res_history[0]]
+                self._print_iter("Ini", hist[0])
+                for k in range(1, it + 1):
+                    self.res_history = [v for v in hist[:k + 1]]
+                    self._print_iter(k, hist[k])
+            self._print_footer(status, it)
         return x_f, status
 
     # -- preconditioner protocol ----------------------------------------------------

@@ -56,15 +56,19 @@ def _slope_time(g, inner: int, reps: int) -> float:
     import numpy as _np
     for k in (inner, 3 * inner):
         float(g(k))                          # compile + warm both programs
-    best = _np.inf
-    for _ in range(reps):
+    slopes = []
+    for _ in range(max(3, reps)):
         t0 = time.perf_counter()
         float(g(inner))
         t1 = time.perf_counter()
         float(g(3 * inner))
         t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / (2 * inner))
-    return max(best, 1e-12)
+        slopes.append(((t2 - t1) - (t1 - t0)) / (2 * inner))
+    # median, not min: one jittered tunnel round trip can make a single
+    # slope collapse to ~0 (BENCH_r04 draft showed a bf16 phase at 9.5
+    # TB/s — 12x over HBM speed of light — from exactly this)
+    est = float(_np.median(slopes))
+    return max(est, 1e-12)
 
 
 def phase_device():
@@ -279,15 +283,17 @@ def phase_amg_classical(n_side: int):
     out = {"n": a.n_rows, "nnz": a.nnz}
 
     # -- headline: f32 inner V-cycles + f64 refinement to 1e-8 ------------
-    from amgx_tpu.refinement import solve_refined
+    # one RefinedSolver reused across solves (time-stepping contract):
+    # the second solve runs entirely on warm compiled programs
+    from amgx_tpu.refinement import RefinedSolver
     cfg = amgx.AMGConfig(_classical_cfg("dFFI", True, 20, 1e-6))
+    rs = RefinedSolver(cfg, inner_mode="dFFI")
+    rs.setup(a)
     t0 = time.perf_counter()
-    x, status, hist = solve_refined(cfg, a, b, max_refinements=12,
-                                    tolerance=1e-8, inner_mode="dFFI")
+    x, status, hist = rs.solve(b, max_refinements=12, tolerance=1e-8)
     first_t = time.perf_counter() - t0
     t0 = time.perf_counter()
-    x, status, hist = solve_refined(cfg, a, b, max_refinements=12,
-                                    tolerance=1e-8, inner_mode="dFFI")
+    x, status, hist = rs.solve(b, max_refinements=12, tolerance=1e-8)
     solve_t = time.perf_counter() - t0
     true_r = float(np.linalg.norm(b - a.to_scipy() @ x) /
                    np.linalg.norm(b))
@@ -308,8 +314,12 @@ def phase_amg_classical(n_side: int):
     out["f32_cycle_iters"] = s32.last_iters
     print(json.dumps(out), flush=True)
 
-    # -- honest dDDI: emulated f64 on device, few iterations --------------
-    cfg64 = amgx.AMGConfig(_classical_cfg("dDDI", True, 6, 1e-30))
+    # -- honest dDDI: emulated f64 on device, few iterations. NOT fused:
+    # emulated f64 runs ~12 s/iter at 48^3, and several iterations inside
+    # one lax.while_loop program exceed the remote worker's execution
+    # watchdog (the round-3 "kernel fault"); per-iteration dispatch costs
+    # ~28 ms against that — noise
+    cfg64 = amgx.AMGConfig(_classical_cfg("dDDI", False, 2, 1e-30))
     s64 = amgx.SolverFactory.allocate(cfg64)
     t0 = time.perf_counter()
     s64.setup(amgx.Matrix(a, mode="dDDI"))
