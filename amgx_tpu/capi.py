@@ -133,10 +133,25 @@ class _Vector:
         self.mode = mode
         self.data: Optional[np.ndarray] = None
         self.block_dim = 1
+        self._dev = None          # (key, device array) transfer cache
 
     def upload(self, n, block_dim, values):
         self.block_dim = block_dim
-        self.data = np.asarray(values, dtype=np.float64).reshape(-1)
+        # always copy: upload is the transfer point (reference semantics —
+        # later host-side mutation without re-upload has no effect)
+        self.data = np.array(values, dtype=np.float64).reshape(-1)
+        self._dev = None
+
+    def device(self, dtype):
+        """Device-resident view, cached until the next upload. In a
+        time-stepping loop (solve called repeatedly with the same rhs)
+        this saves one host->device round trip per solve — through the
+        remote tunnel that is ~28 ms against a sub-ms solve."""
+        import jax.numpy as jnp
+        key = (id(self.data), np.dtype(dtype).str)
+        if self._dev is None or self._dev[0] != key:
+            self._dev = (key, jnp.asarray(self.data, dtype))
+        return self._dev[1]
 
     def download(self):
         return np.array(self.data)
@@ -265,6 +280,12 @@ class _SolverHandle:
             sol, status = self.dist_solver.solve(bd, x0)
             sol = np.asarray(sol)
         else:
+            if order is None and rl is None and bd is b.data \
+                    and bd is not None:
+                # pass the cached device-resident rhs (one less tunnel
+                # round trip per repeated solve)
+                from .matrix import mode_dtypes
+                bd = b.device(mode_dtypes(self.mode)[0])
             raw, status = self.solver.solve(bd, x0,
                                             zero_initial_guess=zero_guess)
             sol = self.solver.extract_vector(raw)

@@ -397,7 +397,10 @@ def csr_to_ell(csr: CSRMatrix, dtype=None, width_multiple: int = 1,
         r = np.arange(csr.n_rows)
         cols[r, rn] = r
         vals[r, rn] = csr.diag_data.astype(dtype)
-    return EllMatrix(jnp.asarray(cols), jnp.asarray(vals),
+    # one batched transfer: each eager device_put costs a full tunnel
+    # round trip (~46 ms) regardless of size
+    cols_d, vals_d = jax.device_put((cols, vals))
+    return EllMatrix(cols_d, vals_d,
                      csr.n_rows, csr.n_cols, csr.block_dim,
                      nnz=csr.nnz + (csr.n_rows if has_diag else 0))
 

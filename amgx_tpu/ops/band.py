@@ -194,7 +194,8 @@ def csr_to_band(csr: CSRMatrix, tile_rows: int = 128,
     x_pad = int(base.max()) + w
     x_pad = max(x_pad, ((csr.n_cols + 127) // 128) * 128)
     x_pad = ((x_pad + hw - 1) // hw) * hw
-    return BandMatrix(jnp.asarray(strips), jnp.asarray(base.astype(np.int32)),
+    strips_d, base_d = jax.device_put((strips, base.astype(np.int32)))
+    return BandMatrix(strips_d, base_d,
                       n, csr.n_cols, csr.nnz, x_pad)
 
 

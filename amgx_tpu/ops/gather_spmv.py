@@ -560,17 +560,17 @@ def pad_gather(gm: GatherMatrix, steps_target: int) -> GatherMatrix:
             tail = np.zeros((k,) + a.shape[1:], a.dtype)
         return np.concatenate([a, tail], axis=0)
 
-    arrays = dict(
-        vals=jnp.asarray(pad0(gm.vals, t_tgt)),
-        hl=jnp.asarray(pad0(gm.hl, t_tgt)),
-        bmeta=jnp.asarray(pad0(gm.bmeta, b_tgt, True)),
-        step_flags=jnp.asarray(pad0(gm.step_flags, steps_target, fill=4)),
-        step_pid=jnp.asarray(pad0(gm.step_pid, steps_target, True)),
-        step_gid=jnp.asarray(pad0(gm.step_gid, steps_target, True)),
-        tile_wid=jnp.asarray(pad0(gm.tile_wid, t_tgt, True)),
-        tile_window=jnp.asarray(pad0(gm.tile_window, t_tgt, True)),
-        block_panel=jnp.asarray(pad0(gm.block_panel, b_tgt, True)),
-    )
+    arrays = jax.device_put(dict(      # one batched transfer
+        vals=pad0(gm.vals, t_tgt),
+        hl=pad0(gm.hl, t_tgt),
+        bmeta=pad0(gm.bmeta, b_tgt, True),
+        step_flags=pad0(gm.step_flags, steps_target, fill=4),
+        step_pid=pad0(gm.step_pid, steps_target, True),
+        step_gid=pad0(gm.step_gid, steps_target, True),
+        tile_wid=pad0(gm.tile_wid, t_tgt, True),
+        tile_window=pad0(gm.tile_window, t_tgt, True),
+        block_panel=pad0(gm.block_panel, b_tgt, True),
+    ))
     meta = dict(gm.meta)
     meta["slots"] = t_tgt * gm.D * 128
     return GatherMatrix(arrays, meta)
@@ -881,16 +881,21 @@ def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 512,
     # all index operands pinned to 32-bit: under jax_enable_x64
     # jnp.asarray would keep numpy's int64 and Mosaic has no 64-bit
     # lowering (the kernel would die in convert_element_type)
+    # ONE batched transfer for the whole pack: every eager device_put
+    # costs a full tunnel round trip (~46 ms) regardless of payload, and
+    # AMG hierarchies pack one G5 per level. All index operands pinned to
+    # 32-bit: under jax_enable_x64 jnp would keep numpy's int64 and
+    # Mosaic has no 64-bit lowering.
     arrays = dict(
         vals=None,                       # filled per value plane below
-        hl=jnp.asarray(hl_a),
-        bmeta=jnp.asarray(bmeta),
-        step_flags=jnp.asarray(np.asarray(sflags, np.int32)),
-        step_pid=jnp.asarray(np.asarray(step_pid, np.int32)),
-        step_gid=jnp.asarray(np.asarray(step_gid, np.int32)),
-        tile_wid=jnp.asarray(np.asarray(tile_wid, np.int32)),
-        tile_window=jnp.asarray(tile_window.astype(np.int32)),
-        block_panel=jnp.asarray(block_panel.astype(np.int32)),
+        hl=hl_a,
+        bmeta=bmeta,
+        step_flags=np.asarray(sflags, np.int32),
+        step_pid=np.asarray(step_pid, np.int32),
+        step_gid=np.asarray(step_gid, np.int32),
+        tile_wid=np.asarray(tile_wid, np.int32),
+        tile_window=tile_window.astype(np.int32),
+        block_panel=block_panel.astype(np.int32),
     )
     meta = dict(n_rows=n_blk, n_cols=m_blk, block_dim=tuple(blk),
                 nnz=int(csr.nnz), slots=int(slots),
@@ -901,12 +906,12 @@ def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 512,
         # two real planes share every index array (GatherComplexMatrix)
         plane_dt = np.float32 if dtype == np.dtype(np.complex64) \
             else np.float64
-        re = GatherMatrix(
-            dict(arrays, vals=jnp.asarray(vals_a.real.astype(plane_dt))),
-            meta)
-        im = GatherMatrix(
-            dict(arrays, vals=jnp.asarray(vals_a.imag.astype(plane_dt))),
-            meta)
+        both = jax.device_put(
+            dict(arrays, vals=vals_a.real.astype(plane_dt),
+                 _im_vals=vals_a.imag.astype(plane_dt)))
+        im_plane = both.pop("_im_vals")
+        re = GatherMatrix(both, meta)
+        im = GatherMatrix(dict(both, vals=im_plane), meta)
         return GatherComplexMatrix(re, im)
-    arrays["vals"] = jnp.asarray(vals_a)
-    return GatherMatrix(arrays, meta)
+    arrays["vals"] = vals_a
+    return GatherMatrix(jax.device_put(arrays), meta)

@@ -544,9 +544,13 @@ class Solver:
             fn = jax.jit(run)
             self._jit_fused[zg] = fn
         x_f, packed = fn(self._device_state(), b, x)
+        if self.scaler is not None:
+            x_f = self.scaler.unscale_solution(x_f)
         # ONE host fetch per solve: [iters | residual history] ride one
-        # array (each scalar fetch costs a full tunnel round trip)
-        pk = np.asarray(packed)
+        # array, and the solution comes back in the same batched
+        # device_get (a second fetch costs a full tunnel round trip;
+        # every caller fetches x right after anyway)
+        x_f, pk = jax.device_get((x_f, packed))
         it = int(pk[0])
         hist = pk[1:]
         status = SolveStatus.SUCCESS
@@ -563,8 +567,6 @@ class Solver:
                 status = SolveStatus.SUCCESS if ok \
                     else SolveStatus.NOT_CONVERGED
         self.last_iters = it
-        if self.scaler is not None:
-            x_f = self.scaler.unscale_solution(x_f)
         self.solve_time = time.perf_counter() - t0
         if self.print_solve_stats:
             # post-hoc residual table from the single fetched history

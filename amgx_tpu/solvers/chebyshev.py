@@ -10,6 +10,7 @@ reference itself ships V-cheby configs (core/configs/V-cheby*.json).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .base import Solver, register_solver
@@ -84,8 +85,8 @@ class ChebyshevSolver(_PreconditionedSolver):
         # device scalars so the bounds ride in the fused program's operand
         # pytree (Solver._device_state) — a resetup with a shifted spectrum
         # reuses the compiled program with fresh bounds
-        self.lmax = jnp.asarray(float(lmax))
-        self.lmin = jnp.asarray(float(lmin))
+        self.lmax, self.lmin = jax.device_put(
+            (float(lmax), float(lmin)))
 
     def solve_init(self, b, x, zero_guess):
         r = b if zero_guess else b - self.op.apply(x)
@@ -140,8 +141,8 @@ class ChebyshevPolySolver(Solver):
         lmax = 1.05 * _power_lambda_max(fn, self.vec_len, vec_dt,
                                         self.est_iters)
         ratio = self.user_min / max(self.user_max, 1e-30)
-        self.lmax = jnp.asarray(float(lmax))
-        self.lmin = jnp.asarray(float(lmax) * ratio)
+        self.lmax, self.lmin = jax.device_put(
+            (float(lmax), float(lmax) * ratio))
 
     def solve_init(self, b, x, zero_guess):
         return None

@@ -36,8 +36,8 @@ class DenseLUSolver(Solver):
         # factorize in f64 on host for robustness, store factors in vec dtype
         import scipy.linalg as sla
         lu, piv = sla.lu_factor(full)
-        self._lu = jnp.asarray(lu.astype(vec_dt))
-        self._piv = jnp.asarray(piv.astype(np.int32))
+        self._lu, self._piv = jax.device_put(
+            (lu.astype(vec_dt), piv.astype(np.int32)))
 
     @property
     def n_pad(self):

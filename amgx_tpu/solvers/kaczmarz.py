@@ -10,6 +10,7 @@ a second ELL operator.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .base import Solver, register_solver
@@ -44,7 +45,7 @@ class KaczmarzSolver(Solver):
         rows = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
         np.add.at(rownorm, rows, np.abs(csr.data) ** 2)
         safe = np.where(rownorm == 0, 1.0, rownorm)
-        self.inv_rownorm = jnp.asarray((1.0 / safe).astype(vec_dt))
+        inv_rn_np = (1.0 / safe).astype(vec_dt)
         # Kaczmarz projections of one color are exactly simultaneous only if
         # same-color rows touch disjoint columns -> distance-2 coloring
         # (reference kaczmarz_solver.cu colors A A^T)
@@ -54,12 +55,15 @@ class KaczmarzSolver(Solver):
             coloring = color_matrix(csr, "MIN_MAX_2RING")
             col = np.full(self.vec_len, -1, np.int32)
             col[:csr.n_rows] = coloring.colors
-            self.color = jnp.asarray(col)
+            # one batched put (eager transfers cost a tunnel round trip)
+            self.inv_rownorm, self.color = jax.device_put(
+                (inv_rn_np, col))
             self.num_colors = coloring.num_colors
         else:
             # Cimmino-style simultaneous projections need damping by the
             # maximum column overlap to stay contractive
             self.damping = 1.0 / max(1, int(csr.row_nnz().max()))
+            self.inv_rownorm = jax.device_put(inv_rn_np)
 
     def solve_init(self, b, x, zero_guess):
         return None

@@ -14,6 +14,7 @@ program. Factorizations (DILU E-diagonal, ILU(k)) are setup-phase host work.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .base import Solver, register_solver
@@ -89,8 +90,9 @@ class MulticolorDILUSolver(Solver):
             e_pad = np.zeros(self.n_pad)
             ie_pad = np.ones(self.n_pad)
             e_pad[:n], ie_pad[:n] = E, invE
-            self.E = jnp.asarray(e_pad.astype(vec_dt))
-            self.invE = jnp.asarray(ie_pad.astype(vec_dt))
+            # one batched put (each eager transfer = a tunnel round trip)
+            self.E, self.invE = jax.device_put(
+                (e_pad.astype(vec_dt), ie_pad.astype(vec_dt)))
         else:
             # blocked DILU: E_i are bx*bx blocks. Vectorized per color:
             # match entries (i,j) of A with (i,j) of A^T once, then each
@@ -135,8 +137,8 @@ class MulticolorDILUSolver(Solver):
             e_pad = np.tile(np.eye(bx), (self.n_pad, 1, 1))
             ie_pad = np.tile(np.eye(bx), (self.n_pad, 1, 1))
             e_pad[:n], ie_pad[:n] = E, invE
-            self.E = jnp.asarray(e_pad.astype(vec_dt))
-            self.invE = jnp.asarray(ie_pad.astype(vec_dt))
+            self.E, self.invE = jax.device_put(
+                (e_pad.astype(vec_dt), ie_pad.astype(vec_dt)))
         self.num_colors = nc
         color_pad = np.full(self.n_pad, -1, np.int32)
         color_pad[:n] = col
@@ -278,10 +280,10 @@ class MulticolorILUSolver(Solver):
         udiag[rows_all[dmask]] = data[dmask]
         self.L = csr_to_ell(lmat, dtype=vec_dt, row_pad=self.vec_len)
         self.U = csr_to_ell(umat, dtype=vec_dt, row_pad=self.vec_len)
-        self.inv_udiag = jnp.asarray((1.0 / udiag).astype(vec_dt))
         color_pad = np.full(self.vec_len, -1, np.int32)
         color_pad[:n] = col
-        self.color = jnp.asarray(color_pad)
+        self.inv_udiag, self.color = jax.device_put(
+            ((1.0 / udiag).astype(vec_dt), color_pad))
         self.num_colors = nc
 
     def _ilu_apply(self, r):
