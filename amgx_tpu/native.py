@@ -154,8 +154,11 @@ class _NativeLib:
 
     def csr_spgemm(self, a, b):
         from .matrix import CSRMatrix
-        if a.data.dtype != np.float64 or b.data.dtype != np.float64:
-            return None
+        out_dt = np.result_type(a.data.dtype, b.data.dtype)
+        if out_dt not in (np.float32, np.float64):
+            return None          # complex products stay on the ESC path
+        # f32 inputs run through the f64 kernel (f64 accumulation, cast
+        # back below) — the cast is trivial next to the product itself
         ai = np.ascontiguousarray(a.indptr, np.int64)
         aj = np.ascontiguousarray(a.indices, np.int32)
         av = np.ascontiguousarray(a.data, np.float64)
@@ -181,6 +184,8 @@ class _NativeLib:
             bv.ctypes.data_as(f64p),
             ci.ctypes.data_as(i64p), cj.ctypes.data_as(i32p),
             cv.ctypes.data_as(f64p))
+        if out_dt != np.float64:
+            cv = cv.astype(out_dt)
         return CSRMatrix(a.n_rows, b.n_cols, ci, cj, cv)
 
     def galerkin(self, r, a, p):
