@@ -119,11 +119,18 @@ def band_spmv_pallas(a: BandMatrix, x, interpret: bool = False):
     def kernel(bases_ref, strips_ref, xa_ref, xb_ref, y_ref):
         xw = jnp.concatenate([xa_ref[:].reshape(1, -1),
                               xb_ref[:].reshape(1, -1)], axis=1)  # (1, w)
-        y_ref[:, :] = jax.lax.dot_general(
+        y_ref[0, 0, :] = jax.lax.dot_general(
             strips_ref[0], xw.reshape(w, 1),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=xw.dtype).reshape(1, t_rows)
+            # HIGHEST: f32-exact via 3-pass bf16 — DEFAULT is one bf16
+            # pass, ~1e-2 relative error over w-long dots
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=xw.dtype).reshape(t_rows)
 
+    # output rides as (tiles, 1, t_rows): a rank-2 (tiles, t_rows) array
+    # with (1, t_rows) blocks violates Mosaic's sublane rule (block dims
+    # must be 8-multiples or equal the array dims); with the explicit
+    # middle axis the block (1, 1, t_rows) matches the array exactly
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(a.tiles,),
@@ -138,12 +145,13 @@ def band_spmv_pallas(a: BandMatrix, x, interpret: bool = False):
                                        np.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t_rows), lambda i, b: (i, np.int32(0)),
+        out_specs=pl.BlockSpec((1, 1, t_rows),
+                               lambda i, b: (i, np.int32(0), np.int32(0)),
                                memory_space=pltpu.VMEM),
     )
     y = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((a.tiles, t_rows), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((a.tiles, 1, t_rows), x.dtype),
         interpret=interpret,
     )(a.base // hw, a.strips, x2, x2)
     return y.reshape(-1)
@@ -174,8 +182,11 @@ def csr_to_band(csr: CSRMatrix, tile_rows: int = 128,
     lo[empty], hi[empty] = 0, 0
     span = int((hi - lo).max()) + 1 if csr.nnz else 1
     # bases align to the half-window hw >= span, so a 2*hw window always
-    # covers the tile's span (the Pallas path reads two hw-blocks)
-    hw = max(128, ((span + 127) // 128) * 128)
+    # covers the tile's span (the Pallas path reads two hw-blocks).
+    # hw must be a multiple of 8*128: the kernel's x BlockSpecs are
+    # (hw/128, 128) views and Mosaic requires sublane counts divisible
+    # by 8 (any span with hw/128 not in 8Z failed to lower on hardware)
+    hw = max(1024, ((span + 1023) // 1024) * 1024)
     w = 2 * hw
     if w > max_width:
         return None
