@@ -77,3 +77,35 @@ def test_band_kernel_lowers_for_tpu_under_x64(rng):
     x = jnp.zeros(bm.x_pad, jnp.float32)
     txt = _lower_tpu(lambda o, v: band_spmv_pallas(o, v), bm, x)
     assert "custom_call" in txt
+
+
+def test_full_classical_fused_solve_lowers_for_tpu():
+    """The exact program class that died on the chip in round 4: a fused
+    classical V-cycle solve (MULTICOLOR_GS color loops, G5/DIA kernels,
+    dense coarse LU) traced under x64 and lowered for the TPU platform
+    host-side. Catches any 64-bit leak into any kernel in the stack."""
+    a = amgx.gallery.poisson7pt(16, 16, 16, dtype=np.float32)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "AMG", "max_iters": 10, "tolerance": 1e-6,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "fused_solve": 1, "mode": "dFFI", "scope": "main",
+        "algorithm": "CLASSICAL", "selector": "PMIS",
+        "interpolator": "D2", "smoother": "MULTICOLOR_GS",
+        "presweeps": 1, "postsweeps": 1, "min_coarse_rows": 32,
+        "max_levels": 12, "cycle": "V", "dense_threshold_rows": 256}})
+    s = amgx.SolverFactory.allocate(cfg)
+    s.setup(amgx.Matrix(a, mode="dFFI"))
+    b = jnp.ones(a.n_rows, jnp.float32)
+    fn = s._fused_solve_fn(True)
+
+    def run(dev, b_, x_):
+        saved = s._apply_device_state(dev)
+        try:
+            return fn(b_, x_)
+        finally:
+            s._apply_device_state(saved)
+
+    txt = jax.jit(run).trace(
+        s._device_state(), b, jnp.zeros_like(b)).lower(
+        lowering_platforms=("tpu",)).as_text()
+    assert len(txt) > 1000
