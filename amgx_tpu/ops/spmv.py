@@ -191,7 +191,7 @@ def dia_spmv_pallas(a: DiaMatrix, x, chunk: int = 65536):
     return y
 
 
-def dia_spmv_pallas2d(a: DiaMatrix, x, chunk_rows: int = 256,
+def dia_spmv_pallas2d(a: DiaMatrix, x, chunk_rows: int = 512,
                       interpret: bool = False):
     """2-D tiled Pallas DIA SpMV — the speed-of-light path.
 
@@ -217,7 +217,7 @@ def dia_spmv_pallas2d(a: DiaMatrix, x, chunk_rows: int = 256,
         # Mosaic block sublanes must be a multiple of 8 (or the full dim):
         # largest 8-multiple chunk dividing R, else the XLA form
         chunk_rows = 0
-        for c in (256, 128, 64, 32, 16, 8):
+        for c in (512, 256, 128, 64, 32, 16, 8):
             if c <= R and R % c == 0:
                 chunk_rows = c
                 break

@@ -92,8 +92,9 @@ def phase_spmv_dia(n_side: int, inner: int, reps: int):
     # the operator rides as a jit OPERAND (DiaMatrix is a pytree node):
     # closure capture would bake multi-MB constants into the HLO, which
     # the remote-compile tunnel chokes on at large grids
-    # chunk 128 is the verified-stable tile height on the tunneled backend
-    f_op = (lambda op, v: dia_spmv_pallas2d(op, v, chunk_rows=128)) \
+    # chunk 512 measured fastest on v5e (sweep at 128^3: 128 -> 217 GB/s,
+    # 256 -> 525, 512 -> 608, 1024 -> 594; >=2048 exceeds VMEM)
+    f_op = (lambda op, v: dia_spmv_pallas2d(op, v, chunk_rows=512)) \
         if on_tpu else (lambda op, v: dia_spmv(op, v))
 
     def many(op, v, k):
