@@ -639,7 +639,9 @@ class DistEllMatrix:
         strips[dd, tt, rr % tile_rows,
                cols[sel] - base[dd, tt]] = vals[sel]
         halo_vals[sel] = 0.0
-        x_pad = int(base.max()) + w
+        # the Pallas kernel DMAs band_read_rows(w) rows of 128 per window
+        from ..ops.band import band_read_rows
+        x_pad = int(base.max()) + band_read_rows(w) * 128
         x_pad = max(x_pad, ((lc + hw - 1) // hw) * hw)
         x_pad = ((x_pad + hw - 1) // hw) * hw
         self.band_strips = jnp.asarray(strips)

@@ -106,54 +106,75 @@ def band_spmv(a: BandMatrix, x):
     return y.reshape(-1)
 
 
+def band_group(width: int) -> int:
+    """Tiles per grid step: keep the strips block at <= 4096*128 lanes
+    (2 MB f32) so double-buffered VMEM stays small."""
+    return max(1, min(8, 4096 // width))
+
+
+def band_read_rows(width: int) -> int:
+    """(128-lane) rows of x DMA'd per window: the scratch reshape
+    (kr,128)->(1,kr*128) is chip-verified only for kr in {8} u 8Z, so the
+    read window rounds up to 1024-element multiples and the kernel slices
+    to the true width (the over-read is tiny next to strips traffic)."""
+    return 8 * ((width + 1023) // 1024)
+
+
 def band_spmv_pallas(a: BandMatrix, x, interpret: bool = False):
-    """Pallas form: per tile, the x window arrives through two consecutive
-    half-window BlockSpec views whose block index comes from the
-    scalar-prefetched tile base (bases are aligned to the half-window), and
-    the (tile_rows x W) @ (W,) product runs on the MXU."""
+    """Pallas form: per tile, the x window is DMA'd from HBM into VMEM
+    scratch at the scalar-prefetched 128-aligned tile base (dynamic row
+    offsets are fine for the DMA engine — measured on v5e), and the product
+    runs as a VPU broadcast-multiply + lane reduction, which is f32-exact
+    (no bf16 MXU passes). G tiles share a grid step so their DMAs overlap
+    and the strips block is large enough to stream at HBM speed
+    (chip-measured ~570-950 GB/s for W in {128..4096}; see BENCH_NOTES
+    round 5)."""
     t_rows, w = a.tile_rows, a.width
-    hw = w // 2                               # bases are multiples of hw
-    rows128 = hw // 128
+    if w % 128:
+        return band_spmv(a, x)
+    kr = band_read_rows(w)                    # scratch rows per window
+    g = band_group(w)
+    while a.tiles % g:                        # g must divide the tile count
+        g //= 2
+    steps = a.tiles // g
     x2 = x.reshape(-1, 128)
 
-    def kernel(bases_ref, strips_ref, xa_ref, xb_ref, y_ref):
-        xw = jnp.concatenate([xa_ref[:].reshape(1, -1),
-                              xb_ref[:].reshape(1, -1)], axis=1)  # (1, w)
-        y_ref[0, 0, :] = jax.lax.dot_general(
-            strips_ref[0], xw.reshape(w, 1),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            # HIGHEST: f32-exact via 3-pass bf16 — DEFAULT is one bf16
-            # pass, ~1e-2 relative error over w-long dots
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=xw.dtype).reshape(t_rows)
+    def kernel(r0_ref, strips_ref, x_hbm, y_ref, xwin, sems):
+        i = pl.program_id(0)
+        cps = []
+        for j in range(g):
+            # np.int32 everywhere: python ints weak-type to i64 under
+            # jax_enable_x64 and Mosaic rejects i64 memref indices
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(r0_ref[i * np.int32(g) + np.int32(j)], kr), :],
+                xwin.at[np.int32(j)], sems.at[np.int32(j)])
+            cp.start()
+            cps.append(cp)
+        for j in range(g):
+            cps[j].wait()
+            xw = xwin[j].reshape(1, kr * 128)[:, :w]
+            y_ref[0, j, :] = jnp.sum(strips_ref[0, j] * xw, axis=1)
 
-    # output rides as (tiles, 1, t_rows): a rank-2 (tiles, t_rows) array
-    # with (1, t_rows) blocks violates Mosaic's sublane rule (block dims
-    # must be 8-multiples or equal the array dims); with the explicit
-    # middle axis the block (1, 1, t_rows) matches the array exactly
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(a.tiles,),
+        grid=(steps,),
         in_specs=[
-            pl.BlockSpec((1, t_rows, w),
-                         lambda i, b: (i, np.int32(0), np.int32(0)),
+            pl.BlockSpec((1, g, t_rows, w),
+                         lambda i, b: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows128, 128), lambda i, b: (b[i], np.int32(0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows128, 128),
-                         lambda i, b: (b[i] + np.int32(1),
-                                       np.int32(0)),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, t_rows),
-                               lambda i, b: (i, np.int32(0), np.int32(0)),
+        out_specs=pl.BlockSpec((1, g, t_rows),
+                               lambda i, b: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((g, kr, 128), x.dtype),
+                        pltpu.SemaphoreType.DMA((g,))],
     )
     y = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((a.tiles, 1, t_rows), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((steps, g, t_rows), x.dtype),
         interpret=interpret,
-    )(a.base // hw, a.strips, x2, x2)
+    )(a.base // 128, a.strips.reshape(steps, g, t_rows, w), x2)
     return y.reshape(-1)
 
 
@@ -180,19 +201,21 @@ def csr_to_band(csr: CSRMatrix, tile_rows: int = 128,
     np.maximum.at(hi, tile_of, cols)
     empty = lo > hi
     lo[empty], hi[empty] = 0, 0
-    span = int((hi - lo).max()) + 1 if csr.nnz else 1
-    # bases align to the half-window hw >= span, so a 2*hw window always
-    # covers the tile's span (the Pallas path reads two hw-blocks).
-    # hw must be a multiple of 8*128: the kernel's x BlockSpecs are
-    # (hw/128, 128) views and Mosaic requires sublane counts divisible
-    # by 8 (any span with hw/128 not in 8Z failed to lower on hardware)
-    hw = max(1024, ((span + 1023) // 1024) * 1024)
-    w = 2 * hw
+    # bases align down to 128 (one (·,128)-row of the x view); the width
+    # must cover every tile's [base, hi] range and is 128-granular (the
+    # DMA read window rounds up separately — band_read_rows)
+    base = (lo // 128) * 128
+    need = int((hi - base).max()) + 1 if csr.nnz else 1
+    w = ((need + 127) // 128) * 128
     if w > max_width:
         return None
+    # pad the tile count to the kernel's per-step group size
+    g = band_group(w)
+    tiles = ((tiles + g - 1) // g) * g
     if tiles * tile_rows * w * np.dtype(dtype).itemsize > max_bytes:
         return None
-    base = (lo // hw) * hw
+    if len(base) < tiles:
+        base = np.concatenate([base, np.zeros(tiles - len(base), base.dtype)])
     strips = np.zeros((tiles, tile_rows, w), dtype)
     r_in_tile = rows % tile_rows
     off = cols - base[tile_of]
@@ -202,9 +225,8 @@ def csr_to_band(csr: CSRMatrix, tile_rows: int = 128,
         dt = d // tile_rows
         strips[dt, d % tile_rows, d - base[dt]] += \
             csr.diag_data.astype(dtype)
-    x_pad = int(base.max()) + w
+    x_pad = int(base.max()) + band_read_rows(w) * 128
     x_pad = max(x_pad, ((csr.n_cols + 127) // 128) * 128)
-    x_pad = ((x_pad + hw - 1) // hw) * hw
     strips_d, base_d = jax.device_put((strips, base.astype(np.int32)))
     return BandMatrix(strips_d, base_d,
                       n, csr.n_cols, csr.nnz, x_pad)

@@ -39,10 +39,12 @@ def test_gather_kernel_lowers_for_tpu_under_x64(rng):
     assert gm is not None
     x = jnp.zeros(a.n_rows, jnp.float32)
     txt = _lower_tpu(lambda o, v: o._apply_pallas(o._pad_x(v)), gm, x)
+    # the Mosaic kernel body is serialized opaquely inside the custom
+    # call, so there is no text to scan for i64 — but .lower() runs the
+    # Mosaic MLIR verifier, which rejects any 64-bit type reaching the
+    # kernel (VerificationError: "must be ... 32-bit ... but got 'i64'").
+    # Lowering completing IS the i64 guard.
     assert "tpu_custom_call" in txt or "custom_call" in txt
-    # no 64-bit tensor may reach the Mosaic kernel module
-    assert "i64" not in txt.split("module @")[-1].split(
-        "stablehlo.custom_call")[0] or True  # module text layout varies
 
 
 def test_dia_kernel_lowers_for_tpu_under_x64():
