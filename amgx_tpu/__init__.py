@@ -22,7 +22,36 @@ __version__ = "0.1.0"
 # AMGX API compatibility version (reference: ReleaseVersion.txt v2.1.x)
 __amgx_api_version__ = (2, 1)
 
+import os as _os
+
 import jax as _jax
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Persistent XLA compilation cache, on by default (reference analog:
+    AMGX's ~1 ms setup — README.md:109-112 — vs minutes of XLA compile per
+    process without a cache; a time-stepping user restarts processes).
+    Executables are keyed by HLO hash, so every (level-shape signature,
+    config) pair caches independently and automatically. Opt out with
+    AMGX_TPU_COMPILE_CACHE=0; point elsewhere with AMGX_TPU_CACHE_DIR."""
+    flag = _os.environ.get("AMGX_TPU_COMPILE_CACHE", "1").lower()
+    if flag in ("0", "off", "false"):
+        return
+    cache_dir = _os.environ.get(
+        "AMGX_TPU_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "amgx_tpu",
+                      "xla"))
+    try:
+        _os.makedirs(cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:                     # noqa: BLE001 — cache is advisory
+        pass
+
+
+_enable_persistent_compile_cache()
 
 from . import params as _params          # registers the parameter catalog
 from .config import (AMGConfig, AMGXConfigError, register_parameter,

@@ -159,13 +159,16 @@ def band_spmv_pallas(a: BandMatrix, x, interpret: bool = False):
         num_scalar_prefetch=1,
         grid=(steps,),
         in_specs=[
+            # np.int32(0): bare python 0 in an index map traces as i64
+            # under jax_enable_x64, which the TPU backend cannot legalize
             pl.BlockSpec((1, g, t_rows, w),
-                         lambda i, b: (i, 0, 0, 0),
+                         lambda i, b: (i, np.int32(0), np.int32(0),
+                                       np.int32(0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, g, t_rows),
-                               lambda i, b: (i, 0, 0),
+                               lambda i, b: (i, np.int32(0), np.int32(0)),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((g, kr, 128), x.dtype),
                         pltpu.SemaphoreType.DMA((g,))],

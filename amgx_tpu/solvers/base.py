@@ -531,19 +531,38 @@ class Solver:
         return saved
 
     def _solve_fused(self, b, x, zg: bool, t0: float):
+        from .. import aotcache
         if getattr(self, "_jit_fused", None) is None:
             self._jit_fused = {}
-        fn = self._jit_fused.get(zg)
-        if fn is None:
+        dev = self._device_state()
+        # AOT executables are TPU-only: CPU AOT artifacts are machine-
+        # feature-sensitive and strict about device placement (the 8-dev
+        # virtual test mesh trips both); jax.jit re-specializes freely
+        use_aot = jax.default_backend() == "tpu"
+        sig = aotcache.abstract_sig((dev, b, x)) if use_aot else None
+        ent = self._jit_fused.get(zg)
+        if ent is None or ent[0] != sig:
             def run(dev_state, b_, x_, zg=zg):
                 saved = self._apply_device_state(dev_state)
                 try:
                     return self._fused_solve_fn(zg)(b_, x_)
                 finally:
                     self._apply_device_state(saved)
-            fn = jax.jit(run)
-            self._jit_fused[zg] = fn
-        x_f, packed = fn(self._device_state(), b, x)
+            if use_aot:
+                # AOT-cached compiled executable: a fresh process with
+                # the same (config, level-shape signature) skips trace+
+                # lower+compile entirely (reference: ~1 ms setup,
+                # README.md:109)
+                key = aotcache.signature(
+                    "fused_solve", zg,
+                    sorted(repr(kv) for kv in self.cfg.items()), sig)
+                fn = aotcache.load_or_compile(key, run, dev, b, x)
+            else:
+                fn = jax.jit(run)
+            self._jit_fused[zg] = (sig, fn)
+        else:
+            fn = ent[1]
+        x_f, packed = fn(dev, b, x)
         if self.scaler is not None:
             x_f = self.scaler.unscale_solution(x_f)
         # ONE host fetch per solve: [iters | residual history] ride one

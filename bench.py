@@ -573,17 +573,44 @@ def main():
         vsb = round(best["gbps"] / sol, 4)
     else:
         value, vsb = 0.0, 0.0
+    # full dump -> file; the FINAL stdout line stays compact (the driver
+    # tails stdout into a bounded buffer — BENCH_r03/r04 "parsed": null
+    # came from the detail dict overflowing it)
+    detail = {"device": kind, "hbm_sol_gbps": sol,
+              "tpu_unreachable": bool(dev.get("tpu_unreachable")),
+              "spmv_dia": spmv_dia, "spmv_gather": spmv_gather,
+              "amg_pcg": amg, "amg_classical": amg_cla,
+              "toy_vs_reference": toy, "eigen": eig,
+              "scaling": scaling}
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump({"metric": "spmv_gbps", "value": value, "unit": "GB/s",
+                   "vs_baseline": vsb, "detail": detail}, f, indent=1)
+
+    def r3(x):
+        return round(x, 4) if isinstance(x, (int, float)) else None
+
+    summary = {
+        "dia_gbps": r3(spmv_dia.get("gbps")),
+        "gather_eff_gbps": r3(spmv_gather.get("gbps")),
+        "gather_raw_gbps": r3(spmv_gather.get("raw_gbps")),
+        "pcg_solve_s": r3(amg.get("solve_s")),
+        "pcg_iters": amg.get("iters"),
+        "cla_solve_s": r3(amg_cla.get("solve_s")),
+        "cla_first_s": r3(amg_cla.get("first_solve_s")),
+        "cla_setup_warm_s": r3(amg_cla.get("setup_warm_s")),
+        "toy_solve_ms": r3((toy or {}).get("solve_ms")),
+        "lanczos_s": r3((eig.get("lanczos") or {}).get("time_s"))
+        if isinstance(eig.get("lanczos"), dict) else None,
+    }
     print(json.dumps({
         "metric": "spmv_gbps",
         "value": value,
         "unit": "GB/s",
         "vs_baseline": vsb,
-        "detail": {"device": kind, "hbm_sol_gbps": sol,
-                   "tpu_unreachable": bool(dev.get("tpu_unreachable")),
-                   "spmv_dia": spmv_dia, "spmv_gather": spmv_gather,
-                   "amg_pcg": amg, "amg_classical": amg_cla,
-                   "toy_vs_reference": toy, "eigen": eig,
-                   "scaling": scaling},
+        "summary": summary,
+        "detail_file": "BENCH_FULL.json",
     }))
 
 

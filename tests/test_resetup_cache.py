@@ -48,7 +48,7 @@ def test_fused_pcg_amg_no_retrace():
     x2, st2 = s.solve(b)
     r2 = np.linalg.norm(b - a2.to_scipy() @ s.extract_vector(x2))
     assert st2 == 0 and r2 < 1e-7
-    for fn in (s._jit_fused or {}).values():
+    for _sig, fn in (s._jit_fused or {}).values():
         assert fn._cache_size() == 1, "value-only re-setup retraced"
     # matches a from-scratch solver bit-for-bit
     sf = amgx.SolverFactory.allocate(cfg)
