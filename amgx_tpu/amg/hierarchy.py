@@ -17,6 +17,7 @@ import time
 from typing import List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import AMGConfig
@@ -51,13 +52,59 @@ class AMGLevel:
         return self.m.csr.nnz
 
 
+@jax.tree_util.register_pytree_node_class
+class PaddedTransfer:
+    """P/R transfer riding a fast rectangular device op (G5 gather), with
+    the cycle's padding contract: apply() returns exactly ``out_len``
+    entries regardless of the inner op's own padding."""
+
+    def __init__(self, inner, out_len: int):
+        self.inner = inner
+        self.out_len = int(out_len)
+
+    def tree_flatten(self):
+        return ((self.inner,), (self.out_len,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+    @property
+    def shape(self):
+        return self.inner.shape
+
+    def apply(self, x):
+        y = self.inner.apply_rect(x)
+        if y.shape[0] < self.out_len:
+            y = jnp.pad(y, (0, self.out_len - y.shape[0]))
+        return y[:self.out_len]
+
+    def __repr__(self):
+        return f"PaddedTransfer({self.inner!r}, out_len={self.out_len})"
+
+
 def _transfer_to_device(csr: CSRMatrix, block_dim, dtype, row_pad: int = 8):
-    """Build a device ELL op for P/R; for block systems the scalar transfer
+    """Build the device op for P/R; for block systems the scalar transfer
     entries become identity-scaled blocks so block vectors move per
     component. ``row_pad`` makes the output padding match the destination
-    level's operator padding so cycle vectors keep one consistent length."""
+    level's operator padding so cycle vectors keep one consistent length.
+
+    On TPU, large scalar transfers ride the lane-binned gather kernel
+    (G5): a padded-ELL apply is an XLA gather that scalarizes (~7 ns/nnz)
+    and dominated the V-cycle (chip breakdown, BENCH_NOTES round 5 —
+    L0 R.apply alone was 2.7 ms of a 4.5 ms cycle; G5 runs it in tens
+    of us). Reference analog: cuSPARSE-backed transfer products,
+    aggregation_amg_level.cu:282."""
     bx = block_dim[0]
     if bx == 1:
+        if (jax.default_backend() == "tpu" and csr.nnz >= 8192
+                and np.dtype(dtype).itemsize <= 4
+                and not np.iscomplexobj(csr.data)):
+            from ..ops.gather_spmv import csr_to_gather
+            gm = csr_to_gather(csr, dtype=dtype)
+            if gm is not None:
+                n_pad = max(row_pad, -(-csr.n_rows // row_pad) * row_pad)
+                return PaddedTransfer(gm, n_pad)
         return csr_to_ell(csr, dtype=dtype, row_pad=row_pad)
     vals = np.einsum("k,ij->kij", csr.data.astype(np.float64), np.eye(bx))
     bcsr = CSRMatrix(csr.n_rows, csr.n_cols, csr.indptr, csr.indices, vals,
