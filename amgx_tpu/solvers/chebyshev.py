@@ -20,22 +20,42 @@ from ..matrix import mode_dtypes
 
 
 def _power_lambda_max(apply_fn, n, dtype, iters: int = 10,
-                      seed: int = 1234) -> float:
+                      seed: int = 1234, operand=None) -> float:
     """Power iteration estimate of the largest eigenvalue (reference:
-    cheb_solver.cu chebyshev_lambda_estimate_mode 0/1)."""
+    cheb_solver.cu chebyshev_lambda_estimate_mode 0/1).
+
+    Runs as ONE jitted fori_loop with a single scalar fetch: the eager
+    per-iteration form cost 2 host fetches + unjitted op dispatches per
+    step, which through the remote tunnel made a 5-level Chebyshev AMG
+    setup take ~40 s (chip-measured, round 5). When ``operand`` is given,
+    ``apply_fn(operand, v)`` is used and the operator arrays ride as jit
+    operands (no multi-MB constants in the HLO, and the persistent cache
+    can reuse the program across setups/processes)."""
     rng = np.random.default_rng(seed)
-    v = jnp.asarray(rng.standard_normal(n).astype(np.dtype(dtype)
-                                                  if dtype != jnp.bfloat16
-                                                  else np.float32))
-    v = v / jnp.sqrt(jnp.vdot(v, v))
-    lam = 1.0
-    for _ in range(iters):
-        w = apply_fn(v)
-        lam = float(jnp.vdot(v, w).real)
-        nw = float(jnp.sqrt(jnp.vdot(w, w)))
-        if nw == 0:
-            break
-        v = w / nw
+    v0 = jnp.asarray(rng.standard_normal(n).astype(np.dtype(dtype)
+                                                   if dtype != jnp.bfloat16
+                                                   else np.float32))
+
+    def go(opnd, v):
+        rdt = jnp.real(v).dtype
+        v = v / jnp.sqrt(jnp.real(jnp.vdot(v, v)))
+
+        def body(_, carry):
+            v, lam = carry
+            w = apply_fn(opnd, v) if opnd is not None else apply_fn(v)
+            lam = jnp.real(jnp.vdot(v, w)).astype(rdt)
+            nw = jnp.sqrt(jnp.real(jnp.vdot(w, w)))
+            v = jnp.where(nw == 0, v, w / jnp.maximum(nw, 1e-30))
+            return v, lam
+
+        _, lam = jax.lax.fori_loop(0, iters, body,
+                                   (v, jnp.asarray(1.0, rdt)))
+        return lam
+
+    if operand is not None:
+        lam = float(jax.jit(go)(operand, v0))
+    else:
+        lam = float(jax.jit(lambda v: go(None, v))(v0))
     return abs(lam) if lam != 0 else 1.0
 
 
@@ -74,12 +94,15 @@ class ChebyshevSolver(_PreconditionedSolver):
                 # 100-260) — so an unpreconditioned Chebyshev becomes
                 # Jacobi-preconditioned here
                 invd = _inv_diag_arrays(self.m.csr, vec_dt, self.n_pad)
-                fn = lambda v: _apply_inv_diag(invd, self.op.apply(v))
+                fn = lambda t, v: _apply_inv_diag(t[0], t[1].apply(v))
+                opnd = (invd, self.op)
                 if self.preconditioner is None:
                     self._jacobi_invd = invd
             else:
-                fn = self.op.apply
-            lmax = _power_lambda_max(fn, n, vec_dt, self.est_iters)
+                fn = lambda t, v: t.apply(v)
+                opnd = self.op
+            lmax = _power_lambda_max(fn, n, vec_dt, self.est_iters,
+                                     operand=opnd)
             lmax *= 1.05                     # safety margin
             lmin = lmax * (self.user_min / max(self.user_max, 1e-30))
         # device scalars so the bounds ride in the fused program's operand
@@ -137,9 +160,10 @@ class ChebyshevPolySolver(Solver):
     def solver_setup(self):
         vec_dt, _ = mode_dtypes(self.mode)
         self.inv_diag = _inv_diag_arrays(self.m.csr, vec_dt, self.n_pad)
-        fn = lambda v: _apply_inv_diag(self.inv_diag, self.op.apply(v))
+        fn = lambda t, v: _apply_inv_diag(t[0], t[1].apply(v))
         lmax = 1.05 * _power_lambda_max(fn, self.vec_len, vec_dt,
-                                        self.est_iters)
+                                        self.est_iters,
+                                        operand=(self.inv_diag, self.op))
         ratio = self.user_min / max(self.user_max, 1e-30)
         self.lmax, self.lmin = jax.device_put(
             (float(lmax), float(lmax) * ratio))
