@@ -29,6 +29,20 @@ UNDECIDED = 0
 # strength of connection
 # ---------------------------------------------------------------------------
 
+def _segment_max(vals: np.ndarray, indptr: np.ndarray, fill):
+    """Per-row max over CSR-ordered entries (np.maximum.at is unbuffered
+    and ~20x slower; rows are contiguous in CSR order so reduceat works)."""
+    n = len(indptr) - 1
+    out = np.full(n, fill, dtype=np.result_type(vals, np.float64))
+    if vals.size == 0 or n == 0:
+        return out
+    starts = indptr[:-1]
+    valid = starts < indptr[1:]
+    red = np.maximum.reduceat(vals, np.minimum(starts, vals.size - 1))
+    out[valid] = red[valid]
+    return out
+
+
 def strong_connections(csr: CSRMatrix, strength: str = "AHAT",
                        theta: float = 0.25,
                        max_row_sum: float = 1.1,
@@ -85,11 +99,9 @@ def strong_connections(csr: CSRMatrix, strength: str = "AHAT",
     # candidate value: -sign(diag)*a_ij for off-diagonals
     cand = -sign[rows] * data
     cand = np.where(offdiag, cand, -np.inf)
-    row_max = np.full(n, -np.inf)
-    np.maximum.at(row_max, rows, cand)
+    row_max = _segment_max(cand, csr.indptr, -np.inf)
     # weakly-coupled rows: |sum_j a_ij| / |a_ii| > max_row_sum -> no strong
-    row_sum = np.zeros(n)
-    np.add.at(row_sum, rows, data)
+    row_sum = np.bincount(rows, weights=data, minlength=n)[:n]
     if csr.diag_data is not None:
         row_sum += dd
     weak_row = np.abs(row_sum) > max_row_sum * np.maximum(np.abs(diag),
@@ -443,11 +455,40 @@ def distance2_interpolation(csr: CSRMatrix, strong: np.ndarray,
 
     # strong off-diagonal couplings, sign-filtered (a^: opposite the diag)
     keep = strong & in_b & (sign[rows] * data < 0)
+    colc = np.minimum(cols, n - 1)           # halo-safe column index
+    m_sc = keep & c_mask[colc]               # strong C entries
+    # distribution denominators: strong-C row sums
+    denom = np.bincount(rows[m_sc], weights=data[m_sc], minlength=n)[:n]
+
+    # fused native path (csrc d2_nnz/d2_fill): bitwise-equal to the numpy
+    # pipeline below, one marker pass instead of three COO assemblies +
+    # SpGEMM + csr_add
+    from ..native import lib as _nl
+    nl = _nl()
+    if nl is not None and getattr(nl, "_has_d2", False) and n > 1024:
+        has_c_ = denom != 0
+        sel = np.zeros(csr.nnz, np.uint8)
+        sel[m_sc] = 1
+        sel[keep & ~c_mask[colc] & has_c_[colc]] = 2
+        offd = (cols != rows) & in_b
+        neg = offd & (sign[rows] * data < 0)
+        sum_all_ = np.bincount(rows[neg], weights=data[neg],
+                               minlength=n)[:n]
+        safe_den_ = np.where(denom == 0, 1.0, denom)
+        safe_diag_ = np.where(diag == 0, 1.0, diag)
+        got = nl.d2_interp(csr.indptr, csr.indices,
+                           np.asarray(data, np.float64), sel, cf_map,
+                           safe_den_, sum_all_, safe_diag_, nc)
+        if got is not None:
+            pi, pj, pv = got
+            out = CSRMatrix(n, nc, pi, pj, pv.astype(data.dtype))
+            empty_f = (out.row_nnz() == 0) & ~c_mask
+            if empty_f.any():
+                return multipass_interpolation(csr, strong, cf_map,
+                                               max_passes=3)
+            return out
     s_rows, s_cols, s_vals = rows[keep], cols[keep], data[keep]
     col_is_c = c_mask[s_cols]
-    # distribution matrix d: F rows -> coarse columns
-    denom = np.zeros(n)
-    np.add.at(denom, s_rows[col_is_c], s_vals[col_is_c])
     has_c = denom != 0
     safe_den = np.where(denom == 0, 1.0, denom)
     d_rows = s_rows[col_is_c]
@@ -469,11 +510,9 @@ def distance2_interpolation(csr: CSRMatrix, strong: np.ndarray,
     # off-diagonal row sums through the substituted stencil
     offd = (cols != rows) & in_b
     neg = offd & (sign[rows] * data < 0)
-    sum_all = np.zeros(n)
-    np.add.at(sum_all, rows[neg], data[neg])
+    sum_all = np.bincount(rows[neg], weights=data[neg], minlength=n)[:n]
     wrow = np.repeat(np.arange(n), w.row_nnz())
-    w_sum = np.zeros(n)
-    np.add.at(w_sum, wrow, w.data)
+    w_sum = np.bincount(wrow, weights=w.data, minlength=n)[:n]
     alpha = np.where(w_sum != 0, sum_all / np.where(w_sum == 0, 1.0, w_sum),
                      0.0)
     safe_diag = np.where(diag == 0, 1.0, diag)
@@ -508,8 +547,7 @@ def truncate_interpolation(p: CSRMatrix, factor: float = -1.0,
     keep = np.ones(p.nnz, bool)
     absv = np.abs(p.data)
     if factor > 0:
-        row_max = np.zeros(n)
-        np.maximum.at(row_max, rows, absv)
+        row_max = _segment_max(absv, p.indptr, 0.0)
         keep &= absv >= factor * row_max[rows]
     if max_elements > 0:
         order = np.lexsort((-absv, rows))

@@ -100,6 +100,18 @@ class CSRMatrix:
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
+        # presorted fast path: strictly increasing (row, col) keys mean no
+        # sort and no duplicate merge — common for CSR-derived sub-
+        # selections (D2's strong-entry splits, transfer assemblies)
+        if rows.size:
+            key = rows * np.int64(n_cols) + cols
+            if key.size == 1 or bool(np.all(key[1:] > key[:-1])):
+                indptr = np.zeros(n_rows + 1, dtype=np.int64)
+                np.cumsum(np.bincount(rows, minlength=n_rows),
+                          out=indptr[1:])
+                return cls(n_rows, n_cols, indptr,
+                           cols.astype(np.int32), vals,
+                           block_dim=block_dim)
         if (vals.dtype in (np.float32, np.float64)
                 and rows.size and n_rows > 1024):
             from .native import lib as _nl

@@ -151,6 +151,62 @@ class _NativeLib:
             self._has_agg_galerkin = True
         except AttributeError:
             self._has_agg_galerkin = False
+        try:
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            self._h.d2_nnz.restype = ctypes.c_int64
+            self._h.d2_nnz.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, i64p, i32p, u8p, i64p, i64p]
+            self._h.d2_fill.restype = None
+            self._h.d2_fill.argtypes = [
+                ctypes.c_int64, i64p, i32p, f64p, u8p, i64p,
+                f64p, f64p, f64p, i64p, i32p, f64p, i64p]
+            self._has_d2 = True
+        except AttributeError:
+            self._has_d2 = False
+
+    def d2_interp(self, indptr, indices, data, sel, cf_map, denom,
+                  scale_num, diag_safe, nc):
+        """Fused distance-2 interpolation (symbolic + numeric + zero-drop
+        compaction). Returns (indptr, cols, vals) of P or None."""
+        if not self._has_d2:
+            return None
+        n = len(indptr) - 1
+        indptr = np.ascontiguousarray(indptr, np.int64)
+        indices = np.ascontiguousarray(indices, np.int32)
+        data = np.ascontiguousarray(data, np.float64)
+        sel = np.ascontiguousarray(sel, np.uint8)
+        cf_map = np.ascontiguousarray(cf_map, np.int64)
+        denom = np.ascontiguousarray(denom, np.float64)
+        scale_num = np.ascontiguousarray(scale_num, np.float64)
+        diag_safe = np.ascontiguousarray(diag_safe, np.float64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        p_indptr = np.zeros(n + 1, np.int64)
+        nnz = self._h.d2_nnz(
+            n, nc, indptr.ctypes.data_as(i64p),
+            indices.ctypes.data_as(i32p), sel.ctypes.data_as(u8p),
+            cf_map.ctypes.data_as(i64p), p_indptr.ctypes.data_as(i64p))
+        p_cols = np.zeros(nnz, np.int32)
+        p_vals = np.zeros(nnz, np.float64)
+        p_cnt = np.zeros(n, np.int64)
+        self._h.d2_fill(
+            n, indptr.ctypes.data_as(i64p), indices.ctypes.data_as(i32p),
+            data.ctypes.data_as(f64p), sel.ctypes.data_as(u8p),
+            cf_map.ctypes.data_as(i64p), denom.ctypes.data_as(f64p),
+            scale_num.ctypes.data_as(f64p), diag_safe.ctypes.data_as(f64p),
+            p_indptr.ctypes.data_as(i64p), p_cols.ctypes.data_as(i32p),
+            p_vals.ctypes.data_as(f64p), p_cnt.ctypes.data_as(i64p))
+        # compact the zero-dropped rows
+        out_indptr = np.zeros(n + 1, np.int64)
+        np.cumsum(p_cnt, out=out_indptr[1:])
+        if out_indptr[-1] != nnz:
+            new_nnz = int(out_indptr[-1])
+            within = np.arange(new_nnz) - np.repeat(out_indptr[:-1], p_cnt)
+            take = np.repeat(p_indptr[:-1], p_cnt) + within
+            p_cols, p_vals = p_cols[take], p_vals[take]
+        return out_indptr, p_cols, p_vals
 
     def csr_spgemm(self, a, b):
         from .matrix import CSRMatrix

@@ -196,14 +196,26 @@ def csr_to_band(csr: CSRMatrix, tile_rows: int = 128,
     rn = csr.row_nnz()
     rows = np.repeat(np.arange(n), rn)
     cols = csr.indices.astype(np.int64)
-    # per-tile column spans
     tile_of = rows // tile_rows
-    lo = np.full(tiles, np.iinfo(np.int64).max)
+    # per-tile column spans via reduceat over CSR-contiguous tile ranges
+    # (np.minimum.at is unbuffered — it alone cost ~50 ms per attempt)
+    t_start = csr.indptr[np.minimum(np.arange(tiles) * tile_rows, n)]
+    t_end = csr.indptr[np.minimum((np.arange(tiles) + 1) * tile_rows, n)]
+    lo = np.zeros(tiles, np.int64)
     hi = np.zeros(tiles, np.int64)
-    np.minimum.at(lo, tile_of, cols)
-    np.maximum.at(hi, tile_of, cols)
-    empty = lo > hi
-    lo[empty], hi[empty] = 0, 0
+    if csr.nnz:
+        valid = t_start < t_end
+        if t_start[-1] >= csr.nnz:
+            # rare tail-empty tiles: reduceat segments may start at index
+            # nnz; pad with a repeat of cols[-1], which cannot change any
+            # valid tile's min/max
+            cols_src = np.append(cols, cols[-1])
+        else:
+            cols_src = cols
+        lo_red = np.minimum.reduceat(cols_src, t_start)
+        hi_red = np.maximum.reduceat(cols_src, t_start)
+        lo[valid] = lo_red[valid]
+        hi[valid] = hi_red[valid]
     # bases align down to 128 (one (·,128)-row of the x view); the width
     # must cover every tile's [base, hi] range and is 128-granular (the
     # DMA read window rounds up separately — band_read_rows)

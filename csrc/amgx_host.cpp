@@ -689,6 +689,153 @@ void gather_postpack_en(int64_t nnz, int64_t t_tot, int64_t b_tot,
     }
 }
 
+// Distance-2 (extended) interpolation, fused (classical AMG setup
+// hotspot; reference: interpolators/distance2.cu). Replaces the
+// numpy pipeline's three COO assemblies + SpGEMM + csr_add with one
+// marker pass per row. `sel` per stored entry: 1 = strong coupling to a
+// C column, 2 = strong coupling to an F column that itself has strong C
+// couplings (substitution path), 0 = other. Addition order matches the
+// numpy formulation exactly: substitution products accumulate in (k,
+// then k-row storage) order, the a_sc term is added last (one commute-
+// safe fp add), and the row sum runs over the column-sorted row — so
+// results are bitwise equal to the csr_add(a_sc, spgemm(a_sf, dist))
+// path.
+//
+// Symbolic pass: per-row distinct coarse-column counts into p_indptr
+// (prefix-summed); returns the total.
+int64_t d2_nnz(int64_t n, int64_t nc,
+               const int64_t* indptr, const int32_t* indices,
+               const uint8_t* sel, const int64_t* cf_map,
+               int64_t* p_indptr) {
+    p_indptr[0] = 0;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int64_t> marker(static_cast<size_t>(nc), -1);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 256)
+#endif
+        for (int64_t i = 0; i < n; ++i) {
+            if (cf_map[i] >= 0) {
+                p_indptr[i + 1] = 1;
+                continue;
+            }
+            int64_t cnt = 0;
+            for (int64_t ka = indptr[i]; ka < indptr[i + 1]; ++ka) {
+                if (sel[ka] == 1) {
+                    const int64_t j = cf_map[indices[ka]];
+                    if (marker[j] != i) { marker[j] = i; ++cnt; }
+                } else if (sel[ka] == 2) {
+                    const int32_t k = indices[ka];
+                    for (int64_t kb = indptr[k]; kb < indptr[k + 1]; ++kb) {
+                        if (sel[kb] != 1) continue;
+                        const int64_t j = cf_map[indices[kb]];
+                        if (marker[j] != i) { marker[j] = i; ++cnt; }
+                    }
+                }
+            }
+            p_indptr[i + 1] = cnt;
+        }
+    }
+    int64_t nnz = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        nnz += p_indptr[i + 1];
+        p_indptr[i + 1] = nnz;
+    }
+    return nnz;
+}
+
+// Numeric pass. `denom[k]` is the (safe) strong-C row sum of F row k,
+// `scale_num[i]` the full negative-offdiagonal row sum, `diag_safe[i]`
+// the (safe) diagonal. Entries whose scaled value is exactly 0.0 are
+// dropped; actual per-row counts land in p_cnt (caller compacts).
+void d2_fill(int64_t n,
+             const int64_t* indptr, const int32_t* indices,
+             const double* data, const uint8_t* sel,
+             const int64_t* cf_map, const double* denom,
+             const double* scale_num, const double* diag_safe,
+             const int64_t* p_indptr, int32_t* p_cols, double* p_vals,
+             int64_t* p_cnt) {
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int64_t> next(static_cast<size_t>(n) + 1, -2);
+        std::vector<double> sums(static_cast<size_t>(n) + 1, 0.0);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 256)
+#endif
+        for (int64_t i = 0; i < n; ++i) {
+            const int64_t s = p_indptr[i];
+            if (cf_map[i] >= 0) {
+                p_cols[s] = static_cast<int32_t>(cf_map[i]);
+                p_vals[s] = 1.0;
+                p_cnt[i] = 1;
+                continue;
+            }
+            // substitution products first (matches spgemm(a_sf, dist))
+            int64_t head = -1, length = 0;
+            for (int64_t ka = indptr[i]; ka < indptr[i + 1]; ++ka) {
+                if (sel[ka] != 2) continue;
+                const int32_t k = indices[ka];
+                const double va = data[ka];
+                const double dk = denom[k];
+                for (int64_t kb = indptr[k]; kb < indptr[k + 1]; ++kb) {
+                    if (sel[kb] != 1) continue;
+                    const int64_t j = cf_map[indices[kb]];
+                    sums[j] += va * (data[kb] / dk);
+                    if (next[j] == -2) { next[j] = head; head = j; ++length; }
+                }
+            }
+            // a_sc added last: one fp add per shared column (csr_add)
+            for (int64_t ka = indptr[i]; ka < indptr[i + 1]; ++ka) {
+                if (sel[ka] != 1) continue;
+                const int64_t j = cf_map[indices[ka]];
+                sums[j] += data[ka];
+                if (next[j] == -2) { next[j] = head; head = j; ++length; }
+            }
+            int64_t out = s;
+            for (int64_t cnt = 0; cnt < length; ++cnt) {
+                p_cols[out] = static_cast<int32_t>(head);
+                p_vals[out] = sums[head];
+                ++out;
+                const int64_t tmp = next[head];
+                next[head] = -2;
+                sums[head] = 0.0;
+                head = tmp;
+            }
+            for (int64_t p = s + 1; p < out; ++p) {  // column sort
+                const int32_t ci = p_cols[p];
+                const double cv = p_vals[p];
+                int64_t q = p - 1;
+                while (q >= s && p_cols[q] > ci) {
+                    p_cols[q + 1] = p_cols[q];
+                    p_vals[q + 1] = p_vals[q];
+                    --q;
+                }
+                p_cols[q + 1] = ci;
+                p_vals[q + 1] = cv;
+            }
+            double wsum = 0.0;  // over the SORTED row (numpy bincount order)
+            for (int64_t p = s; p < out; ++p) wsum += p_vals[p];
+            const double alpha = (wsum != 0.0)
+                ? scale_num[i] / wsum : 0.0;
+            const double fac = -alpha / diag_safe[i];
+            int64_t keep = s;
+            for (int64_t p = s; p < out; ++p) {
+                const double v = p_vals[p] * fac;
+                if (v != 0.0) {
+                    p_cols[keep] = p_cols[p];
+                    p_vals[keep] = v;
+                    ++keep;
+                }
+            }
+            p_cnt[i] = keep - s;
+        }
+    }
+}
+
 // COO -> CSR with stable duplicate summing (the setup phase's most common
 // reshape: Galerkin triple products and permutations emit COO). Counting
 // sort by row, per-row stable sort by column (rows over threads), then a
