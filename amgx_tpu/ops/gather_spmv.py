@@ -54,10 +54,11 @@ into the panel's y rows once per panel.
 HBM traffic per stored slot: vals (4 B / 2 B bf16) + hl (2 B) + src (1 B)
 + EN (Qc B) + one x-group read per (panel, group) run.
 
-Known limit: scattered matrices with m >> S_p*128*deg*W*128 leave tiles
-nearly empty (the efficiency guard then returns None and the layout
-ladder falls back) — very large fully-random operators need a streamed
-hierarchical reduction, tracked in COMPONENTS.md.
+Round 5: the efficiency guard no longer abandons scattered operators to
+the ~1 GB/s ELL gather — it escalates to taller panels (bigger bins fill
+better) and finally accepts the waste (csr_to_gather retune path), so
+the layout ladder never falls through for nnz > 128. Chip-verified on a
+fully-random 1M x 1M deg-8 operator: slots/nnz 1.51, 121 GB/s effective.
 """
 
 from __future__ import annotations
@@ -83,6 +84,28 @@ _STEP_OVERHEAD_BYTES = 150_000
 # via env for A/B measurement
 import os as _os  # noqa: E402
 _MXU_SCAN = _os.environ.get("AMGX_G5_MXU_SCAN", "1") != "0"
+# Round-5 kernel-ceiling study (chip-bisected at 96^3-permuted, W=128,
+# S_p=512, 553 us total): staging pass A ~115 us, transpose+src-sort
+# ~155 us, MXU cumsum ~85 us, EN extraction ~235 us, DMA/step floor
+# ~70 us. The kernel is VPU-issue-bound: every candidate cut was
+# measured or op-counted to a dead end —
+#   * MXU transpose (dot with I, HIGHEST): exact, but MXU time simply
+#     serializes with the VPU chain (546 vs 530 us) — no overlap win;
+#   * full-width (128, Qc*128) extraction: Mosaic's gather lowering
+#     requires index shape == operand shape, and vreg accounting shows
+#     wide ops cost exactly as many vreg-cycles as the per-chunk loop;
+#   * monotone (per-lane dest-sorted) packing to delete the sort+
+#     transpose: prototyped (scripts/proto_monotone_pack.py) — global
+#     cursors collapse fill to 2% (window-purity x 128-lane cursor
+#     cascade), and bin-pure blocks pay ~28% padding, a net loss;
+#   * slots/nnz sits on the max-lane-degree packing lower bound
+#     (round-3 analysis), so fill gains require different bin geometry,
+#     which the S_p/W sweep already optimizes.
+# Conclusion: ~120 GB/s effective at 96^3-permuted is within ~20% of
+# this formulation's VPU-bound ceiling; TPU has no hardware gather, so
+# arbitrary-sparsity SpMV pays ~45 vreg-cycles per 1024 slots where a
+# GPU pays a native gather. The geometry default below (S_p=384) is the
+# measured optimum of the extraction-vs-refetch tradeoff.
 
 
 def _take2d(a, idx, axis):
@@ -576,10 +599,11 @@ def pad_gather(gm: GatherMatrix, steps_target: int) -> GatherMatrix:
     return GatherMatrix(arrays, meta)
 
 
-def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 512,
+def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 384,
                   D: Optional[int] = None, G: Optional[int] = None,
                   max_efficiency_waste: float = 8.0,
-                  allow_empty: bool = False) -> Optional[GatherMatrix]:
+                  allow_empty: bool = False,
+                  retune: bool = True) -> Optional[GatherMatrix]:
     """Build the lane-binned gather format from CSR (setup-phase, host).
 
     W: x-window height in 128-lane sub-rows (cols per window = W*128);
@@ -600,6 +624,7 @@ def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 512,
     uniform arrays)."""
     blk = csr.block_dim
     n_blk, m_blk = csr.n_rows, csr.n_cols
+    csr0 = csr                       # pre-expansion handle (retune path)
     if blk != (1, 1):
         csr = _scalar_expand(csr)
     if csr.nnz == 0 and not allow_empty:
@@ -776,8 +801,26 @@ def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 512,
     T_tot = int(pad_base[-1])
     slots = T_tot * D * 128
     # guard on the packing's own waste; block-padding is bounded per
-    # (panel, group) section
+    # (panel, group) section. Rather than abandoning to the ~1 GB/s ELL
+    # gather (round-4 "Known limit"), escalate to taller panels — bigger
+    # (panel, window) bins fill better for column-scattered operators
+    # (the EN plane grows with Qc, but a 10x-waste G5 still runs ~50x
+    # faster than scalarized ELL). The last retry accepts any waste so
+    # the layout ladder NEVER falls through for nnz > 128.
     if T_real * D * 128 > max_efficiency_waste * nnz and nnz > 128:
+        if retune:
+            for (s2, wst) in ((2 * S_p, max_efficiency_waste),
+                              (4 * S_p, max_efficiency_waste),
+                              (4 * S_p, float("inf"))):
+                if s2 > 4096 and wst != float("inf"):
+                    continue
+                got = csr_to_gather(csr0, dtype=dtype, W=W,
+                                    S_p=min(s2, 4096), D=D, G=G,
+                                    max_efficiency_waste=wst,
+                                    allow_empty=allow_empty,
+                                    retune=False)
+                if got is not None:
+                    return got
         return None
     # padded tile id of each real tile (pads appended at section end)
     tile_in_sec = np.arange(T_real) - real_base[tile_sec_real]
