@@ -179,15 +179,12 @@ class DistributedSolver:
         if self.precond_name not in ("AMG", "BLOCK_JACOBI", "JACOBI_L1",
                                      "CHEBYSHEV_POLY", "MULTICOLOR_DILU",
                                      "MULTICOLOR_GS", "FIXCOLOR_GS",
-                                     "MULTICOLOR_ILU", "KACZMARZ",
+                                     "MULTICOLOR_ILU", "KACZMARZ", "GS",
                                      "NOSOLVER", "DUMMY", None):
-            # plain (non-multicolor) GS has no distributed implementation;
-            # raising sends the capi path to the single-chip solver
-            # instead of silently swapping the preconditioner for identity
             raise NotImplementedError(
                 f"DistributedSolver does not implement preconditioner "
                 f"'{self.precond_name}'; supported: AMG, BLOCK_JACOBI, "
-                f"JACOBI_L1, CHEBYSHEV_POLY, MULTICOLOR_DILU/GS/ILU, "
+                f"JACOBI_L1, CHEBYSHEV_POLY, GS, MULTICOLOR_DILU/GS/ILU, "
                 f"FIXCOLOR_GS, KACZMARZ (single-chip SolverFactory "
                 f"covers the full catalog)")
         if self.precond_name == "AMG":
@@ -230,8 +227,18 @@ class DistributedSolver:
                 self._dilu = True
                 self._color_scope = sm_scope0 \
                     if sm_scope0 != "default" else amg_scope
-            if sm_name in ("MULTICOLOR_GS", "FIXCOLOR_GS"):
+            if sm_name in ("MULTICOLOR_GS", "FIXCOLOR_GS", "GS"):
+                # plain GS is color-sequential on TPU (the single-chip
+                # GaussSeidelSolver sweeps colors too — there is no
+                # sequential-row chain to preserve), so it rides the
+                # multicolor machinery distributed (reference:
+                # gauss_seidel_solver.cu runs distributed)
                 _scalar_only(f"{sm_name} smoothing")
+                if sm_name == "GS" and bool(self.cfg.get("GS_L1_variant",
+                                                         sm_scope0)):
+                    raise NotImplementedError(
+                        "distributed GS does not implement GS_L1_variant "
+                        "(single-chip SolverFactory covers it)")
                 self._mcgs = True
                 self._mcgs_fix4 = sm_name == "FIXCOLOR_GS"
                 self._mcgs_symmetric = bool(self.cfg.get("symmetric_GS",
@@ -260,7 +267,13 @@ class DistributedSolver:
             self.precond_name == "JACOBI_L1"
         if self.precond_name in ("MULTICOLOR_DILU", "MULTICOLOR_GS",
                                  "FIXCOLOR_GS", "MULTICOLOR_ILU",
-                                 "KACZMARZ"):
+                                 "KACZMARZ", "GS"):
+            if self.precond_name == "GS":
+                _, _pc_scope0 = self.cfg.get_pair("preconditioner",
+                                                  self.scope)
+                if bool(self.cfg.get("GS_L1_variant", _pc_scope0)):
+                    raise NotImplementedError(
+                        "distributed GS does not implement GS_L1_variant")
             _scalar_only(f"{self.precond_name} preconditioning")
             _, pc_scope = self.cfg.get_pair("preconditioner", self.scope)
             if self.precond_name == "MULTICOLOR_DILU":
