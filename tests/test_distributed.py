@@ -143,11 +143,11 @@ def test_distributed_unsupported_preconditioner_raises(mesh):
     falls back to the single-chip solver) instead of silently swapping
     the preconditioner for identity."""
     a = amgx.gallery.poisson5pt(16, 16)
-    # MULTICOLOR_GS/ILU/DILU, FIXCOLOR_GS and KACZMARZ are distributed
-    # now (test_dist_smoothers.py); plain serial GS remains
-    # single-chip-only (its row-sequential sweep has no SPMD form)
+    # MULTICOLOR_GS/ILU/DILU, FIXCOLOR_GS, KACZMARZ and plain GS are all
+    # distributed now (test_dist_smoothers.py); POLYNOMIAL remains
+    # single-chip-only
     cfg = amgx.AMGConfig(
-        "solver=PCG, preconditioner=GS, max_iters=50, "
+        "solver=PCG, preconditioner=POLYNOMIAL, max_iters=50, "
         "tolerance=1e-8, convergence=RELATIVE_INI, monitor_residual=1")
     s = DistributedSolver(cfg, mesh)
     with pytest.raises(NotImplementedError):
