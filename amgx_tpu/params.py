@@ -148,6 +148,13 @@ def register_all_parameters() -> None:
     P("gs_inner_sweeps", int, 2,
       "inner Jacobi sweeps approximating the GS triangular solve "
       "(TWO_STAGE_GS, TPU extension)")
+    P("gs_max_colors", int, 0,
+      "cap color-sequential GS sweeps at this many merged super-colors "
+      "(0 = exact coloring). Dense coarse operators can need 30-90 "
+      "colors and each color costs one SpMV on TPU; merging trades a "
+      "little smoothing quality for a bounded sweep cost — the same "
+      "approximation as the reference's FIXCOLOR_GS (fixed 4 colors) "
+      "and approximate colorings (max_uncolored_percentage)")
     P("cf_smoothing_mode", int, 0, "C/F ordering mode for CF_JACOBI",
       allowed_range=(0, 3))
     P("ilu_sparsity_level", int, 0, "ILU(k) fill level", allowed_range=(0, 1))

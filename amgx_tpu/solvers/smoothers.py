@@ -184,6 +184,7 @@ class GaussSeidelSolver(Solver):
         super().__init__(cfg, scope)
         self.l1 = bool(cfg.get("GS_L1_variant", scope))
         self.symmetric = bool(cfg.get("symmetric_GS", scope))
+        self.max_colors = int(cfg.get("gs_max_colors", scope) or 0)
 
     def solver_setup(self):
         vec_dt, _ = mode_dtypes(self.mode)
@@ -193,6 +194,13 @@ class GaussSeidelSolver(Solver):
         self.num_colors = coloring.num_colors
         color = np.full(self.n_pad, -1, np.int32)
         color[:csr.n_rows] = coloring.colors
+        if self.max_colors and self.num_colors > self.max_colors:
+            # merged super-colors: every SpMV-per-color sweep is capped;
+            # rows sharing a super-color update Jacobi-style (the
+            # FIXCOLOR_GS approximation — dense coarse operators can
+            # need 30-90 exact colors)
+            color[:csr.n_rows] = color[:csr.n_rows] % self.max_colors
+            self.num_colors = self.max_colors
         bx = csr.block_dim[0]
         if bx > 1:
             color = np.repeat(color, bx)

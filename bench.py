@@ -263,6 +263,11 @@ def _classical_cfg(mode, fused, max_iters, tol):
         "fused_solve": 1 if fused else 0, "mode": mode, "scope": "main",
         "algorithm": "CLASSICAL", "selector": "PMIS",
         "interpolator": "D2", "smoother": "MULTICOLOR_GS",
+        # the reference's own classical flagship truncates interpolation
+        # (AMG_CLASSICAL_PMIS.json:31 interp_max_elements=4) — without it
+        # coarse operators densify (L2 at 169 nnz/row needed 90 GS colors
+        # = 90 SpMVs/sweep; chip breakdown round 5)
+        "interp_max_elements": 4,
         "presweeps": 1, "postsweeps": 1, "min_coarse_rows": 64,
         "max_levels": 12, "cycle": "V",
         "dense_threshold_rows": 4096}}
