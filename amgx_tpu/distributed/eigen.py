@@ -264,6 +264,76 @@ class DistributedEigenSolver:
             vec = sum(float(y[i]) * V[i] for i in range(len(y)))
             self.last_iters = len(alpha)
             return [lam], dm.gather_vector(jnp.asarray(vec), "rows")[None, :]
+        if self.method == "ARNOLDI":
+            # distributed matvecs, host Hessenberg Ritz solve (mirror of
+            # the single-chip ArnoldiEigenSolver; reference:
+            # arnoldi_eigensolver.cu + eigen_examples/eigensolver_mpi.c)
+            k = self.krylov_dim
+            V = [np.asarray(v)]
+            H = np.zeros((k + 1, k))
+            lam, resid, vec = 0.0, np.inf, np.asarray(v)
+            j_done = 0
+            for j in range(k):
+                w = np.asarray(self._jit_spmv(*m, jnp.asarray(V[j])))
+                h = np.array([float((u * w).sum()) for u in V])
+                w = w - sum(h[i] * V[i] for i in range(len(V)))
+                hn = float(np.sqrt((w * w).sum()))
+                H[:j + 1, j] = h
+                H[j + 1, j] = hn
+                j_done = j + 1
+                if hn < 1e-14:
+                    break
+                V.append(w / hn)
+            Hj = H[:j_done, :j_done]
+            evals, evecs = np.linalg.eig(Hj)
+            pick = int(np.argmax(np.abs(evals))) \
+                if self.which in ("largest", "pagerank", "shift") \
+                else int(np.argmin(np.abs(evals)))
+            lam = evals[pick]
+            y = np.real(evecs[:, pick])
+            vec = sum(float(y[i]) * V[i] for i in range(j_done))
+            vec = vec / max(np.linalg.norm(vec), 1e-300)
+            self.last_iters = j_done
+            return [float(np.real(lam))], \
+                dm.gather_vector(jnp.asarray(vec), "rows")[None, :]
+        if self.method == "JACOBI_DAVIDSON":
+            # host-driven JD with distributed matvecs (mirror of the
+            # single-chip JacobiDavidsonEigenSolver)
+            u = np.asarray(v)
+            V = [u]
+            theta, resid = 0.0, np.inf
+            for it in range(self.max_iters):
+                kdim = len(V)
+                AV = [np.asarray(self._jit_spmv(*m, jnp.asarray(w)))
+                      for w in V]
+                G = np.empty((kdim, kdim))
+                for i in range(kdim):
+                    for j in range(kdim):
+                        G[i, j] = float((V[i] * AV[j]).sum())
+                evals, evecs = np.linalg.eigh(0.5 * (G + G.T))
+                pick = -1 if self.which in ("largest", "shift",
+                                            "pagerank") else 0
+                theta = float(evals[pick])
+                y = evecs[:, pick]
+                u = sum(float(y[i]) * V[i] for i in range(kdim))
+                u = u / max(np.linalg.norm(u), 1e-300)
+                r = np.asarray(self._jit_spmv(*m, jnp.asarray(u))) \
+                    - theta * u
+                resid = float(np.linalg.norm(r)) / max(abs(theta), 1e-300)
+                if resid < self.tolerance:
+                    break
+                t = -r / (theta if abs(theta) > 0 else 1.0)
+                t = t - float((u * t).sum()) * u
+                for w in V:
+                    t = t - float((w * t).sum()) * w
+                tn = np.linalg.norm(t)
+                if tn > 1e-12:
+                    V.append(t / tn)
+                if len(V) > max(4, self.krylov_dim):
+                    V = [u]               # restart
+            self.last_iters = it + 1
+            return [theta], dm.gather_vector(jnp.asarray(u),
+                                             "rows")[None, :]
         if self.method in ("SUBSPACE_ITERATION", "SUBSPACE"):
             return self._solve_subspace(v0)
         if self.method == "LOBPCG":

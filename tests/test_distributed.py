@@ -1009,3 +1009,29 @@ def test_distributed_chebyshev_poly_preconditioner(mesh, rng):
     s2.setup(a)
     s2.solve(b)
     assert s.last_iters < s2.last_iters
+
+
+def test_distributed_arnoldi(mesh):
+    """Round 5: ARNOLDI runs distributed (reference:
+    eigen_examples/eigensolver_mpi.c exercises every method)."""
+    from amgx_tpu.distributed.eigen import DistributedEigenSolver
+    a = amgx.gallery.poisson5pt(16, 16)
+    ref = np.linalg.eigvalsh(a.to_dense()).max()
+    es = DistributedEigenSolver("ARNOLDI", mesh, krylov_dim=40)
+    es.setup(a)
+    evals, evecs = es.solve()
+    assert abs(evals[0] - ref) / ref < 1e-6
+    v = evecs[0]
+    r = a.to_scipy() @ v - evals[0] * v
+    assert np.linalg.norm(r) / abs(evals[0]) < 1e-2
+
+
+def test_distributed_jacobi_davidson(mesh):
+    from amgx_tpu.distributed.eigen import DistributedEigenSolver
+    a = amgx.gallery.poisson5pt(12, 12)
+    ref = np.linalg.eigvalsh(a.to_dense()).max()
+    es = DistributedEigenSolver("JACOBI_DAVIDSON", mesh, max_iters=200,
+                                tolerance=1e-6, krylov_dim=20)
+    es.setup(a)
+    evals, evecs = es.solve()
+    assert abs(evals[0] - ref) / ref < 1e-4
