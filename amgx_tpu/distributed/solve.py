@@ -1470,13 +1470,6 @@ class DistributedSolver:
         decomposition). ``shard_rows[d]`` = (rows_g, cols_g, vals) of shard
         d's owned rows with global ids. Returns ({'cols','vals'} lower,
         upper or None) stacked (D, Lr, W) and device-sharded."""
-        if any(np.iscomplexobj(v) for sr_ in shard_rows if sr_ is not None
-               for v in (sr_[2],)):
-            # the triangular packs below are real-valued; dropping the
-            # imaginary part would smooth with the wrong operator (mirrors
-            # the block_dim guard -> single-chip fallback)
-            raise NotImplementedError(
-                "distributed TWO_STAGE_GS does not support complex modes")
         a = lvl.a
         n_dev, lr = a.n_dev, a.lr
         ent, local_devs, partial = self._slot_entries(shard_rows, lvl)
@@ -1520,13 +1513,15 @@ class DistributedSolver:
             for d in local_devs:
                 sr, sc, vv = ent[d]
                 m = pick(d, sr, sc)
-                bands = np.zeros((len(offs), lr), np.float64)
+                # complex modes keep complex triangular values (round 5;
+                # the shift-FMA/ELL applies below are dtype-generic)
+                host_dt = np.complex128 if np.iscomplexobj(vv) \
+                    else np.float64
+                bands = np.zeros((len(offs), lr), host_dt)
                 ks = np.asarray([oix[o] for o in (sc[m] - sr[m])],
                                 np.int64) if m.any() else \
                     np.zeros(0, np.int64)
-                vm = vv[m]
-                bands[ks, sr[m]] = np.real(vm) if \
-                    np.iscomplexobj(vm) else vm
+                bands[ks, sr[m]] = vv[m]
                 rows_by[d] = bands.astype(vec_dt)
             return ({"bands": put_stacked(rows_by, n_dev,
                                           (len(offs), lr),
@@ -1545,15 +1540,16 @@ class DistributedSolver:
             sr, sc, vv = ent[d]
             m = pick(d, sr, sc)
             cols = np.zeros((lr, w), np.int32)
-            vals = np.zeros((lr, w), np.float64)
+            vals = np.zeros((lr, w),
+                            np.complex128 if np.iscomplexobj(vv)
+                            else np.float64)
             sr_m, sc_m, vv_m = sr[m], sc[m], vv[m]
             order = np.argsort(sr_m, kind="stable")
             sr_m, sc_m, vv_m = sr_m[order], sc_m[order], vv_m[order]
             first = np.searchsorted(sr_m, np.arange(lr))
             slot = np.arange(sr_m.size) - first[sr_m]
             cols[sr_m, slot] = sc_m
-            vals[sr_m, slot] = np.real(vv_m) if \
-                np.iscomplexobj(vv_m) else vv_m
+            vals[sr_m, slot] = vv_m
             cols_by[d] = cols
             vals_by[d] = vals.astype(vec_dt)
         return ({"cols": put_stacked(cols_by, n_dev, (lr, w),
