@@ -232,8 +232,9 @@ class DistributedSolver:
                 # GaussSeidelSolver sweeps colors too — there is no
                 # sequential-row chain to preserve), so it rides the
                 # multicolor machinery distributed (reference:
-                # gauss_seidel_solver.cu runs distributed)
-                _scalar_only(f"{sm_name} smoothing")
+                # gauss_seidel_solver.cu runs distributed). BSR systems
+                # run natively: block-row colors expand to scalar slots
+                # and the inverse diagonal applies per block (round 5)
                 if sm_name == "GS" and bool(self.cfg.get("GS_L1_variant",
                                                          sm_scope0)):
                     raise NotImplementedError(
@@ -274,7 +275,9 @@ class DistributedSolver:
                 if bool(self.cfg.get("GS_L1_variant", _pc_scope0)):
                     raise NotImplementedError(
                         "distributed GS does not implement GS_L1_variant")
-            _scalar_only(f"{self.precond_name} preconditioning")
+            if self.precond_name in ("MULTICOLOR_DILU", "MULTICOLOR_ILU",
+                                     "KACZMARZ"):
+                _scalar_only(f"{self.precond_name} preconditioning")
             _, pc_scope = self.cfg.get_pair("preconditioner", self.scope)
             if self.precond_name == "MULTICOLOR_DILU":
                 self._dilu = True
@@ -820,16 +823,20 @@ class DistributedSolver:
         if getattr(self, "_kacz", False):
             self._set_kacz_level(lvl, source, dm, vec_dt)
 
-    def _stack_colors(self, colors, sm, dm, vec_dt):
-        """Stack per-shard color arrays into the (D, Lr) device form."""
+    def _stack_colors(self, colors, sm, dm, vec_dt, bx: int = 1):
+        """Stack per-shard color arrays into the (D, Lr*bx) device form
+        (block rows expand to bx scalar slots so the color mask aligns
+        with flat block vectors — mirror of the single-chip
+        GaussSeidelSolver np.repeat(color, bx))."""
         from .multihost import put_stacked
-        lr = dm.lr
+        lr = dm.lr * bx
         col_by = {}
         for d in range(sm.n_dev):
             if colors[d] is None:
                 continue
             crow = np.full(lr, -1, np.int32)
-            crow[:colors[d].shape[0]] = colors[d]
+            cd = np.repeat(colors[d], bx) if bx > 1 else colors[d]
+            crow[:cd.shape[0]] = cd
             col_by[d] = crow
         if self.mesh is not None:
             return put_stacked(col_by, sm.n_dev, (lr,), np.dtype(np.int32),
@@ -890,9 +897,14 @@ class DistributedSolver:
         sm = source if hasattr(source, "shards") else \
             dsetup.ShardedCSR.from_global(source, dm.row_part)
         colors, nc = self._level_colors(sm)
-        lvl.mcolor = self._stack_colors(colors, sm, dm, vec_dt)
+        bx = sm.block_dim[0] if hasattr(sm, "block_dim") else 1
+        lvl.mcolor = self._stack_colors(colors, sm, dm, vec_dt, bx=bx)
         lvl.mcolor_nc = nc
         if getattr(self, "_color_local", False):
+            if bx > 1:
+                raise NotImplementedError(
+                    "distributed BSR multicolor GS supports "
+                    "boundary_coloring=SYNC_COLORS only")
             lvl.mcgs_tri, lvl.mcgs_tri_static = self._color_tri_ops(
                 lvl, sm, dm, colors, vec_dt)
 

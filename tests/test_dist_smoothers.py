@@ -274,3 +274,44 @@ def test_plain_gs_preconditioner_distributed(mesh):
     r = np.linalg.norm(b - a.to_scipy() @ np.asarray(x)) / \
         np.linalg.norm(b)
     assert st == 0 and r < 1e-7, (st, r)
+
+
+def test_bsr_multicolor_gs_distributed(mesh):
+    """Round 5: BSR systems smooth with distributed MULTICOLOR_GS
+    natively (block-row colors expand to scalar slots, block inverse
+    diagonal) instead of raising to the single-chip solver."""
+    rng = np.random.default_rng(0)
+    base = amgx.gallery.poisson5pt(14, 14)
+    sb = base.to_scipy().tocsr()
+    coup = rng.standard_normal((4, 4)) * 0.15 + np.eye(4)
+    data4 = np.einsum("k,ij->kij", sb.data, coup)
+    a4 = CSRMatrix(base.n_rows, base.n_cols, sb.indptr, sb.indices,
+                   data4, block_dim=(4, 4))
+    b = np.ones(a4.n_rows * 4)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "PCG", "max_iters": 200, "tolerance": 1e-8,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main",
+        "preconditioner": {"solver": "AMG", "scope": "amg",
+                           "algorithm": "AGGREGATION",
+                           "selector": "SIZE_2",
+                           "smoother": "MULTICOLOR_GS",
+                           "relaxation_factor": 0.9,
+                           "presweeps": 1, "postsweeps": 1,
+                           "max_iters": 1, "min_coarse_rows": 16,
+                           "max_levels": 8, "cycle": "V"}}})
+    sv = DistributedSolver(cfg, mesh)
+    sv.setup(a4)
+    assert sv._mcgs
+    x, st = sv.solve(b)
+    import scipy.sparse as sp
+    A = sp.bsr_matrix((a4.data, a4.indices, a4.indptr),
+                      shape=(a4.n_rows * 4, a4.n_cols * 4)).tocsr()
+    rel = np.linalg.norm(b - A @ np.asarray(x)) / np.linalg.norm(b)
+    assert st == 0 and rel < 1e-7, (st, rel)
+    # local-triangle mode stays an honest guard for BSR
+    cfg2 = amgx.AMGConfig(_amg_cfg("MULTICOLOR_GS",
+                                   boundary_coloring="FIRST"))
+    sv2 = DistributedSolver(cfg2, mesh)
+    with pytest.raises(NotImplementedError):
+        sv2.setup(a4)
