@@ -152,6 +152,19 @@ class _NativeLib:
         except AttributeError:
             self._has_agg_galerkin = False
         try:
+            self._h.rap_nnz.restype = ctypes.c_int64
+            self._h.rap_nnz.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                i64p, i32p, i64p, i32p, i64p, i32p, i64p]
+            self._h.rap_fill.restype = None
+            self._h.rap_fill.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                i64p, i32p, f64p, i64p, i32p, f64p, i64p, i32p, f64p,
+                i64p, i32p, f64p]
+            self._has_rap = True
+        except AttributeError:
+            self._has_rap = False
+        try:
             u8p = ctypes.POINTER(ctypes.c_uint8)
             self._h.d2_nnz.restype = ctypes.c_int64
             self._h.d2_nnz.argtypes = [
@@ -245,6 +258,44 @@ class _NativeLib:
         return CSRMatrix(a.n_rows, b.n_cols, ci, cj, cv)
 
     def galerkin(self, r, a, p):
+        out_dt = np.result_type(r.data.dtype, a.data.dtype, p.data.dtype)
+        if getattr(self, "_has_rap", False) and \
+                out_dt in (np.float32, np.float64):
+            from .matrix import CSRMatrix
+            ri = np.ascontiguousarray(r.indptr, np.int64)
+            rj = np.ascontiguousarray(r.indices, np.int32)
+            rv = np.ascontiguousarray(r.data, np.float64)
+            ai = np.ascontiguousarray(a.indptr, np.int64)
+            aj = np.ascontiguousarray(a.indices, np.int32)
+            av = np.ascontiguousarray(a.data, np.float64)
+            pi = np.ascontiguousarray(p.indptr, np.int64)
+            pj = np.ascontiguousarray(p.indices, np.int32)
+            pv = np.ascontiguousarray(p.data, np.float64)
+            ci = np.zeros(r.n_rows + 1, np.int64)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            f64p = ctypes.POINTER(ctypes.c_double)
+            nnz = self._h.rap_nnz(
+                r.n_rows, p.n_rows, p.n_cols,
+                ri.ctypes.data_as(i64p), rj.ctypes.data_as(i32p),
+                ai.ctypes.data_as(i64p), aj.ctypes.data_as(i32p),
+                pi.ctypes.data_as(i64p), pj.ctypes.data_as(i32p),
+                ci.ctypes.data_as(i64p))
+            cj = np.zeros(nnz, np.int32)
+            cv = np.zeros(nnz, np.float64)
+            self._h.rap_fill(
+                r.n_rows, p.n_rows, p.n_cols,
+                ri.ctypes.data_as(i64p), rj.ctypes.data_as(i32p),
+                rv.ctypes.data_as(f64p),
+                ai.ctypes.data_as(i64p), aj.ctypes.data_as(i32p),
+                av.ctypes.data_as(f64p),
+                pi.ctypes.data_as(i64p), pj.ctypes.data_as(i32p),
+                pv.ctypes.data_as(f64p),
+                ci.ctypes.data_as(i64p), cj.ctypes.data_as(i32p),
+                cv.ctypes.data_as(f64p))
+            if out_dt != np.float64:
+                cv = cv.astype(out_dt)
+            return CSRMatrix(r.n_rows, p.n_cols, ci, cj, cv)
         ra = self.csr_spgemm(r, a)
         if ra is None:
             return None

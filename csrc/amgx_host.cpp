@@ -689,6 +689,178 @@ void gather_postpack_en(int64_t nnz, int64_t t_tot, int64_t b_tot,
     }
 }
 
+// Fused Galerkin triple product Ac = R A P without materializing RA
+// (reference: csr_galerkin_product, csr_multiply.cu:326). Per coarse
+// row: accumulate the RA row with a marker (discovery order over R's
+// entries then A's rows), SORT it by column, then contract the sorted
+// row against P with a second marker — exactly the arithmetic order of
+// spgemm_fill(spgemm_fill(R,A),P), so results are bitwise equal to the
+// two-phase product while skipping the RA allocation+write+read.
+// Pass 1 (symbolic): per-row distinct-column counts of Ac.
+int64_t rap_nnz(int64_t n_coarse, int64_t n_fine, int64_t nc_cols,
+                const int64_t* r_indptr, const int32_t* r_indices,
+                const int64_t* a_indptr, const int32_t* a_indices,
+                const int64_t* p_indptr, const int32_t* p_indices,
+                int64_t* c_indptr) {
+    c_indptr[0] = 0;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int64_t> mark_f(static_cast<size_t>(n_fine), -1);
+        std::vector<int64_t> mark_c(static_cast<size_t>(nc_cols), -1);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 128)
+#endif
+        for (int64_t I = 0; I < n_coarse; ++I) {
+            // distinct fine columns j of (RA)[I,:]
+            int64_t headf = -1;
+            for (int64_t kr = r_indptr[I]; kr < r_indptr[I + 1]; ++kr) {
+                const int32_t i = r_indices[kr];
+                for (int64_t ka = a_indptr[i]; ka < a_indptr[i + 1];
+                     ++ka) {
+                    const int32_t j = a_indices[ka];
+                    if (j >= n_fine) continue;  // outside P's row space
+                    if (mark_f[j] == -1) {
+                        mark_f[j] = headf;
+                        headf = j;
+                    }
+                }
+            }
+            int64_t cnt = 0;
+            while (headf != -1) {
+                const int64_t j = headf;
+                headf = mark_f[j];
+                mark_f[j] = -1;
+                for (int64_t kp = p_indptr[j]; kp < p_indptr[j + 1];
+                     ++kp) {
+                    const int32_t J = p_indices[kp];
+                    if (mark_c[J] != I) {
+                        mark_c[J] = I;
+                        ++cnt;
+                    }
+                }
+            }
+            c_indptr[I + 1] = cnt;
+        }
+    }
+    int64_t nnz = 0;
+    for (int64_t I = 0; I < n_coarse; ++I) {
+        nnz += c_indptr[I + 1];
+        c_indptr[I + 1] = nnz;
+    }
+    return nnz;
+}
+
+// Pass 2 (numeric).
+void rap_fill(int64_t n_coarse, int64_t n_fine, int64_t nc_cols,
+              const int64_t* r_indptr, const int32_t* r_indices,
+              const double* r_data,
+              const int64_t* a_indptr, const int32_t* a_indices,
+              const double* a_data,
+              const int64_t* p_indptr, const int32_t* p_indices,
+              const double* p_data,
+              const int64_t* c_indptr, int32_t* c_indices,
+              double* c_data) {
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int64_t> next_f(static_cast<size_t>(n_fine), -2);
+        std::vector<double> sums_f(static_cast<size_t>(n_fine), 0.0);
+        std::vector<int64_t> next_c(static_cast<size_t>(nc_cols), -2);
+        std::vector<double> sums_c(static_cast<size_t>(nc_cols), 0.0);
+        std::vector<int32_t> ra_cols;
+        std::vector<double> ra_vals;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 128)
+#endif
+        for (int64_t I = 0; I < n_coarse; ++I) {
+            // RA row: discovery-order accumulation (== spgemm_fill)
+            int64_t headf = -1;
+            int64_t lenf = 0;
+            for (int64_t kr = r_indptr[I]; kr < r_indptr[I + 1]; ++kr) {
+                const int32_t i = r_indices[kr];
+                const double rv = r_data[kr];
+                for (int64_t ka = a_indptr[i]; ka < a_indptr[i + 1];
+                     ++ka) {
+                    const int32_t j = a_indices[ka];
+                    if (j >= n_fine) continue;  // outside P's row space
+                    sums_f[j] += rv * a_data[ka];
+                    if (next_f[j] == -2) {
+                        next_f[j] = headf;
+                        headf = j;
+                        ++lenf;
+                    }
+                }
+            }
+            ra_cols.clear();
+            ra_vals.clear();
+            for (int64_t k = 0; k < lenf; ++k) {
+                ra_cols.push_back(static_cast<int32_t>(headf));
+                ra_vals.push_back(sums_f[headf]);
+                const int64_t tmp = next_f[headf];
+                next_f[headf] = -2;
+                sums_f[headf] = 0.0;
+                headf = tmp;
+            }
+            // sort the RA row by column (== spgemm_fill's row sort)
+            for (size_t p2 = 1; p2 < ra_cols.size(); ++p2) {
+                const int32_t ci = ra_cols[p2];
+                const double cv = ra_vals[p2];
+                int64_t q = static_cast<int64_t>(p2) - 1;
+                while (q >= 0 && ra_cols[q] > ci) {
+                    ra_cols[q + 1] = ra_cols[q];
+                    ra_vals[q + 1] = ra_vals[q];
+                    --q;
+                }
+                ra_cols[q + 1] = ci;
+                ra_vals[q + 1] = cv;
+            }
+            // contract sorted RA row with P (== second spgemm_fill)
+            int64_t headc = -1;
+            int64_t lenc = 0;
+            for (size_t k = 0; k < ra_cols.size(); ++k) {
+                const int32_t j = ra_cols[k];
+                const double va = ra_vals[k];
+                for (int64_t kp = p_indptr[j]; kp < p_indptr[j + 1];
+                     ++kp) {
+                    const int32_t J = p_indices[kp];
+                    sums_c[J] += va * p_data[kp];
+                    if (next_c[J] == -2) {
+                        next_c[J] = headc;
+                        headc = J;
+                        ++lenc;
+                    }
+                }
+            }
+            int64_t out = c_indptr[I];
+            for (int64_t k = 0; k < lenc; ++k) {
+                c_indices[out] = static_cast<int32_t>(headc);
+                c_data[out] = sums_c[headc];
+                ++out;
+                const int64_t tmp = next_c[headc];
+                next_c[headc] = -2;
+                sums_c[headc] = 0.0;
+                headc = tmp;
+            }
+            const int64_t s = c_indptr[I], e = c_indptr[I + 1];
+            for (int64_t p2 = s + 1; p2 < e; ++p2) {
+                const int32_t ci = c_indices[p2];
+                const double cv = c_data[p2];
+                int64_t q = p2 - 1;
+                while (q >= s && c_indices[q] > ci) {
+                    c_indices[q + 1] = c_indices[q];
+                    c_data[q + 1] = c_data[q];
+                    --q;
+                }
+                c_indices[q + 1] = ci;
+                c_data[q + 1] = cv;
+            }
+        }
+    }
+}
+
 // Distance-2 (extended) interpolation, fused (classical AMG setup
 // hotspot; reference: interpolators/distance2.cu). Replaces the
 // numpy pipeline's three COO assemblies + SpGEMM + csr_add with one
