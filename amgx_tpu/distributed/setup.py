@@ -1828,6 +1828,104 @@ def dist_color(sm: ShardedCSR, scheme: str = "PARALLEL_GREEDY",
     return out, max(1, num)
 
 
+def _dist_dilu_factor_blocked(sm: ShardedCSR, colors: List[np.ndarray],
+                              num_colors: int, bx: int
+                              ) -> Tuple[List[np.ndarray],
+                                         List[np.ndarray]]:
+    """Blocked (BSR) shard-parallel DILU E blocks — the per-edge form of
+    the single-chip blocked factorization (solvers/multicolor.py):
+        E_i = A_ii - sum_{color(j)<color(i)} A_ij invE_j A_ji
+    with bx x bx matrix products; singular blocks fall back to identity
+    exactly like the single-chip guard."""
+    if sm.is_partial:
+        raise NotImplementedError(
+            "rank-local (partial) BSR DILU factorization is not "
+            "implemented — single-process meshes only")
+    devs = sm.devs
+    n_dev = sm.n_dev
+    halos = [None if sm.shards[d] is None else sm.halo_cols(d)
+             for d in range(n_dev)]
+    halo_rows = exchange_rows(sm, halos)
+    edges = {}
+    diag = {}
+    for d in devs:
+        ext, halo = extended_local(sm, d)
+        r0 = int(sm.part.offsets[d])
+        nl = ext.n_rows
+        rows = np.repeat(np.arange(nl, dtype=np.int64), ext.row_nnz())
+        cols = ext.indices.astype(np.int64)
+        vals = np.asarray(ext.data)                     # (nnz, bx, bx)
+        aji = np.zeros_like(vals)
+        own = cols < nl
+        keys_fwd = rows * (nl + halo.size) + cols
+        kf = np.sort(keys_fwd[own])
+        rev_keys = cols[own] * (nl + halo.size) + rows[own]
+        pos = np.searchsorted(kf, rev_keys)
+        pos = np.minimum(pos, kf.size - 1)
+        hit = kf[pos] == rev_keys if kf.size else np.zeros(0, bool)
+        order_own = np.argsort(keys_fwd[own], kind="stable")
+        idx_own = np.nonzero(own)[0]
+        src = idx_own[order_own]
+        aji_own = np.zeros((int(own.sum()), bx, bx), vals.dtype)
+        aji_own[hit] = vals[src[pos[hit]]]              # the (j,i) block
+        aji[idx_own] = aji_own
+        gsel = ~own
+        if gsel.any():
+            hr = halo_rows[d]
+            gi = cols[gsel] - nl
+            tgt = rows[gsel] + r0
+            hvals = np.zeros((int(gsel.sum()), bx, bx), vals.dtype)
+            hind = hr.indices.astype(np.int64)
+            for k in range(gi.size):
+                p0, p1 = int(hr.indptr[gi[k]]), int(hr.indptr[gi[k] + 1])
+                mmask = hind[p0:p1] == tgt[k]
+                if mmask.any():
+                    hvals[k] = hr.data[p0:p1][mmask][0]
+            aji[gsel] = hvals
+        edges[d] = (rows, cols, vals.astype(np.float64),
+                    aji.astype(np.float64))
+        diag[d] = np.asarray(ext.diagonal(), np.float64)
+    E = {d: diag[d].copy() for d in devs}
+    invE = {d: np.zeros_like(diag[d]) for d in devs}
+    done = {d: np.zeros_like(diag[d]) for d in devs}
+    eye = np.eye(bx)
+    for c in range(num_colors):
+        g_done = exchange_col_values(
+            sm.part, [None if sm.shards[d] is None else done[d]
+                      for d in range(n_dev)], halos)
+        for d in devs:
+            rows_c = colors[d] == c
+            if not rows_c.any():
+                continue
+            nl = diag[d].shape[0]
+            if c > 0:
+                rows_e, cols_e, vals_e, aji_e = edges[d]
+                done_ext = np.concatenate([done[d], g_done[d]], axis=0) \
+                    if g_done[d].size else done[d]
+                sel = rows_c[rows_e]
+                if sel.any():
+                    contrib = np.einsum(
+                        "kab,kbc,kcd->kad", vals_e[sel],
+                        done_ext[cols_e[sel]], aji_e[sel])
+                    corr = np.zeros((nl, bx, bx))
+                    np.add.at(corr, rows_e[sel], contrib)
+                    E[d][rows_c] = diag[d][rows_c] - corr[rows_c]
+            blocks = E[d][rows_c]
+            sing = np.abs(np.linalg.det(blocks)) < \
+                np.finfo(np.float64).tiny
+            safe = np.where(sing[:, None, None], eye, blocks)
+            inv_c = np.linalg.inv(safe)
+            inv_c[sing] = eye
+            invE[d][rows_c] = inv_c
+            done[d][rows_c] = invE[d][rows_c]
+    e_out = [None] * n_dev
+    ie_out = [None] * n_dev
+    for d in devs:
+        e_out[d] = E[d]
+        ie_out[d] = invE[d]
+    return e_out, ie_out
+
+
 def dist_dilu_factor(sm: ShardedCSR, colors: List[np.ndarray],
                      num_colors: int
                      ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
@@ -1835,8 +1933,12 @@ def dist_dilu_factor(sm: ShardedCSR, colors: List[np.ndarray],
         E_i = a_ii - sum_{color(j) < color(i)} a_ij * invE_j * a_ji
     color-sequentially. a_ji for ghost j comes from ONE halo-row fetch
     (createOneRingHaloRows); per color, ghost invE values ride one
-    boundary exchange. Scalar (1x1) blocks only — the BSR case routes to
-    the single-chip solver."""
+    boundary exchange. BSR blocks factor natively (round 5): E_i are
+    bx x bx blocks, the corrections are per-edge block triple products,
+    and invE ghost blocks ride the same boundary exchange."""
+    bx = sm.block_dim[0] if hasattr(sm, "block_dim") else 1
+    if bx > 1:
+        return _dist_dilu_factor_blocked(sm, colors, num_colors, bx)
     devs = sm.devs
     n_dev = sm.n_dev
     partial = sm.is_partial

@@ -223,7 +223,9 @@ class DistributedSolver:
             sm_name, sm_scope0 = self.cfg.get_pair("smoother", amg_scope)
             self._smoother_l1 = sm_name == "JACOBI_L1"
             if sm_name == "MULTICOLOR_DILU":
-                _scalar_only("MULTICOLOR_DILU smoothing")
+                # BSR runs natively (round 5): blocked E factorization +
+                # block color sweeps (multicolor_dilu_solver.cu is
+                # natively blocked in the reference too)
                 self._dilu = True
                 self._color_scope = sm_scope0 \
                     if sm_scope0 != "default" else amg_scope
@@ -275,8 +277,7 @@ class DistributedSolver:
                 if bool(self.cfg.get("GS_L1_variant", _pc_scope0)):
                     raise NotImplementedError(
                         "distributed GS does not implement GS_L1_variant")
-            if self.precond_name in ("MULTICOLOR_DILU", "MULTICOLOR_ILU",
-                                     "KACZMARZ"):
+            if self.precond_name in ("MULTICOLOR_ILU", "KACZMARZ"):
                 _scalar_only(f"{self.precond_name} preconditioning")
             _, pc_scope = self.cfg.get_pair("preconditioner", self.scope)
             if self.precond_name == "MULTICOLOR_DILU":
@@ -778,32 +779,41 @@ class DistributedSolver:
         _ = e_sh                      # apply needs only invE (invE*E == 1
         #                               on the nonsingular rows; singular
         #                               rows match the single-chip guard)
+        bx = sm.block_dim[0] if hasattr(sm, "block_dim") else 1
         lr = dm.lr
+        inv_shape = (lr,) if bx == 1 else (lr, bx, bx)
         inv_by, col_by = {}, {}
         for d in range(sm.n_dev):
             if ie_sh[d] is None:
                 continue
-            row = np.zeros(lr, np.dtype(vec_dt))
+            row = np.zeros(inv_shape, np.dtype(vec_dt))
+            if bx > 1:
+                row[:] = np.eye(bx)       # padded rows: identity blocks
             row[:ie_sh[d].shape[0]] = ie_sh[d].astype(np.dtype(vec_dt))
-            crow = np.full(lr, -1, np.int32)
-            crow[:colors[d].shape[0]] = colors[d]
+            crow = np.full(lr * bx, -1, np.int32)
+            cd = np.repeat(colors[d], bx) if bx > 1 else colors[d]
+            crow[:cd.shape[0]] = cd
             inv_by[d] = row
             col_by[d] = crow
         if self.mesh is not None:
-            inv_dev = put_stacked(inv_by, sm.n_dev, (lr,),
+            inv_dev = put_stacked(inv_by, sm.n_dev, inv_shape,
                                   np.dtype(vec_dt), self.mesh, self.axis)
-            col_dev = put_stacked(col_by, sm.n_dev, (lr,),
+            col_dev = put_stacked(col_by, sm.n_dev, (lr * bx,),
                                   np.dtype(np.int32), self.mesh,
                                   self.axis)
         else:
-            inv_np = np.zeros((sm.n_dev, lr), vec_dt)
-            col_np = np.full((sm.n_dev, lr), -1, np.int32)
+            inv_np = np.zeros((sm.n_dev,) + inv_shape, vec_dt)
+            col_np = np.full((sm.n_dev, lr * bx), -1, np.int32)
             for d, v in inv_by.items():
                 inv_np[d], col_np[d] = v, col_by[d]
             inv_dev, col_dev = jnp.asarray(inv_np), jnp.asarray(col_np)
         lvl.dilu = (inv_dev, col_dev)
         lvl.dilu_nc = nc
         if getattr(self, "_color_local", False):
+            if bx > 1:
+                raise NotImplementedError(
+                    "distributed BSR MULTICOLOR_DILU supports "
+                    "boundary_coloring=SYNC_COLORS only")
             lvl.dilu_tri, lvl.dilu_tri_static = self._color_tri_ops(
                 lvl, sm, dm, colors, vec_dt)
 
@@ -1810,14 +1820,16 @@ class DistributedSolver:
 
         def fwd(c, z):
             az = low_apply(z)
-            return jnp.where(color == c, invE * (r - az), z)
+            return jnp.where(color == c,
+                             self._invd_mul(invE, r - az), z)
 
         z = jax.lax.fori_loop(0, nc, fwd, jnp.zeros_like(r))
 
         def bwd(i, xd):
             c = nc - 1 - i
             ax_ = up_apply(xd)
-            return jnp.where(color == c, z - invE * ax_, xd)
+            return jnp.where(color == c,
+                             z - self._invd_mul(invE, ax_), xd)
 
         xd = jax.lax.fori_loop(0, nc, bwd, jnp.zeros_like(r))
         return x + self.smooth_damp * xd
