@@ -37,6 +37,12 @@ def _enable_persistent_compile_cache() -> None:
     flag = _os.environ.get("AMGX_TPU_COMPILE_CACHE", "1").lower()
     if flag in ("0", "off", "false"):
         return
+    # CPU-backend processes (tests, driver dryruns) skip the persistent
+    # cache: XLA:CPU AOT artifacts embed compile-machine feature lists
+    # that the loader flags as SIGILL risks on feature mismatch, and CPU
+    # compiles are cheap anyway
+    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+        return
     cache_dir = _os.environ.get(
         "AMGX_TPU_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache", "amgx_tpu",
