@@ -155,3 +155,49 @@ def test_vcycle_ppermute_budget(mesh):
     # block-diagonal P/R collective-free; rings have <=2 offsets. Budget
     # = observed count when this gate was written (44) + small slack.
     assert 0 < n_pp <= 48, f"collective-permute count regressed: {n_pp}"
+
+
+def test_classical_pipeline_collective_budget(mesh):
+    """Round 5: the same structural gates for the distributed CLASSICAL
+    pipeline (PMIS + D2 + MULTICOLOR_GS — BASELINE row 2): bounded
+    all-gathers (consolidation + coarse solve only) and a pinned
+    collective-permute budget. SYNC_COLORS exchanges one halo per color
+    per sweep, so the budget scales with the level color counts; the
+    gate pins the compiled count against silent duplication."""
+    a = amgx.gallery.poisson7pt(12, 12, 12)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "AMG", "max_iters": 5, "tolerance": 1e-8,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "scope": "main", "algorithm": "CLASSICAL", "selector": "PMIS",
+        "interpolator": "D2", "smoother": "MULTICOLOR_GS",
+        "interp_max_elements": 4,
+        "presweeps": 1, "postsweeps": 1, "min_coarse_rows": 16,
+        "max_levels": 10, "cycle": "V"}})
+    s = DistributedSolver(cfg, mesh)
+    s.setup(a)
+    assert s._sharded_setup
+    b_d = s.levels[0].a.scatter_vector(
+        np.ones(a.n_rows, s._vec_dt), "rows", mesh, s.axis)
+    x_d = s.levels[0].a.scatter_vector(
+        np.zeros(a.n_rows, s._vec_dt), "rows", mesh, s.axis)
+    txt = s._jit_solve_fused.lower(
+        s._mat_args, s._flat_args, b_d, x_d).compile().as_text()
+    # every all-gather must be coarse-level sized (replicated coarse
+    # solve / consolidation metadata) — fine-level shards must never
+    # all-gather. Parse the gathered per-shard extents from the HLO.
+    import re
+    lr_fine = s.levels[0].a.lr
+    shapes = re.findall(r"= \w+\[8,(\d+)\]\S* all-gather", txt)
+    n_ag = txt.count("all-gather(") + txt.count("all-gather-start(")
+    assert n_ag <= 8, f"classical all-gather count regressed: {n_ag}"
+    assert len(shapes) == n_ag, "unparsed all-gather shapes"
+    for nshape in shapes:
+        assert int(nshape) < lr_fine, \
+            f"fine-level-sized all-gather ({nshape} >= {lr_fine})"
+    n_pp = txt.count("collective-permute(") + \
+        txt.count("collective-permute-start(")
+    ncolors = sum(getattr(lv, "mcolor_nc", 0) or 0 for lv in s.levels)
+    # per V-cycle: <= 2 ring offsets per color-SpMV x (pre+post sweeps)
+    # + residual/restrict exchanges per level + Krylov-side residual
+    budget = 2 * (2 * ncolors + 4 * len(s.levels) + 4)
+    assert 0 < n_pp <= budget, (n_pp, budget, ncolors)
