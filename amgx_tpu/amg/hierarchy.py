@@ -221,9 +221,13 @@ class AMG:
             # materialize the device op with the hierarchy's own threshold
             # (as _create_coarse_level does) BEFORE any smoother/coarse
             # solver builds it with a different scope's threshold — the
-            # reused P/R pads must keep matching the level op's padding
+            # reused P/R pads must keep matching the level op's padding.
+            # The old level op donates its layout: a values-only resetup
+            # becomes a small upload + device scatter (ops/value_update)
+            old_op = getattr(self.levels[i + 1].m, "_device_op", None)
             cm.device_op(dense_threshold=max(
-                self.cfg.get("dense_threshold_rows", self.scope), 0))
+                self.cfg.get("dense_threshold_rows", self.scope), 0),
+                donor=old_op)
             self.levels[i + 1].m = cm
         # rebuild everything below the reused prefix and splice it in (the
         # sub-hierarchy may coarsen the new values differently)

@@ -412,9 +412,20 @@ def csr_to_ell(csr: CSRMatrix, dtype=None, width_multiple: int = 1,
     # one batched transfer: each eager device_put costs a full tunnel
     # round trip (~46 ms) regardless of size
     cols_d, vals_d = jax.device_put((cols, vals))
-    return EllMatrix(cols_d, vals_d,
-                     csr.n_rows, csr.n_cols, csr.block_dim,
-                     nnz=csr.nnz + (csr.n_rows if has_diag else 0))
+    out = EllMatrix(cols_d, vals_d,
+                    csr.n_rows, csr.n_cols, csr.block_dim,
+                    nnz=csr.nnz + (csr.n_rows if has_diag else 0))
+    if (bx, by) == (1, 1) and csr.nnz:
+        from .ops.value_update import attach_plan, csr_structure_sig
+        rows = np.repeat(np.arange(csr.n_rows), rn)
+        slot = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], rn)
+        flat = rows * width + slot
+        if has_diag:
+            r = np.arange(csr.n_rows)
+            flat = np.concatenate([flat, r * width + rn])
+        attach_plan(out, "ell", csr_structure_sig(csr, dtype), flat,
+                    n_pad * width)
+    return out
 
 
 def csr_to_dense_op(csr: CSRMatrix, dtype=None, tile: int = 8) -> DenseOperator:
@@ -425,8 +436,15 @@ def csr_to_dense_op(csr: CSRMatrix, dtype=None, tile: int = 8) -> DenseOperator:
     n = _round_up(max(1, csr.n_cols * by), tile)
     out = np.zeros((m, n), dtype=dtype)
     out[:dense.shape[0], :dense.shape[1]] = dense
-    return DenseOperator(jnp.asarray(out), csr.n_rows, csr.n_cols,
-                         csr.block_dim)
+    op = DenseOperator(jnp.asarray(out), csr.n_rows, csr.n_cols,
+                       csr.block_dim)
+    if (bx, by) == (1, 1) and csr.diag_data is None and csr.nnz:
+        from .ops.value_update import attach_plan, csr_structure_sig
+        rows = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
+        flat = rows * n + csr.indices
+        attach_plan(op, "dense", csr_structure_sig(csr, dtype), flat,
+                    m * n)
+    return op
 
 
 # ---------------------------------------------------------------------------
@@ -494,15 +512,36 @@ class Matrix:
         if diag_data is not None:
             self.csr.diag_data = np.asarray(diag_data).reshape(
                 np.shape(self.csr.diag_data))
+        # same sparsity: the old device op donates its layout (static
+        # index/metadata arrays) so the rebuild is a value-only device
+        # scatter instead of a full host pack + re-upload
+        self._donor_op = self._device_op
         self._device_op = None
 
     # -- device form ----------------------------------------------------------
 
-    def device_op(self, dense_threshold: int = 0, spmv_impl: str = "AUTO"):
+    def device_op(self, dense_threshold: int = 0, spmv_impl: str = "AUTO",
+                  donor=None):
         """Build/cache the device operator, choosing the fastest layout:
         dense (MXU) below the threshold, DIA (banded shift-FMA / Pallas) for
         stencil-structured matrices, padded-ELL gather otherwise
-        (reference: the cuSPARSE-vs-custom kernel dispatch in multiply.cu)."""
+        (reference: the cuSPARSE-vs-custom kernel dispatch in multiply.cu).
+
+        ``donor`` (or a stashed one from replace_coefficients): an op
+        built for the SAME sparsity whose layout can be value-updated on
+        device — a time-stepping resetup then uploads ~4 B/nnz instead of
+        the full layout (reference: replace_coefficients reuses device
+        structure, matrix.cu)."""
+        if self._device_op is None:
+            cand = donor if donor is not None \
+                else getattr(self, "_donor_op", None)
+            if cand is not None:
+                _, mat_dt = mode_dtypes(self.mode)
+                from .ops.value_update import try_value_update
+                upd = try_value_update(cand, self.csr, mat_dt)
+                if upd is not None:
+                    self._device_op = upd
+                self._donor_op = None
         if self._device_op is None:
             _, mat_dt = mode_dtypes(self.mode)
             bx, _ = self.csr.block_dim

@@ -243,8 +243,17 @@ def csr_to_band(csr: CSRMatrix, tile_rows: int = 128,
     x_pad = int(base.max()) + band_read_rows(w) * 128
     x_pad = max(x_pad, ((csr.n_cols + 127) // 128) * 128)
     strips_d, base_d = jax.device_put((strips, base.astype(np.int32)))
-    return BandMatrix(strips_d, base_d,
-                      n, csr.n_cols, csr.nnz, x_pad)
+    out = BandMatrix(strips_d, base_d,
+                     n, csr.n_cols, csr.nnz, x_pad)
+    if csr.diag_data is None and csr.nnz:
+        # value-update plan (time stepping): diag-carrying matrices ADD
+        # into possibly-occupied strip slots, which a set-scatter cannot
+        # reproduce — those rebuild instead
+        from .value_update import attach_plan, csr_structure_sig
+        flat = (tile_of * tile_rows + r_in_tile) * w + off
+        attach_plan(out, "band", csr_structure_sig(csr, dtype), flat,
+                    tiles * tile_rows * w)
+    return out
 
 
 def tile_halfwidth(rows: np.ndarray, cols: np.ndarray, n: int,

@@ -123,6 +123,7 @@ def csr_to_dia(csr: CSRMatrix, dtype=None, max_bands: int = 32,
     Returns None when the matrix is not DIA-friendly."""
     if csr.block_dim != (1, 1) or csr.nnz == 0:
         return None
+    csr0 = csr                     # raw handle for the value-update plan
     csr = csr.fold_diagonal()      # DIAG property: diagonal is a band too
     rows = np.repeat(np.arange(csr.n_rows, dtype=np.int64), csr.row_nnz())
     offs = csr.indices.astype(np.int64) - rows
@@ -138,8 +139,12 @@ def csr_to_dia(csr: CSRMatrix, dtype=None, max_bands: int = 32,
     bands = np.zeros((uniq.size, n_pad), dtype=dtype)
     band_of = np.searchsorted(uniq, offs)
     bands[band_of, rows] = csr.data.astype(dtype)
-    return DiaMatrix(uniq.tolist(), jnp.asarray(bands),
-                     csr.n_rows, csr.n_cols, nnz=csr.nnz)
+    out = DiaMatrix(uniq.tolist(), jnp.asarray(bands),
+                    csr.n_rows, csr.n_cols, nnz=csr.nnz)
+    from .value_update import attach_plan, csr_structure_sig
+    attach_plan(out, "dia", csr_structure_sig(csr0, dtype),
+                band_of * n_pad + rows, uniq.size * n_pad)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,17 @@ class RefinedSolver:
         self.inner.setup(Matrix(a, mode=self.inner_mode))
         self._a64 = a.to_scipy().astype(np.float64)
 
+    def resetup(self, data: np.ndarray, diag_data=None) -> None:
+        """Time-stepping: same sparsity, new values. Rides the inner
+        solver's structure-reuse resetup (configure
+        structure_reuse_levels) and the device value-update path, and
+        refreshes the f64 residual operator (reference:
+        AMGX_matrix_replace_coefficients + AMGX_solver_resetup)."""
+        m = getattr(self.inner, "_m_user", None) or self.inner.m
+        m.replace_coefficients(data, diag_data)
+        self.inner.resetup()
+        self._a64 = m.csr.to_scipy().astype(np.float64)
+
     def solve(self, b: np.ndarray, max_refinements: int = 20,
               tolerance: float = 1e-12
               ) -> Tuple[np.ndarray, int, list]:

@@ -225,6 +225,7 @@ def phase_amg(n_side: int):
                            "selector": "SIZE_8",
                            "smoother": "BLOCK_JACOBI",
                            "relaxation_factor": 0.7,
+                           "structure_reuse_levels": -1,
                            "presweeps": 1, "postsweeps": 1, "max_iters": 1,
                            "min_coarse_rows": 64, "max_levels": 12,
                            "cycle": "V"}}})
@@ -246,11 +247,27 @@ def phase_amg(n_side: int):
     t0 = time.perf_counter()
     x, status = s.solve(b)           # steady state
     solve_t = time.perf_counter() - t0
+    # time-stepping: replace_coefficients + structure-reuse resetup +
+    # solve, with the round-5 device value-update path (small upload +
+    # device scatter instead of full repack); report the steady step
+    step_t = None
+    try:
+        m_user = s._m_user or s.m
+        a0 = np.array(m_user.csr.data)
+        for it in range(3):
+            m_user.replace_coefficients(a0 * (1.0 + 0.01 * (it + 1)))
+            t0 = time.perf_counter()
+            s.resetup()
+            s.solve(b)
+            step_t = time.perf_counter() - t0
+    except Exception:                              # noqa: BLE001
+        pass
     h = [float(np.atleast_1d(v)[0]) for v in s.res_history]
     print(json.dumps({
         "n": a.n_rows, "nnz": a.nnz, "setup_s": setup_t,
         "setup_warm_s": setup_warm_t,
         "solve_s": solve_t, "iters": s.last_iters, "status": status,
+        "timestep_s": step_t,
         "rel_resid": (h[-1] / h[0]) if h and h[0] else None,
         "levels": len(s.preconditioner.amg.levels)
         if getattr(s, "preconditioner", None) is not None else 0}))
@@ -268,6 +285,7 @@ def _classical_cfg(mode, fused, max_iters, tol):
         # coarse operators densify (L2 at 169 nnz/row needed 90 GS colors
         # = 90 SpMVs/sweep; chip breakdown round 5)
         "interp_max_elements": 4,
+        "structure_reuse_levels": -1,
         "presweeps": 1, "postsweeps": 1, "min_coarse_rows": 64,
         "max_levels": 12, "cycle": "V",
         "dense_threshold_rows": 4096}}
@@ -316,6 +334,20 @@ def phase_amg_classical(n_side: int):
     out.update({"solve_s": solve_t, "first_solve_s": first_t,
                 "status": status, "refinements": len(hist) - 1,
                 "rel_resid": true_r, "history": hist[:6]})
+
+    # time-stepping: replace_coefficients + structure-reuse resetup +
+    # refined solve (round-5 device value-update path); steady step
+    try:
+        a0 = np.array(a.data)
+        step_t = None
+        for it in range(3):
+            t0 = time.perf_counter()
+            rs.resetup(a0 * (1.0 + 0.01 * (it + 1)))
+            rs.solve(b, max_refinements=12, tolerance=1e-8)
+            step_t = time.perf_counter() - t0
+        out["timestep_s"] = step_t
+    except Exception as e:                         # noqa: BLE001
+        out["timestep_error"] = str(e)[:200]
 
     # setup time of the inner hierarchy, measured separately (second
     # allocation = steady-state / resetup-representative)
@@ -605,6 +637,8 @@ def main():
         "cla_solve_s": r3(amg_cla.get("solve_s")),
         "cla_first_s": r3(amg_cla.get("first_solve_s")),
         "cla_setup_warm_s": r3(amg_cla.get("setup_warm_s")),
+        "cla_timestep_s": r3(amg_cla.get("timestep_s")),
+        "pcg_timestep_s": r3(amg.get("timestep_s")),
         "toy_solve_ms": r3((toy or {}).get("solve_ms")),
         "lanczos_s": r3((eig.get("lanczos") or {}).get("time_s"))
         if isinstance(eig.get("lanczos"), dict) else None,

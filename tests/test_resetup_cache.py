@@ -229,3 +229,93 @@ def test_structure_change_recompiles_correctly():
         x, st = s.solve(b)
         r = np.linalg.norm(b - a.to_scipy() @ s.extract_vector(x))
         assert st == 0 and r < 1e-7, (nx, st, r)
+
+
+def test_value_update_plans_bitwise(rng):
+    """Round 5: value-only device updates (ops/value_update) produce the
+    same device arrays as a full rebuild, for every layout that attaches
+    a plan (DIA, band, ELL, dense)."""
+    import jax.numpy as jnp
+    from amgx_tpu.matrix import csr_to_ell, csr_to_dense_op
+    from amgx_tpu.ops.spmv import csr_to_dia
+    from amgx_tpu.ops.band import csr_to_band, permute_square
+    from amgx_tpu.ops.value_update import try_value_update
+    import amgx_tpu as amgx
+
+    a = amgx.gallery.poisson5pt(24, 24)
+
+    def new_vals(csr):
+        c = csr.__class__(csr.n_rows, csr.n_cols, csr.indptr, csr.indices,
+                          csr.data * 1.7 + 0.01, block_dim=csr.block_dim)
+        c.diag_data = None if csr.diag_data is None else \
+            csr.diag_data * 1.7 + 0.01
+        return c
+
+    cases = []
+    cases.append(("dia", csr_to_dia, a, "bands"))
+    ash = permute_square(a, rng.permutation(a.n_rows))
+    from amgx_tpu.ops.band import rcm_permutation
+    ab = permute_square(ash, rcm_permutation(ash))
+    cases.append(("band", csr_to_band, ab, "strips"))
+    cases.append(("ell", csr_to_ell, a, "vals"))
+    cases.append(("dense", csr_to_dense_op, a, "a"))
+    for name, builder, csr, field in cases:
+        donor = builder(csr, dtype=np.float64)
+        assert donor is not None and getattr(donor, "_vu", None), name
+        c2 = new_vals(csr)
+        upd = try_value_update(donor, c2, np.float64)
+        assert upd is not None, name
+        ref = builder(c2, dtype=np.float64)
+        got = np.asarray(getattr(upd, field))
+        want = np.asarray(getattr(ref, field))
+        assert np.array_equal(got, want), name
+        # structure change must refuse the plan
+        import scipy.sparse as sp
+        s = csr.to_scipy().tolil()
+        s[0, min(5, csr.n_cols - 1)] = 3.3
+        s = s.tocsr()
+        c3 = csr.__class__(csr.n_rows, csr.n_cols, s.indptr, s.indices,
+                           s.data)
+        assert try_value_update(donor, c3, np.float64) is None, name
+
+
+def test_resetup_uses_value_update(rng):
+    """A values-only resetup routes level operators through the donor
+    path (no full host repack) and solves identically to a fresh setup."""
+    import amgx_tpu as amgx
+    a = amgx.gallery.poisson7pt(12, 12, 12)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "AMG", "max_iters": 25, "tolerance": 1e-8,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "fused_solve": 1, "scope": "main",
+        "algorithm": "CLASSICAL", "selector": "PMIS",
+        "interpolator": "D2", "smoother": "MULTICOLOR_GS",
+        "interp_max_elements": 4, "presweeps": 1, "postsweeps": 1,
+        "min_coarse_rows": 16, "max_levels": 10, "cycle": "V",
+        "structure_reuse_levels": -1}})
+    s = amgx.SolverFactory.allocate(cfg)
+    m = amgx.Matrix(a)
+    A0 = a.to_scipy().copy()          # Matrix(a) aliases a — snapshot
+    s.setup(m)
+    b = rng.standard_normal(a.n_rows)
+    s.solve(b)
+    m.replace_coefficients(np.asarray(a.data) * 2.0)
+    s.resetup()
+    # the reused levels' ops must carry the donor plan forward
+    for lvl in s.amg.levels[:-1]:
+        op = lvl.m._device_op
+        if op is not None and hasattr(op, "_vu"):
+            break
+    else:
+        raise AssertionError("no level op carries a value-update plan")
+    x, st = s.solve(b)
+    xv = s.extract_vector(x)
+    rel = np.linalg.norm(b - 2 * A0 @ xv) / np.linalg.norm(b)
+    assert st == 0 and rel < 1e-7
+    # fresh-setup equivalence
+    a2 = amgx.gallery.poisson7pt(12, 12, 12)
+    a2.data = np.asarray(a2.data) * 2.0
+    sf = amgx.SolverFactory.allocate(cfg)
+    sf.setup(amgx.Matrix(a2))
+    xf, _ = sf.solve(b)
+    assert np.allclose(xv, sf.extract_vector(xf), atol=1e-10)
