@@ -957,4 +957,49 @@ def csr_to_gather(csr, dtype=None, W: int = 128, S_p: int = 384,
         im = GatherMatrix(dict(both, vals=im_plane), meta)
         return GatherComplexMatrix(re, im)
     arrays["vals"] = vals_a
-    return GatherMatrix(jax.device_put(arrays), meta)
+    out = GatherMatrix(jax.device_put(arrays), meta)
+
+    # value-update plan (time stepping, ops/value_update): the vals plane
+    # is a static scatter of the (pair-sorted) edge stream. Reconstruct
+    # the edge ordering from STRUCTURE alone and validate it against the
+    # actual packed stream — if it reproduces vals_s exactly, a resetup
+    # can upload just the new csr values, permute on host, and scatter
+    # into the existing plane on device.
+    if blk == (1, 1) and not is_c and csr.nnz:
+        try:
+            g_rows = np.repeat(np.arange(n, dtype=np.int64),
+                               csr.row_nnz())
+            g_cols = csr.indices.astype(np.int64)
+            g_vals = csr.data.astype(work_dt)
+            if csr.diag_data is not None:
+                g_rows = np.concatenate(
+                    [g_rows, np.arange(n, dtype=np.int64)])
+                g_cols = np.concatenate(
+                    [g_cols, np.arange(n, dtype=np.int64)])
+                g_vals = np.concatenate(
+                    [g_vals, csr.diag_data.astype(work_dt)])
+            g_keep = g_vals != 0
+            if g_keep.all():                  # dropped zeros would lose
+                pair_g = (g_rows // (S_p * 128)) * n_windows + \
+                    g_cols // (W * 128)
+                order_g = None
+                if lib is not None and getattr(lib, "_has_csort", False):
+                    order_g = lib.counting_sort_perm(
+                        pair_g, n_panels * n_windows)
+                if order_g is None:
+                    rng_g = np.random.default_rng(12345)
+                    shuf = rng_g.permutation(g_vals.shape[0])
+                    order_g = shuf[np.argsort(pair_g[shuf],
+                                              kind="stable")]
+                if np.array_equal(g_vals[order_g], vals_s):
+                    from .value_update import (attach_plan,
+                                               csr_structure_sig)
+                    slot_flat = (tile_of_edge * D + row_in_tile) * 128 \
+                        + rl_s
+                    attach_plan(out, "g5", csr_structure_sig(csr, dtype),
+                                slot_flat, T_tot * D * 128)
+                    out._vu["src"] = np.ascontiguousarray(order_g,
+                                                          np.int64)
+        except Exception:                     # noqa: BLE001 — plan is
+            pass                              # advisory; rebuild works
+    return out

@@ -83,6 +83,12 @@ def try_value_update(donor, csr, dtype):
         # fold changes the stream length — the sig was computed on the
         # raw csr, the plan's idx on the folded stream; recompute fold
         stream = csr.fold_diagonal().data
+    elif kind == "g5":
+        stream = csr.data if csr.diag_data is None else \
+            np.concatenate([csr.data, csr.diag_data])
+        if np.count_nonzero(stream) != stream.shape[0]:
+            return None               # the pack drops zero entries
+        stream = stream[plan["src"]]  # pair-sort permutation (host)
     else:
         stream = _stream_for(kind, csr)
     if stream is None or stream.shape[0] != plan["idx"].shape[0]:
@@ -115,4 +121,9 @@ def _rebuild(donor, kind: str, flat):
     if kind == "dense" and isinstance(donor, DenseOperator):
         return DenseOperator(flat.reshape(donor.a.shape), donor.n_rows,
                              donor.n_cols, donor.block_dim)
+    from .gather_spmv import GatherMatrix
+    if kind == "g5" and isinstance(donor, GatherMatrix):
+        arrays = {k: getattr(donor, k) for k in donor.ARRAY_FIELDS}
+        arrays["vals"] = flat.reshape(donor.vals.shape)
+        return GatherMatrix(arrays, donor.meta)
     return None

@@ -319,3 +319,28 @@ def test_resetup_uses_value_update(rng):
     sf.setup(amgx.Matrix(a2))
     xf, _ = sf.solve(b)
     assert np.allclose(xv, sf.extract_vector(xf), atol=1e-10)
+
+
+def test_g5_value_update_bitwise(rng):
+    """G5 (gather) value-update plan: structure-validated pair-sort
+    permutation + device scatter reproduces a full repack bitwise."""
+    from amgx_tpu.ops.gather_spmv import csr_to_gather
+    from amgx_tpu.ops.value_update import try_value_update
+    import amgx_tpu as amgx
+    import jax.numpy as jnp
+    a = amgx.gallery.poisson7pt(12, 12, 12)
+    p = rng.permutation(a.n_rows)
+    s = a.to_scipy().tocsr()[p][:, p].tocsr()
+    csr = CSRMatrix(a.n_rows, a.n_cols, s.indptr, s.indices,
+                    s.data.astype(np.float32))
+    donor = csr_to_gather(csr, dtype=np.float32)
+    assert donor is not None and getattr(donor, "_vu", None) is not None
+    c2 = CSRMatrix(csr.n_rows, csr.n_cols, csr.indptr, csr.indices,
+                   csr.data * 1.7 + 0.01)
+    upd = try_value_update(donor, c2, np.float32)
+    assert upd is not None
+    ref = csr_to_gather(c2, dtype=np.float32)
+    assert np.array_equal(np.asarray(upd.vals), np.asarray(ref.vals))
+    x = rng.standard_normal(csr.n_rows).astype(np.float32)
+    assert np.array_equal(np.asarray(upd.apply(jnp.asarray(x))),
+                          np.asarray(ref.apply(jnp.asarray(x))))
