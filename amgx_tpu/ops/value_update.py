@@ -47,24 +47,24 @@ def _scatter_flat(vals, idx, size: int, dtype_name: str):
 
 def attach_plan(op, kind: str, sig: tuple, flat_idx: np.ndarray,
                 size: int) -> None:
-    """Stash the (device-resident) scatter plan on the op instance.
-    Plans live OUTSIDE the pytree protocol: they follow the host-held
-    op object, never the traced operands."""
+    """Stash the scatter plan on the op instance. Plans live OUTSIDE the
+    pytree protocol: they follow the host-held op object, never the
+    traced operands. The index array stays HOST-side until the first
+    update (an eager device_put costs a full tunnel round trip per op
+    build otherwise); _scatter_flat uploads it with the values in one
+    dispatch."""
     op._vu = {"kind": kind, "sig": sig,
-              "idx": jax.device_put(np.ascontiguousarray(flat_idx,
-                                                         np.int32)),
+              "idx": np.ascontiguousarray(flat_idx, np.int32),
               "size": int(size)}
 
 
 def _stream_for(kind: str, csr) -> Optional[np.ndarray]:
-    """The value stream matching the builder's edge order."""
-    if kind in ("dia", "ell"):
-        c = csr.fold_diagonal() if kind == "dia" else csr
-        if kind == "ell":
-            if csr.diag_data is not None:
-                return np.concatenate([csr.data, csr.diag_data])
-            return csr.data
-        return c.data
+    """The value stream matching the builder's edge order ("dia" and
+    "g5" have bespoke streams in try_value_update)."""
+    if kind == "ell":
+        if csr.diag_data is not None:
+            return np.concatenate([csr.data, csr.diag_data])
+        return csr.data
     if kind in ("band", "dense"):
         return csr.data
     return None
@@ -93,6 +93,10 @@ def try_value_update(donor, csr, dtype):
         stream = _stream_for(kind, csr)
     if stream is None or stream.shape[0] != plan["idx"].shape[0]:
         return None
+    if not isinstance(plan["idx"], jax.Array):
+        # lazy one-time promotion; the shared plan dict keeps it for
+        # every later step
+        plan["idx"] = jax.device_put(plan["idx"])
     flat = _scatter_flat(jnp.asarray(np.ascontiguousarray(stream)),
                          plan["idx"], plan["size"],
                          str(np.dtype(dtype)))
