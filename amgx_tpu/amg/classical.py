@@ -544,27 +544,39 @@ def truncate_interpolation(p: CSRMatrix, factor: float = -1.0,
         return p
     n = p.n_rows
     rows = np.repeat(np.arange(n), p.row_nnz())
-    keep = np.ones(p.nnz, bool)
     absv = np.abs(p.data)
-    if factor > 0:
-        row_max = _segment_max(absv, p.indptr, 0.0)
-        keep &= absv >= factor * row_max[rows]
-    if max_elements > 0:
-        order = np.lexsort((-absv, rows))
-        rank = np.empty(p.nnz, np.int64)
-        srows = rows[order]
-        # rank within row
-        firsts = np.unique(srows, return_index=True)[1]
-        rr = np.arange(p.nnz)
-        start_of = np.zeros(p.nnz, np.int64)
-        start_of[firsts] = rr[firsts]
-        start_of = np.maximum.accumulate(start_of)
-        rank[order] = rr - start_of
-        keep &= rank < max_elements
-    old_sum = np.zeros(n)
-    np.add.at(old_sum, rows, p.data)
-    new_sum = np.zeros(n)
-    np.add.at(new_sum, rows[keep], p.data[keep])
+    from ..native import lib as _nl
+    nl = _nl()
+    keep = None
+    if nl is not None and getattr(nl, "_has_truncate", False) \
+            and p.nnz > 2048:
+        keep = nl.truncate_keep(p.indptr, absv, factor, max_elements)
+    if keep is None:
+        keep = np.ones(p.nnz, bool)
+        if factor > 0:
+            row_max = _segment_max(absv, p.indptr, 0.0)
+            keep &= absv >= factor * row_max[rows]
+        if max_elements > 0:
+            order = np.lexsort((-absv, rows))
+            rank = np.empty(p.nnz, np.int64)
+            srows = rows[order]
+            # rank within row
+            firsts = np.unique(srows, return_index=True)[1]
+            rr = np.arange(p.nnz)
+            start_of = np.zeros(p.nnz, np.int64)
+            start_of[firsts] = rr[firsts]
+            start_of = np.maximum.accumulate(start_of)
+            rank[order] = rr - start_of
+            keep &= rank < max_elements
+    def _rsum(r, v):
+        if np.iscomplexobj(v):
+            return (np.bincount(r, weights=v.real, minlength=n)[:n]
+                    + 1j * np.bincount(r, weights=v.imag,
+                                       minlength=n)[:n])
+        return np.bincount(r, weights=v, minlength=n)[:n]
+
+    old_sum = _rsum(rows, p.data)
+    new_sum = _rsum(rows[keep], p.data[keep])
     scale = np.where(new_sum != 0, old_sum / np.where(new_sum == 0, 1.0,
                                                       new_sum), 1.0)
     vals = p.data[keep] * scale[rows[keep]]

@@ -165,6 +165,15 @@ class _NativeLib:
         except AttributeError:
             self._has_rap = False
         try:
+            u8p0 = ctypes.POINTER(ctypes.c_uint8)
+            self._h.truncate_keep.restype = None
+            self._h.truncate_keep.argtypes = [
+                ctypes.c_int64, i64p, f64p, ctypes.c_double,
+                ctypes.c_int64, u8p0]
+            self._has_truncate = True
+        except AttributeError:
+            self._has_truncate = False
+        try:
             u8p = ctypes.POINTER(ctypes.c_uint8)
             self._h.d2_nnz.restype = ctypes.c_int64
             self._h.d2_nnz.argtypes = [
@@ -176,6 +185,23 @@ class _NativeLib:
             self._has_d2 = True
         except AttributeError:
             self._has_d2 = False
+
+    def truncate_keep(self, indptr, absv, factor, max_elements):
+        """Per-row truncation keep mask (stable top-k + factor filter)."""
+        if not self._has_truncate:
+            return None
+        import ctypes
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        indptr = np.ascontiguousarray(indptr, np.int64)
+        absv = np.ascontiguousarray(absv, np.float64)
+        keep = np.zeros(absv.shape[0], np.uint8)
+        self._h.truncate_keep(
+            len(indptr) - 1, indptr.ctypes.data_as(i64p),
+            absv.ctypes.data_as(f64p), float(factor),
+            int(max_elements), keep.ctypes.data_as(u8p))
+        return keep.astype(bool)
 
     def d2_interp(self, indptr, indices, data, sel, cf_map, denom,
                   scale_num, diag_safe, nc):

@@ -689,6 +689,38 @@ void gather_postpack_en(int64_t nnz, int64_t t_tot, int64_t b_tot,
     }
 }
 
+// Interpolation-truncation keep mask (base/src/truncate.cu semantics):
+// drop entries below factor*row_max and/or keep the max_elements
+// largest per row, stable ties (original order) — exactly the numpy
+// lexsort((-|v|, rows)) ranking. O(len^2) per row with len <= ~60.
+void truncate_keep(int64_t n, const int64_t* indptr, const double* absv,
+                   double factor, int64_t max_elements, uint8_t* keep) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 512)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t s = indptr[i], e = indptr[i + 1];
+        double thr = -1.0;
+        if (factor > 0.0) {
+            double mx = 0.0;
+            for (int64_t k = s; k < e; ++k)
+                if (absv[k] > mx) mx = absv[k];
+            thr = factor * mx;
+        }
+        for (int64_t k = s; k < e; ++k) {
+            uint8_t kp = (thr < 0.0) || (absv[k] >= thr);
+            if (kp && max_elements > 0) {
+                int64_t r = 0;
+                for (int64_t j = s; j < e; ++j)
+                    if (absv[j] > absv[k] ||
+                        (absv[j] == absv[k] && j < k)) ++r;
+                if (r >= max_elements) kp = 0;
+            }
+            keep[k] = kp;
+        }
+    }
+}
+
 // Fused Galerkin triple product Ac = R A P without materializing RA
 // (reference: csr_galerkin_product, csr_multiply.cu:326). Per coarse
 // row: accumulate the RA row with a marker (discovery order over R's
