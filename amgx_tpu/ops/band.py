@@ -260,18 +260,25 @@ def tile_halfwidth(rows: np.ndarray, cols: np.ndarray, n: int,
                    tile_rows: int = 128) -> int:
     """Half-window hw the band-strip format would need for this ordering
     (the per-tile column span, rounded up to lane blocks) — a cheap
-    estimator that avoids building the strips."""
+    estimator that avoids building the strips. ``rows`` must be
+    nondecreasing (CSR order), which every caller provides."""
     if rows.size == 0:
         return 128
     tiles = -(-n // tile_rows)
-    tile_of = rows // tile_rows
-    lo = np.full(tiles, np.iinfo(np.int64).max)
-    hi = np.zeros(tiles, np.int64)
-    np.minimum.at(lo, tile_of, cols)
-    np.maximum.at(hi, tile_of, cols)
-    empty = lo > hi
-    lo[empty], hi[empty] = 0, 0
-    span = int((hi - lo).max()) + 1
+    # rows are sorted -> per-tile ranges are contiguous: reduceat beats
+    # the unbuffered np.minimum.at by ~20x
+    starts = np.searchsorted(rows, np.arange(tiles) * tile_rows)
+    ends = np.append(starts[1:], rows.size)
+    valid = starts < ends
+    # sentinel pad (as in csr_to_band): segments may start at index
+    # size for empty tail tiles; the repeat of cols[-1] cannot change a
+    # valid tile's min/max
+    cols_src = np.append(cols, cols[-1]) if starts[-1] >= cols.size \
+        else cols
+    lo_red = np.minimum.reduceat(cols_src, starts)
+    hi_red = np.maximum.reduceat(cols_src, starts)
+    span = int((hi_red[valid] - lo_red[valid]).max()) + 1 \
+        if valid.any() else 1
     return max(128, ((span + 127) // 128) * 128)
 
 
