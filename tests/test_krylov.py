@@ -216,3 +216,32 @@ def test_nested_solver_inherits_parent_mode():
     assert z.dtype == np.complex64
     x, st = s.solve(np.ones(a.n_rows, np.complex128))
     assert st == 0
+
+
+def test_refined_solver_resetup(rng):
+    """RefinedSolver.resetup (round 5): values-only time step through the
+    structure-reuse + device value-update path, refreshing the f64
+    residual operator."""
+    from amgx_tpu.refinement import RefinedSolver
+    a = amgx.gallery.poisson7pt(10, 10, 10)
+    A0 = a.to_scipy().copy()
+    b = rng.standard_normal(a.n_rows)
+    cfg = amgx.AMGConfig({"config_version": 2, "solver": {
+        "solver": "AMG", "max_iters": 20, "tolerance": 1e-6,
+        "convergence": "RELATIVE_INI", "monitor_residual": 1,
+        "fused_solve": 1, "mode": "dFFI", "scope": "main",
+        "algorithm": "CLASSICAL", "selector": "PMIS",
+        "interpolator": "D2", "smoother": "MULTICOLOR_GS",
+        "interp_max_elements": 4, "structure_reuse_levels": -1,
+        "presweeps": 1, "postsweeps": 1, "min_coarse_rows": 16,
+        "max_levels": 10, "cycle": "V", "dense_threshold_rows": 512}})
+    rs = RefinedSolver(cfg, inner_mode="dFFI")
+    rs.setup(a)
+    x, st, _ = rs.solve(b, max_refinements=12, tolerance=1e-10)
+    assert st == amgx.SolveStatus.SUCCESS
+    a0 = np.array(a.data)
+    for scale in (1.5, 0.7):
+        rs.resetup(a0 * scale)
+        x, st, _ = rs.solve(b, max_refinements=12, tolerance=1e-10)
+        rel = np.linalg.norm(b - scale * A0 @ x) / np.linalg.norm(b)
+        assert st == amgx.SolveStatus.SUCCESS and rel < 1e-9, (scale, rel)
