@@ -159,3 +159,76 @@ def test_band_pallas_interpret_matches_reference(rng):
         want = m.to_scipy() @ x[:n]
         err = np.abs(y - want).max() / (np.abs(want).max() + 1e-30)
         assert err < 1e-6, (n, offs, err)
+
+
+def test_layout_ladder_fuzz(rng):
+    """Randomized correctness sweep: every layout the ladder can pick
+    (DIA/band/ELL/dense/G5-reference-path) against scipy, plus a value
+    update through each attached plan — 40 random structures."""
+    import scipy.sparse as sp
+    from amgx_tpu.matrix import csr_to_ell, csr_to_dense_op
+    from amgx_tpu.ops.spmv import csr_to_dia
+    from amgx_tpu.ops.band import csr_to_band
+    from amgx_tpu.ops.gather_spmv import csr_to_gather
+    from amgx_tpu.ops.value_update import try_value_update
+
+    def rand_csr(trial):
+        n = int(rng.integers(24, 700))
+        kind = trial % 4
+        if kind == 0:                      # banded, few offsets
+            offs = sorted(set(int(o) for o in
+                              rng.integers(-n // 3, n // 3, 4)) | {0})
+            rows, cols = [], []
+            for off in offs:
+                i = np.arange(max(0, -off), min(n, n - off))
+                rows.append(i)
+                cols.append(i + off)
+            rows = np.concatenate(rows)
+            cols = np.concatenate(cols)
+        elif kind == 1:                    # random sparse
+            nnz = int(rng.integers(n, 6 * n))
+            rows = rng.integers(0, n, nnz)
+            cols = rng.integers(0, n, nnz)
+        elif kind == 2:                    # diagonal-heavy + noise
+            rows = np.concatenate([np.arange(n),
+                                   rng.integers(0, n, 2 * n)])
+            cols = np.concatenate([np.arange(n),
+                                   rng.integers(0, n, 2 * n)])
+        else:                              # dense-ish small
+            n = int(rng.integers(8, 60))
+            rows = np.repeat(np.arange(n), n // 2)
+            cols = rng.integers(0, n, rows.size)
+        vals = rng.standard_normal(rows.shape[0])
+        vals[vals == 0] = 1.0
+        m = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+        m.data[m.data == 0] = 1.0          # value-update plans need no
+        return CSRMatrix(n, n, m.indptr, m.indices, m.data)  # stored 0s
+
+    builders = [("dia", csr_to_dia), ("band", csr_to_band),
+                ("ell", csr_to_ell), ("dense", csr_to_dense_op),
+                ("g5", lambda c, dtype: csr_to_gather(c, dtype=dtype,
+                                                      allow_empty=True))]
+    for trial in range(40):
+        csr = rand_csr(trial)
+        x = rng.standard_normal(csr.n_rows)
+        want = csr.to_scipy() @ x
+        for name, build in builders:
+            op = build(csr, dtype=np.float64)
+            if op is None:
+                continue
+            pad_len = max(csr.n_rows,
+                          getattr(op, "x_pad", 0) or 0,
+                          getattr(op, "n_pad", 0) or 0)
+            xin = jnp.asarray(np.pad(x, (0, pad_len - csr.n_rows)))
+            y = np.asarray(op.apply(xin))[:csr.n_rows]
+            np.testing.assert_allclose(y, want, rtol=1e-9, atol=1e-9,
+                                       err_msg=f"{name} trial {trial}")
+            if getattr(op, "_vu", None) is not None:
+                c2 = CSRMatrix(csr.n_rows, csr.n_cols, csr.indptr,
+                               csr.indices, csr.data * 1.3 + 0.01)
+                upd = try_value_update(op, c2, np.float64)
+                if upd is not None:
+                    y2 = np.asarray(upd.apply(xin))[:csr.n_rows]
+                    np.testing.assert_allclose(
+                        y2, c2.to_scipy() @ x, rtol=1e-9, atol=1e-9,
+                        err_msg=f"{name} update trial {trial}")
